@@ -1,0 +1,99 @@
+"""Engine configuration.
+
+Mirrors the reference's config surface (reference: config.go:36-177,
+walker.yaml) so a walker user can carry their settings across. Only the
+knobs that affect data semantics are kept; connection/process knobs
+(Cassandra pool sizes, HTTP keep-alive, DNS cache) have no meaning in a
+Spark engine and are dropped.
+
+Durations are plain seconds (float) rather than Go duration strings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+def _go_duration_seconds(s: str) -> float:
+    """Parse a Go-style duration string ("1s", "5m", "49h", "15m30s")."""
+    units = {"h": 3600.0, "m": 60.0, "s": 1.0, "ms": 0.001}
+    total = 0.0
+    num = ""
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c.isdigit() or c in ".-":
+            num += c
+            i += 1
+        else:
+            unit = c
+            if s[i : i + 2] == "ms":
+                unit, i = "ms", i + 1
+            i += 1
+            total += float(num) * units[unit]
+            num = ""
+    return total
+
+
+@dataclass
+class FetcherConfig:
+    """Fetch-stage knobs (reference: config.go:40-64, defaults 115-146)."""
+
+    accept_formats: tuple[str, ...] = ("text/html", "text/*;")
+    accept_protocols: tuple[str, ...] = ("http", "https")
+    max_http_content_size_bytes: int = 20 * 1024 * 1024
+    ignore_tags: tuple[str, ...] = ("script", "img", "link")
+    max_links_per_page: int = 1000
+    honor_meta_noindex: bool = True
+    honor_meta_nofollow: bool = False
+    exclude_link_patterns: tuple[str, ...] = ()
+    include_link_patterns: tuple[str, ...] = ()
+    default_crawl_delay: float = 1.0
+    max_crawl_delay: float = 300.0
+    purge_sid_list: tuple[str, ...] = ("jsessionid", "phpsessid", "aspsessionid")
+    max_path_length: int = 2048
+
+
+@dataclass
+class DispatcherConfig:
+    """Dispatch-stage knobs (reference: config.go:66-75, defaults 148-155)."""
+
+    max_links_per_segment: int = 500
+    refresh_percentage: float = 25.0
+    min_link_refresh_time: float = 0.0
+    empty_dispatch_retry_interval: float = 0.0
+
+
+@dataclass
+class FrontierConfig:
+    """Frontier-table layout + scheduling knobs (ours, not walker's —
+    these exist because Spark makes partitioning/claiming explicit)."""
+
+    # Number of hash buckets for the `links`/`segments` tables. At
+    # 10^10 URLs pick ~8192; for local tests small values are fine.
+    num_domain_buckets: int = 32
+    # Max domains claimed per crawl iteration (reference:
+    # datastore.go:118 `limitPerClaimCycle` = 50 per claimant cycle).
+    claim_limit: int = 50
+    default_domain_priority: int = 1
+    add_new_domains: bool = True
+    # Politeness: wall-time budget (seconds) one iteration represents.
+    # Each domain may fetch at most floor(budget / crawl_delay) URLs
+    # per iteration (reference sleeps crawl_delay between same-host
+    # fetches, fetcher.go:510-519 — same crawl set under same budget).
+    iteration_time_budget: float = 500.0
+    # Expected false-positive rate for the URL-seen bloom pre-filter.
+    bloom_fpp: float = 0.01
+
+
+@dataclass
+class WalkerConfig:
+    fetcher: FetcherConfig = field(default_factory=FetcherConfig)
+    dispatcher: DispatcherConfig = field(default_factory=DispatcherConfig)
+    frontier: FrontierConfig = field(default_factory=FrontierConfig)
+
+    def with_(self, **sections) -> "WalkerConfig":
+        return replace(self, **sections)
+
+
+DEFAULT_CONFIG = WalkerConfig()
