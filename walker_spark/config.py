@@ -39,8 +39,10 @@ def _go_duration_seconds(s: str) -> float:
 class FetcherConfig:
     """Fetch-stage knobs (reference: config.go:40-64, defaults 115-146)."""
 
+    user_agent: str = "Walker (http://github.com/iParadigms/walker)"
     accept_formats: tuple[str, ...] = ("text/html", "text/*;")
     accept_protocols: tuple[str, ...] = ("http", "https")
+    store_response_body: bool = False
     max_http_content_size_bytes: int = 20 * 1024 * 1024
     ignore_tags: tuple[str, ...] = ("script", "img", "link")
     max_links_per_page: int = 1000
@@ -77,6 +79,12 @@ class FrontierConfig:
     claim_limit: int = 50
     default_domain_priority: int = 1
     add_new_domains: bool = True
+    # Per-domain cap on already-crawled dispatch candidates (oldest
+    # first). The reference loads every refresh-eligible crawled link
+    # into memory (dispatcher.go:617-620) which cannot survive a
+    # mega-domain; capping >= max_links_per_segment preserves the
+    # selection exactly and only narrows duplicate-content evidence.
+    max_crawled_candidates: int = 5000
     # Politeness: wall-time budget (seconds) one iteration represents.
     # Each domain may fetch at most floor(budget / crawl_delay) URLs
     # per iteration (reference sleeps crawl_delay between same-host

@@ -1,0 +1,275 @@
+"""Dispatcher job: one segment-generation pass as a DataFrame pipeline.
+
+Spark restatement of the reference dispatcher (reference:
+cassandra/dispatcher.go:284-341, 492-994 — SURVEY §3.2):
+
+    eligible domains (undispatched, unexcluded, empty-backoff filter F7)
+      -> partition-pruned links scan (S2)
+      -> latest-row-per-URL window (F9/W1 — the load-bearing window op)
+      -> per-class rank caps (T1; bounds applyInPandas group size)
+      -> per-domain selection in applyInPandas (dispatch_core: clusters,
+         removable query params, quotas — A5/T2/U1)
+      -> segments append (S7, keep-last per key = Cassandra PK collapse)
+      -> domain_info merge (stats A2 + dispatched flag + last_dispatch)
+
+Everything before/after the bounded applyInPandas stage is pure
+DataFrame ops — Catalyst prunes the links scan to eligible-domain
+buckets and AQE handles skew. Scale levers: the links scan shuffles
+once on the URL key for the window; mega-domains are bounded by the
+rank caps before any Python sees them (O12).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from walker_spark.config import WalkerConfig
+from walker_spark.operators import dispatch_core
+from walker_spark.sources.store import FrontierStore
+
+_EPOCH = "1970-01-01 00:00:00"
+
+_SELECT_OUT = StructType(
+    [
+        StructField("dom", StringType(), False),
+        StructField("subdom", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("proto", StringType(), False),
+        StructField("time_ms", LongType(), False),
+        StructField("seq", IntegerType(), False),
+        StructField("tot_links", IntegerType(), False),
+        StructField("uncrawled_links", IntegerType(), False),
+    ]
+)
+
+
+def latest_links(links: DataFrame) -> DataFrame:
+    """Latest crawl state per URL (F9/W1, dispatcher.go:553-577); ties on
+    time resolved by write_seq (Cassandra same-PK overwrite)."""
+    w = Window.partitionBy("dom", "subdom", "path", "proto").orderBy(
+        F.col("time").desc(), F.col("write_seq").desc_nulls_last()
+    )
+    return (
+        links.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _make_select_fn(cfg: WalkerConfig, now_ms: int):
+    limit = cfg.dispatcher.max_links_per_segment
+    refresh = cfg.dispatcher.refresh_percentage
+    min_refresh_ms = int(cfg.dispatcher.min_link_refresh_time * 1000)
+
+    def select_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["subdom", "path", "proto"], kind="mergesort")
+        dom = pdf["dom"].iloc[0]
+        fnv_txt = [None if pd.isna(v) else int(v) for v in pdf["fnv_txt"]]
+        rows = list(
+            zip(
+                pdf["subdom"],
+                pdf["path"],
+                pdf["proto"],
+                (int(t) for t in pdf["time_ms"]),
+                pdf["getnow"],
+                fnv_txt,
+            )
+        )
+        selection, tot, uncrawled = dispatch_core.select_segment(
+            dom, rows, limit, refresh, min_refresh_ms, now_ms
+        )
+        if not selection:
+            # marker row so empty dispatches still update domain_info
+            return pd.DataFrame(
+                {
+                    "dom": [dom],
+                    "subdom": [""],
+                    "path": [""],
+                    "proto": [""],
+                    "time_ms": [0],
+                    "seq": [-1],
+                    "tot_links": [tot],
+                    "uncrawled_links": [uncrawled],
+                }
+            )
+        return pd.DataFrame(
+            {
+                "dom": dom,
+                "subdom": [s for s, _, _, _ in selection],
+                "path": [p for _, p, _, _ in selection],
+                "proto": [pr for _, _, pr, _ in selection],
+                "time_ms": [t for _, _, _, t in selection],
+                "seq": list(range(len(selection))),
+                "tot_links": tot,
+                "uncrawled_links": uncrawled,
+            }
+        )
+
+    return select_fn
+
+
+def eligible_domains(domain_info: DataFrame, now_ms: int, cfg: WalkerConfig) -> DataFrame:
+    """Undispatched, unexcluded domains outside the empty-dispatch
+    backoff window (dispatcher.go:301-303, 519-531 — F7)."""
+    retry_ms = int(cfg.dispatcher.empty_dispatch_retry_interval * 1000)
+    ld = F.coalesce(F.unix_millis(F.col("last_dispatch")), F.lit(0))
+    led = F.coalesce(F.unix_millis(F.col("last_empty_dispatch")), F.lit(0))
+    backoff = (led > ld) & ((F.lit(now_ms) - led) < F.lit(retry_ms))
+    return domain_info.filter(
+        (~F.col("dispatched")) & (~F.col("excluded")) & (~backoff)
+    )
+
+
+def run_dispatch(
+    store: FrontierStore,
+    cfg: WalkerConfig,
+    now_ms: int,
+    iteration: int = 0,
+) -> dict:
+    """One dispatcher pass (oneShot(1), dispatcher.go:115-126).
+    ``now_ms`` is passed explicitly for determinism (tests freeze it)."""
+    domain_info = store.read("domain_info")
+    eligible = eligible_domains(domain_info, now_ms, cfg).select("dom")
+
+    links = store.read("links").join(eligible, "dom", "left_semi")
+    latest = latest_links(links).select(
+        "dom",
+        "subdom",
+        "path",
+        "proto",
+        F.unix_millis(F.col("time")).alias("time_ms"),
+        F.coalesce(F.col("getnow"), F.lit(False)).alias("getnow"),
+        F.col("fnv_txt"),
+    )
+
+    # Per-class rank caps (T1/O5): bound each domain's candidate set
+    # before Python. getnow/uncrawled capped at the segment limit in
+    # clustering order (dispatcher.go:569-572, 612-614); crawled capped
+    # at max_crawled_candidates oldest-first (scale knob; the reference
+    # is unbounded here, which cannot survive a mega-domain).
+    limit = cfg.dispatcher.max_links_per_segment
+    crawled_cap = max(limit, cfg.frontier.max_crawled_candidates)
+    w_clu = Window.partitionBy("dom").orderBy("subdom", "path", "proto")
+    w_old = Window.partitionBy("dom").orderBy(
+        "time_ms", "subdom", "path", "proto"
+    )
+    is_uncrawled = F.col("time_ms") == 0
+    capped = (
+        latest.withColumn(
+            "_cls",
+            F.when(F.col("getnow"), F.lit(0)).when(is_uncrawled, F.lit(1)).otherwise(F.lit(2)),
+        )
+        .withColumn(
+            "_rk",
+            F.when(F.col("_cls") == 2, F.row_number().over(w_old.partitionBy("dom", "_cls")))
+            .otherwise(F.row_number().over(w_clu.partitionBy("dom", "_cls"))),
+        )
+        .filter(
+            (F.col("_cls") == 0) & (F.col("_rk") <= limit)
+            | (F.col("_cls") == 1) & (F.col("_rk") <= limit)
+            | (F.col("_cls") == 2) & (F.col("_rk") <= crawled_cap)
+        )
+        .drop("_cls", "_rk")
+    )
+    # Exact per-domain stats computed relationally (A2), pre-cap.
+    stats = latest.groupBy("dom").agg(
+        F.count(F.lit(1)).cast("int").alias("tot_links_exact"),
+        F.sum(is_uncrawled.cast("int")).cast("int").alias("uncrawled_links_exact"),
+    )
+
+    selected = capped.groupBy("dom").applyInPandas(
+        _make_select_fn(cfg, now_ms), _SELECT_OUT
+    )
+    selected = selected.join(stats, "dom", "left").select(
+        "dom",
+        "subdom",
+        "path",
+        "proto",
+        "time_ms",
+        "seq",
+        F.coalesce("tot_links_exact", "tot_links").alias("tot_links"),
+        F.coalesce("uncrawled_links_exact", "uncrawled_links").alias("uncrawled_links"),
+    )
+    selected = selected.localCheckpoint()  # one computation, two sinks
+
+    link_rows = selected.filter(F.col("seq") >= 0)
+    # Cassandra PK collapse: duplicate keys keep the last insert (U1/T3).
+    w_last = Window.partitionBy("dom", "subdom", "path", "proto").orderBy(
+        F.col("seq").desc()
+    )
+    segment = (
+        link_rows.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "dom",
+            "subdom",
+            "path",
+            "proto",
+            F.timestamp_millis(F.col("time_ms")).alias("time"),
+        )
+    )
+    n_segment_rows = segment.count()
+    if n_segment_rows:
+        store.append("segments", segment)
+
+    # domain_info merge (S7): every eligible domain gets stats + the
+    # dispatched flag + last_dispatch/last_empty_dispatch = now
+    # (insertSegment, dispatcher.go:941-994) — including domains with no
+    # links at all, whose empty dispatch engages the F7 backoff.
+    # queued_links counts pre-collapse rows.
+    upd_agg = selected.groupBy("dom").agg(
+        F.max("tot_links").alias("u_tot"),
+        F.max("uncrawled_links").alias("u_uncrawled"),
+        F.sum((F.col("seq") >= 0).cast("int")).cast("int").alias("u_queued"),
+    )
+    upd = eligible.join(upd_agg, "dom", "left").select(
+        "dom",
+        F.coalesce("u_tot", F.lit(0)).alias("u_tot"),
+        F.coalesce("u_uncrawled", F.lit(0)).alias("u_uncrawled"),
+        F.coalesce("u_queued", F.lit(0)).alias("u_queued"),
+    )
+    now_ts = F.timestamp_millis(F.lit(now_ms))
+    merged = (
+        domain_info.join(upd, "dom", "left")
+        .withColumn("_hit", F.col("u_tot").isNotNull())
+        .withColumn("_got", F.coalesce(F.col("u_queued") > 0, F.lit(False)))
+        .select(
+            "dom",
+            "priority",
+            "claim_tok",
+            "claim_time",
+            F.when(F.col("_hit"), F.col("_got")).otherwise(F.col("dispatched")).alias("dispatched"),
+            "excluded",
+            "exclude_reason",
+            F.when(F.col("_hit"), F.col("u_tot")).otherwise(F.col("tot_links")).alias("tot_links"),
+            F.when(F.col("_hit"), F.col("u_uncrawled"))
+            .otherwise(F.col("uncrawled_links"))
+            .alias("uncrawled_links"),
+            F.when(F.col("_hit"), F.col("u_queued")).otherwise(F.col("queued_links")).alias("queued_links"),
+            F.when(F.col("_hit") & F.col("_got"), now_ts)
+            .otherwise(F.col("last_dispatch"))
+            .alias("last_dispatch"),
+            F.when(F.col("_hit") & ~F.col("_got"), now_ts)
+            .otherwise(F.col("last_empty_dispatch"))
+            .alias("last_empty_dispatch"),
+            "next_crawl",
+        )
+    )
+    n_dispatched = upd.filter(F.col("u_queued") > 0).count()
+    store.overwrite("domain_info", merged)
+
+    metrics = {
+        "segment_rows": n_segment_rows,
+        "domains_dispatched": n_dispatched,
+        "now_ms": now_ms,
+    }
+    store.record_run("dispatch", iteration, {"metrics": metrics})
+    return metrics

@@ -1,0 +1,481 @@
+"""Fetch stage: one crawl iteration's claim -> fetch -> parse -> sink
+pipeline (reference: fetcher.go:451-607 — SURVEY §3.1).
+
+The HTTP boundary is replaced by an equi-join against the ``pages``
+table (S10, driver-mandated input shape); everything else keeps
+walker's observable semantics:
+
+* fetch order within a claimed domain = ascending (subdom, path, proto)
+  (W5 — segments clustering order, datastore.go:316-333);
+* politeness: walker sleeps crawl-delay between same-domain fetches
+  (fetcher.go:510-519). Batch-equivalent (ST3): an iteration represents
+  ``iteration_time_budget`` wall-seconds, and a domain's links are
+  fetched while the cumulative crawl-delay spent before a link stays
+  under the budget. Robots-excluded links consume no delay (no sleep on
+  the `return false` path, fetcher.go:531-536);
+* robots.txt per host from `pages` rows at http://host/robots.txt
+  (fetcher.go:656-721), 2xx only, Crawl-delay capped at max_crawl_delay;
+* result rows mirror StoreURLFetchResults (datastore.go:343-437):
+  fnv/fnv_txt always written (Go zero values), robots-excluded rows at
+  time=epoch, 304s without mime/body, fetch errors with err only;
+* outlinks parsed from text/html 200s (parse.go), made absolute,
+  filtered by shouldStoreParsedLink (fetcher.go:786-805), deduped by
+  the URL-seen operator and appended at time=epoch.
+
+Content-type simulation: `pages` carries no mime column, so mime is
+derived deterministically from the url extension (html default) —
+documented divergence; the mime accept/parse gates (F3/F4) operate on
+that value exactly as walker does on Content-Type.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from walker_spark.config import WalkerConfig
+from walker_spark.functions import fnv as _fnv
+from walker_spark.functions import htmlparse, robots as robots_mod, urlkernel
+from walker_spark.functions.udfs import host_col
+from walker_spark.operators import seed as seed_ops
+from walker_spark.operators import urlseen
+from walker_spark.operators.claim import claim_domains, unclaim_domains
+from walker_spark.plans import schemas
+from walker_spark.sources.store import FrontierStore
+
+_EXT_MIME = {
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "pdf": "application/pdf", "css": "text/css",
+    "js": "application/javascript", "txt": "text/plain",
+    "xml": "text/xml", "json": "application/json", "zip": "application/zip",
+    "bin": "application/octet-stream",
+}
+
+
+def mime_from_path(path_col):
+    """Deterministic simulated Content-Type by url extension."""
+    ext = F.lower(F.regexp_extract(F.split(path_col, r"\?")[0], r"\.([A-Za-z0-9]+)$", 1))
+    expr = F.lit("text/html")
+    for e, m in _EXT_MIME.items():
+        expr = F.when(ext == e, F.lit(m)).otherwise(expr)
+    return expr
+
+
+def mime_accept_condition(mime_col, accept_formats) -> "F.Column":
+    """mimetools.Matcher semantics (mimetools/mimetools.go:45-106):
+    entries are exact ("text/html"), prefix ("text/*"), suffix
+    ("*/html") or "*/*"; matching is on the media type sans params."""
+    base = F.trim(F.split(mime_col, ";")[0])
+    cond = F.lit(False)
+    for fmt in accept_formats:
+        fmt = fmt.strip().rstrip(";")
+        if fmt in ("*/*", "*"):
+            cond = cond | F.lit(True)
+        elif fmt.endswith("/*"):
+            cond = cond | base.startswith(fmt[:-1])
+        elif fmt.startswith("*/"):
+            cond = cond | base.endswith(fmt[1:])
+        else:
+            cond = cond | (base == fmt)
+    return cond
+
+
+# ---------------------------------------------------------------------------
+# robots rules
+# ---------------------------------------------------------------------------
+
+
+def robots_rules_for_hosts(
+    store: FrontierStore, hosts: DataFrame, cfg: WalkerConfig
+) -> DataFrame:
+    """(host) -> (host, rules_json, crawl_delay ms). Hosts without a
+    2xx-fetchable robots.txt get the default group: no rules + default
+    crawl delay (fetcher.go:698-706). Small per-iteration output —
+    intended for a broadcast join (J3)."""
+    pages = store.read("pages").select("url", "html")
+    robots_url = F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
+    joined = hosts.select("host").dropDuplicates().withColumn("_rurl", robots_url).join(
+        pages.withColumnRenamed("url", "_rurl"), "_rurl", "left"
+    )
+    default_delay_ms = int(cfg.fetcher.default_crawl_delay * 1000)
+    max_delay_ms = int(cfg.fetcher.max_crawl_delay * 1000)
+    user_agent = cfg.fetcher.user_agent
+
+    def parse_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_host, out_rules, out_delay = [], [], []
+            for host, body in zip(pdf["host"], pdf["html"]):
+                if body is None:
+                    grp = robots_mod.ALLOW_ALL
+                else:
+                    grp = robots_mod.group_for(
+                        htmlparse.decode_html(bytes(body)), user_agent
+                    )
+                delay = grp.crawl_delay
+                delay_ms = default_delay_ms if delay is None else int(delay * 1000)
+                if delay_ms > max_delay_ms:  # fetcher.go:714-718
+                    delay_ms = max_delay_ms
+                out_host.append(host)
+                out_rules.append(grp.to_json())
+                out_delay.append(delay_ms)
+            yield pd.DataFrame(
+                {"host": out_host, "rules_json": out_rules, "crawl_delay": out_delay}
+            )
+
+    return joined.select("host", "html").mapInPandas(parse_batch, schemas.ROBOTS_RULES)
+
+
+def make_robots_allowed_udf():
+    @F.pandas_udf(BooleanType())
+    def robots_allowed(rules_json: pd.Series, path: pd.Series) -> pd.Series:
+        cache: dict[str, robots_mod.RobotsGroup] = {}
+        out = []
+        for rj, p in zip(rules_json, path):
+            if rj is None:
+                out.append(True)
+                continue
+            grp = cache.get(rj)
+            if grp is None:
+                grp = robots_mod.RobotsGroup.from_json(rj)
+                cache[rj] = grp
+            out.append(grp.test(p))
+        return pd.Series(out)
+
+    return robots_allowed
+
+
+# ---------------------------------------------------------------------------
+# parse stage (mapInPandas kernel — SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+_PARSE_OUT = StructType(
+    [
+        StructField("dom", StringType(), False),
+        StructField("subdom", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("proto", StringType(), False),
+        StructField("time_ms", LongType(), False),
+        StructField("stat", IntegerType(), True),
+        StructField("err", StringType(), True),
+        StructField("mime", StringType(), True),
+        StructField("fnv", LongType(), False),
+        StructField("fnv_txt", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("links", ArrayType(StringType()), True),
+        StructField("meta_noindex", BooleanType(), False),
+        StructField("meta_nofollow", BooleanType(), False),
+        StructField("body", StringType(), True),
+    ]
+)
+
+
+def _make_parse_fn(cfg: WalkerConfig, now_ms: int):
+    parser_cfg = htmlparse.parser_cfg(
+        cfg.fetcher.ignore_tags,
+        cfg.fetcher.honor_meta_nofollow,
+        cfg.fetcher.purge_sid_list,
+    )
+    max_size = cfg.fetcher.max_http_content_size_bytes
+    max_links = cfg.fetcher.max_links_per_page
+    store_body = cfg.fetcher.store_response_body
+
+    def parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            stat = [None] * n
+            err = [None] * n
+            mime_out = [None] * n
+            text = [None] * n
+            links: list = [None] * n
+            noindex = [False] * n
+            nofollow = [False] * n
+            body_out = [None] * n
+            fnv_in: list = [None] * n
+            txt_in: list = [None] * n
+
+            for i, (url, html, mime, found, not_modified) in enumerate(
+                zip(pdf["url"], pdf["html"], pdf["mime"], pdf["found"], pdf["not_modified"])
+            ):
+                if not found:
+                    # connection-level failure analog (fetcher.go:540-545)
+                    err[i] = "fetch error: host unreachable (not in pages table)"
+                    continue
+                if not_modified:
+                    stat[i] = 304  # fetcher.go:547-560
+                    continue
+                raw = bytes(html) if html is not None else b""
+                if len(raw) > max_size:
+                    stat[i] = 200
+                    err[i] = (
+                        "read body of %s: content size exceeded MaxHTTPContentSizeBytes"
+                        % url
+                    )
+                    continue
+                stat[i] = 200
+                mime_out[i] = mime
+                fnv_in[i] = raw
+                if store_body:
+                    body_out[i] = raw.decode("utf-8", "replace")
+                if isinstance(mime, str) and mime.startswith("text/html"):
+                    res = htmlparse.parse_html(raw, parser_cfg)
+                    text[i] = res.text
+                    txt_in[i] = res.text
+                    noindex[i] = res.meta_noindex
+                    nofollow[i] = res.meta_nofollow
+                    abs_links = []
+                    for raw_link in res.links[:max_links]:
+                        absolute = urlkernel.resolve(url, raw_link)
+                        if absolute:
+                            norm = urlkernel.normalize_url(
+                                absolute, parser_cfg.purge_sid_list
+                            )
+                            if norm:
+                                abs_links.append(norm)
+                    links[i] = abs_links
+
+            fnv_vals = _fnv.fnv1_64_batch([b if b is not None else b"" for b in fnv_in])
+            txt_vals = _fnv.fnv1_64_batch([t if t is not None else b"" for t in txt_in])
+            # Go zero value: unread bodies/unparsed pages fingerprint 0
+            import numpy as np
+
+            fnv_vals = np.where([b is not None for b in fnv_in], fnv_vals, 0)
+            txt_vals = np.where([t is not None for t in txt_in], txt_vals, 0)
+
+            yield pd.DataFrame(
+                {
+                    "dom": pdf["dom"].values,
+                    "subdom": pdf["subdom"].values,
+                    "path": pdf["path"].values,
+                    "proto": pdf["proto"].values,
+                    "time_ms": now_ms,
+                    "stat": pd.array(stat, dtype="Int32"),
+                    "err": err,
+                    "mime": mime_out,
+                    "fnv": fnv_vals.astype("int64"),
+                    "fnv_txt": txt_vals.astype("int64"),
+                    "text": text,
+                    "links": links,
+                    "meta_noindex": noindex,
+                    "meta_nofollow": nofollow,
+                    "body": body_out,
+                }
+            )
+
+    return parse_batches
+
+
+# ---------------------------------------------------------------------------
+# the iteration
+# ---------------------------------------------------------------------------
+
+
+def run_fetch(
+    store: FrontierStore,
+    cfg: WalkerConfig,
+    now_ms: int,
+    iteration: int = 0,
+    use_bloom: bool = False,
+    handler: Callable[[DataFrame], None] | None = None,
+) -> dict:
+    """One fetch iteration over all claimable domains. ``handler`` is
+    the user content hook (Handler.HandleResponse, interfaces.go:5-12):
+    called with the handleable results DataFrame (2xx/304, not
+    robots-excluded, mime-accepted, not noindex-suppressed)."""
+    claim_tok = f"it-{iteration:06d}"
+    claimed = claim_domains(store, cfg, now_ms, claim_tok).localCheckpoint()
+    n_claimed = claimed.count()
+    metrics = {"claimed_domains": n_claimed, "now_ms": now_ms}
+    if n_claimed == 0:
+        store.record_run("fetch", iteration, {"metrics": metrics})
+        return {**metrics, "fetched": 0, "outlinks_new": 0}
+
+    segs = store.read("segments").join(claimed.select("dom"), "dom", "left_semi")
+    work = segs.withColumn("host", host_col(F.col("subdom"), F.col("dom")))
+
+    # robots rules per host, broadcast (J3)
+    rules = robots_rules_for_hosts(store, work.select("host"), cfg)
+    work = work.join(F.broadcast(rules), "host", "left")
+
+    robots_allowed = make_robots_allowed_udf()
+    work = work.withColumn("allowed", robots_allowed(F.col("rules_json"), F.col("path")))
+
+    # politeness budget (ST3): cumulative delay of prior fetched links
+    budget_ms = int(cfg.frontier.iteration_time_budget * 1000)
+    default_delay_ms = int(cfg.fetcher.default_crawl_delay * 1000)
+    w_order = Window.partitionBy("dom").orderBy("subdom", "path", "proto")
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(default_delay_ms))
+    spend = F.when(F.col("allowed"), delay).otherwise(F.lit(0))
+    work = work.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum(spend).over(w_order.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    work = work.withColumn("in_budget", F.col("cum_before") < F.lit(budget_ms))
+    work = work.localCheckpoint()
+
+    processed = work.filter(F.col("in_budget"))
+
+    # robots-excluded rows: stored at time=epoch with robot_ex=true,
+    # fnv/fnv_txt zero (fetchAndHandle early return, fetcher.go:531-536)
+    excluded = processed.filter(~F.col("allowed"))
+
+    fetchable = processed.filter(F.col("allowed")).withColumn(
+        "url",
+        F.concat(
+            F.col("proto"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("path"),
+        ),
+    )
+
+    pages = store.read("pages").select(
+        "url", "warc_ts", "html", F.col("lang").alias("_lang")
+    )
+    fetched = (
+        fetchable.join(pages, "url", "left")
+        .withColumn("found", F.col("warc_ts").isNotNull())
+        .withColumn("mime", mime_from_path(F.col("path")))
+        .withColumn(
+            "not_modified",
+            F.col("found")
+            & (F.unix_millis(F.col("time")) > 0)
+            & (F.unix_millis(F.col("warc_ts")) <= F.unix_millis(F.col("time"))),
+        )
+    )
+
+    results = fetched.select(
+        "dom", "subdom", "path", "proto", "url", "html", "mime", "found", "not_modified"
+    ).mapInPandas(_make_parse_fn(cfg, now_ms), _PARSE_OUT)
+    results = results.localCheckpoint()
+    n_fetched = results.count()
+
+    # ---- links sink (S5) --------------------------------------------------
+    write_seq = store.version("links") + 1
+    nulls = {
+        "robot_ex": F.lit(None).cast("boolean"),
+        "redto_url": F.lit(None).cast("string"),
+        "getnow": F.lit(None).cast("boolean"),
+        "headers": F.lit(None).cast("map<string,string>"),
+    }
+    result_rows = results.select(
+        "dom",
+        "subdom",
+        "path",
+        "proto",
+        F.timestamp_millis(F.col("time_ms")).alias("time"),
+        "stat",
+        "err",
+        nulls["robot_ex"].alias("robot_ex"),
+        nulls["redto_url"].alias("redto_url"),
+        nulls["getnow"].alias("getnow"),
+        "mime",
+        "fnv",
+        "fnv_txt",
+        "body",
+        nulls["headers"].alias("headers"),
+        F.lit(write_seq).cast("long").alias("write_seq"),
+    )
+    excluded_rows = excluded.select(
+        "dom",
+        "subdom",
+        "path",
+        "proto",
+        F.timestamp_millis(F.lit(0)).alias("time"),
+        F.lit(None).cast("int").alias("stat"),
+        F.lit(None).cast("string").alias("err"),
+        F.lit(True).alias("robot_ex"),
+        nulls["redto_url"].alias("redto_url"),
+        nulls["getnow"].alias("getnow"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(0).cast("long").alias("fnv"),
+        F.lit(0).cast("long").alias("fnv_txt"),
+        F.lit(None).cast("string").alias("body"),
+        nulls["headers"].alias("headers"),
+        F.lit(write_seq).cast("long").alias("write_seq"),
+    )
+    store.append("links", result_rows.unionByName(excluded_rows))
+
+    # ---- outlinks sink (S6 + J1) ------------------------------------------
+    follow = results
+    if cfg.fetcher.honor_meta_nofollow:
+        follow = follow.filter(~F.col("meta_nofollow"))
+    outlinks = (
+        follow.select(F.explode_outer("links").alias("url"))
+        .filter(F.col("url").isNotNull())
+        .dropDuplicates(["url"])
+    )
+    keys = seed_ops.normalize_to_keys(outlinks, cfg)
+    # shouldStoreParsedLink (F2, fetcher.go:786-805)
+    keep = F.length(F.col("path")) <= cfg.fetcher.max_path_length
+    if cfg.fetcher.exclude_link_patterns:
+        excl = "|".join(cfg.fetcher.exclude_link_patterns)
+        inc_col = ~F.col("path").rlike(excl)
+        if cfg.fetcher.include_link_patterns:
+            incl = "|".join(cfg.fetcher.include_link_patterns)
+            inc_col = inc_col | F.col("path").rlike(incl)
+        keep = keep & inc_col
+    keep = keep & F.col("proto").isin(*cfg.fetcher.accept_protocols)
+    keys = keys.filter(keep)
+
+    unseen = urlseen.filter_unseen(store, keys, use_bloom=use_bloom).localCheckpoint()
+    n_new = unseen.count()
+    n_domains = seed_ops.add_new_domains(store, unseen, cfg)
+    if n_new:
+        out_seq = store.version("links") + 1
+        rows = seed_ops.new_link_rows(unseen).withColumn(
+            "write_seq", F.lit(out_seq).cast("long")
+        )
+        store.append("links", rows.select(*[f.name for f in schemas.LINKS.fields]))
+        if use_bloom:
+            urlseen.update_bloom(store, unseen)
+
+    # ---- handler hook (S9) -------------------------------------------------
+    if handler is not None:
+        handleable = results.filter(
+            (F.col("stat") == 304)
+            | (
+                (F.col("stat") >= 200)
+                & (F.col("stat") < 300)
+                & F.col("err").isNull()
+                & mime_accept_condition(F.col("mime"), cfg.fetcher.accept_formats)
+                & ~(F.lit(cfg.fetcher.honor_meta_noindex) & F.col("meta_noindex"))
+            )
+        )
+        handler(handleable)
+
+    # ---- segments cleanup + unclaim (datastore.go:276-291) -----------------
+    remaining = store.read("segments").join(
+        processed.select("dom", "subdom", "path", "proto"),
+        ["dom", "subdom", "path", "proto"],
+        "left_anti",
+    )
+    store.overwrite("segments", remaining.select(*[f.name for f in schemas.SEGMENTS.fields]))
+    finished = claimed.select("dom").join(
+        store.read("segments").select("dom").dropDuplicates(), "dom", "left_anti"
+    )
+    unclaim_domains(store, claim_tok, finished)
+
+    metrics.update(
+        {
+            "fetched": n_fetched,
+            "robots_excluded": excluded.count(),
+            "outlinks_new": n_new,
+            "new_domains": n_domains,
+        }
+    )
+    store.record_run("fetch", iteration, {"metrics": metrics})
+    return metrics

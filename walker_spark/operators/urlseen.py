@@ -1,0 +1,218 @@
+"""URL-seen set: exact anti-join with a bloom pre-filter (J1/M6).
+
+The reference gets URL dedup for free from the links-table primary key
+(schema.go:13-15, 85; datastore.go:461-463). Here "seen" is an explicit
+operator:
+
+* exact path: candidates ``LEFT ANTI JOIN`` links on
+  (dom, subdom, path, proto);
+* scale path (north_rule's per-partition bloom): a per-domain-bucket
+  bloom filter built from the links table. Probing partitions the
+  candidates into *definitely-new* (bloom says no — skip the anti-join
+  entirely) and *maybe-seen* (bloom says maybe — verified by the exact
+  anti-join). False positives only send extra rows to the verify join;
+  nothing is ever dropped on the bloom alone, so results are exact.
+
+Hashes are JVM-side ``xxhash64`` with two seeds; the probe is a
+vectorized numpy double-hash over an Arrow batch. At 10^10 URLs with
+8192 buckets and 10 bits/key the bitmap set is ~12.5 GB cluster-wide /
+~1.5 MB per bucket — each probe task only needs its own bucket's bitmap
+(delivered here via broadcast of the per-bucket map).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType
+
+from walker_spark.plans.schemas import LINK_KEY
+from walker_spark.sources.store import FrontierStore, bucket_col
+
+_H1_SEED = 42  # spark xxhash64 default seed
+_H2_SEED = 1099511628211
+
+
+def _with_hashes(df: DataFrame, num_buckets: int) -> DataFrame:
+    key_cols = [F.col(c) for c in LINK_KEY]
+    return (
+        df.withColumn("_h1", F.xxhash64(*key_cols))
+        .withColumn("_h2", F.xxhash64(F.lit(_H2_SEED), *key_cols))
+        .withColumn("_bucket", bucket_col(F.col("dom"), num_buckets))
+    )
+
+
+def bloom_params(n_keys: int, num_buckets: int, fpp: float) -> tuple[int, int]:
+    """(bits per bucket, num hashes) sized for n_keys total keys."""
+    per_bucket = max(1, n_keys // max(1, num_buckets))
+    bits_per_key = max(1.0, -1.44 * math.log2(max(fpp, 1e-12)))
+    m = 1 << max(10, int(per_bucket * bits_per_key).bit_length())
+    k = max(1, round(0.7 * m / max(1, per_bucket)))
+    return m, min(k, 16)
+
+
+def build_bloom(store: FrontierStore, fpp: float = 0.01) -> dict:
+    """(Re)build per-bucket blooms from the current links table."""
+    links = store.read("links").select(*LINK_KEY).dropDuplicates()
+    n_keys = links.count()
+    num_buckets = store.num_buckets
+    m, k = bloom_params(n_keys, num_buckets, fpp)
+
+    hashed = _with_hashes(links, num_buckets).select("_bucket", "_h1", "_h2")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        h1 = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+        mask = np.uint64(m - 1)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)))
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["_bucket"].iloc[0])],
+                "num_bits": [m],
+                "num_hashes": [k],
+                "bitmap": [bits.tobytes()],
+            }
+        )
+
+    from walker_spark.plans.schemas import URL_SEEN_BLOOM
+
+    blooms = hashed.groupBy("_bucket").applyInPandas(build, URL_SEEN_BLOOM)
+    store.overwrite("url_seen_bloom", blooms)
+    # lineage: the bloom covers links up to exactly this version; the
+    # probe path falls back to the exact anti-join when it's stale.
+    store.put_meta(
+        "url_seen_bloom",
+        {"links_version": store.version("links"), "bits": m, "hashes": k},
+    )
+    return {"n_keys": n_keys, "bits_per_bucket": m, "num_hashes": k}
+
+
+def update_bloom(store: FrontierStore, new_keys: DataFrame) -> None:
+    """OR newly appended link keys into the per-bucket bitmaps —
+    incremental, fully distributed maintenance so every links append
+    keeps the bloom fresh. Full rebuild when no bloom exists yet."""
+    meta = store.get_meta("url_seen_bloom")
+    if meta is None or not store.exists("url_seen_bloom"):
+        build_bloom(store)
+        return
+    m, k = meta["bits"], meta["hashes"]
+
+    hashed = _with_hashes(
+        new_keys.select(*LINK_KEY).dropDuplicates(), store.num_buckets
+    ).select("_bucket", "_h1", "_h2")
+
+    def build_delta(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        h1 = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+        mask = np.uint64(m - 1)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)))
+        return pd.DataFrame(
+            {"bucket": [int(pdf["_bucket"].iloc[0])], "num_bits": [m],
+             "num_hashes": [k], "bitmap": [bits.tobytes()]}
+        )
+
+    from walker_spark.plans.schemas import URL_SEEN_BLOOM
+
+    delta = hashed.groupBy("_bucket").applyInPandas(build_delta, URL_SEEN_BLOOM)
+
+    def or_bitmaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m // 8, dtype=np.uint8)
+        for raw in pdf["bitmap"]:
+            acc |= np.frombuffer(raw, dtype=np.uint8)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "num_bits": [m],
+             "num_hashes": [k], "bitmap": [acc.tobytes()]}
+        )
+
+    merged = (
+        store.read("url_seen_bloom")
+        .unionByName(delta)
+        .groupBy("bucket")
+        .applyInPandas(or_bitmaps, URL_SEEN_BLOOM)
+    )
+    store.overwrite("url_seen_bloom", merged)
+    store.put_meta(
+        "url_seen_bloom",
+        {"links_version": store.version("links"), "bits": m, "hashes": k},
+    )
+
+
+def _probe_udf(spark, bloom_rows):
+    """Broadcast the per-bucket bitmaps and return a pandas UDF
+    maybe_seen(bucket, h1, h2) -> bool."""
+    table = {
+        int(r["bucket"]): (
+            int(r["num_bits"]),
+            int(r["num_hashes"]),
+            np.frombuffer(r["bitmap"], dtype=np.uint8),
+        )
+        for r in bloom_rows
+    }
+    bc = spark.sparkContext.broadcast(table)
+
+    @F.pandas_udf(BooleanType())
+    def maybe_seen(bucket: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
+        tbl = bc.value
+        out = np.zeros(len(bucket), dtype=bool)
+        b = bucket.to_numpy(dtype=np.int64)
+        h1v = h1.to_numpy(dtype=np.int64).view(np.uint64)
+        h2v = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        for bkt in np.unique(b):
+            entry = tbl.get(int(bkt))
+            sel = b == bkt
+            if entry is None:
+                continue  # no bloom for bucket -> nothing seen there
+            m, kk, bits = entry
+            mask = np.uint64(m - 1)
+            hit = np.ones(int(sel.sum()), dtype=bool)
+            hh1, hh2 = h1v[sel], h2v[sel]
+            for i in range(kk):
+                idx = (hh1 + np.uint64(i) * hh2) & mask
+                byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+                hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+            out[sel] = hit
+        return pd.Series(out)
+
+    return maybe_seen
+
+
+def filter_unseen(
+    store: FrontierStore, candidates: DataFrame, use_bloom: bool = False
+) -> DataFrame:
+    """Rows of ``candidates`` whose (dom, subdom, path, proto) is not in
+    the links table. Exact regardless of ``use_bloom``."""
+    candidates = candidates.dropDuplicates(LINK_KEY)
+    seen = store.read("links").select(*LINK_KEY)
+    meta = store.get_meta("url_seen_bloom")
+    fresh = meta is not None and meta.get("links_version") == store.version("links")
+    if not use_bloom or not fresh or not store.exists("url_seen_bloom"):
+        # no bloom, or bloom lags the links table: exact anti-join only
+        return candidates.join(seen, LINK_KEY, "left_anti")
+
+    bloom_rows = [r.asDict() for r in store.read("url_seen_bloom").collect()]
+    if not bloom_rows:
+        return candidates.join(seen, LINK_KEY, "left_anti")
+    maybe_seen = _probe_udf(store.spark, bloom_rows)
+
+    hashed = _with_hashes(candidates, store.num_buckets).withColumn(
+        "_maybe", maybe_seen(F.col("_bucket"), F.col("_h1"), F.col("_h2"))
+    )
+    hashed = hashed.localCheckpoint()
+    definitely_new = hashed.filter(~F.col("_maybe")).drop("_h1", "_h2", "_bucket", "_maybe")
+    needs_verify = hashed.filter(F.col("_maybe")).drop("_h1", "_h2", "_bucket", "_maybe")
+    # Bloom was built at some links-version; URLs appended since then are
+    # not in it, so the verify join stays against the CURRENT links
+    # table — the bloom only prunes, never decides "seen".
+    verified_new = needs_verify.join(seen, LINK_KEY, "left_anti")
+    return definitely_new.unionByName(verified_new)
