@@ -35,6 +35,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from walker_spark.plans import schemas
 
 
+def _has_parquet(path: str) -> bool:
+    """True when the delta dir holds at least one parquet file (a 0-row
+    write leaves only _SUCCESS, which the reader cannot infer from)."""
+    for _dir, _sub, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def bucket_col(dom_col, num_buckets: int):
     """Deterministic domain bucket: pmod(xxhash64(dom), B) — JVM-side."""
     return F.pmod(F.xxhash64(dom_col), F.lit(num_buckets)).cast("int")
@@ -95,12 +104,22 @@ class FrontierStore:
         """Committed snapshot of ``table`` (empty DF if never written)."""
         man = self._load_manifest(table)
         schema = schemas.TABLES.get(table)
-        if not man["deltas"]:
+        paths = [
+            p
+            for d in man["deltas"]
+            if _has_parquet(p := os.path.join(self._tdir(table), d))
+        ]
+        if not paths:
             if schema is None:
                 raise KeyError(f"unknown empty table {table}")
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self._tdir(table), d) for d in man["deltas"]]
-        df = self.spark.read.parquet(*paths)
+        # one reader per delta (each delta has its own bucket=N partition
+        # dirs, which a single multi-path reader rejects), then union —
+        # Catalyst still prunes partitions/filters per child scan
+        dfs = [self.spark.read.parquet(p) for p in paths]
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
         if schema is not None:
             df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         return df
