@@ -1,0 +1,306 @@
+"""Document deduplication operators for training-data pipelines.
+
+Beyond the reference's crawl-time dedup (URL-seen J1 and duplicate-
+content query-param clustering J5/A5), a 100 TB corpus needs
+content-level dedup. All operators are DataFrame-native; Python only
+appears in Arrow-batched pandas UDFs (simhash bit-packing).
+
+Scale notes (10^10 docs):
+* exact: one hash-shuffle on a 64-bit content hash — xxhash64 JVM-side,
+  AQE handles skew from boilerplate dups.
+* MinHash+LSH: signatures via explode+groupBy (shuffle on doc_id is
+  avoided — shingles are generated and min-aggregated in one pass);
+  banding turns O(n^2) pairs into per-bucket joins; candidates are
+  verified with exact Jaccard so output is exact at the chosen
+  threshold (LSH only prunes).
+* SimHash: 64-bit signature, near-dup = hamming<=k via band rotation
+  (k+1 bands -> pigeonhole guarantees a matching band).
+* embedding near-dup: cosine over `array<float>` with JVM-side
+  aggregate expressions; see also similarity.py for top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalized_text(col):
+    """Whitespace-collapsed, lower-cased text (shared by all dedup ops
+    so results are stable against trivial formatting)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col):
+    return F.split(normalized_text(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents:
+    (keeper, n_dups) — keeper is the smallest id in each group."""
+    return (
+        df.groupBy(normalized_text(F.col(text_col)).alias("norm_text"))
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("keeper", "n_docs")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors after exact dedup: the smallest id per distinct
+    normalized text (hash-groupBy; one shuffle)."""
+    return (
+        df.groupBy(normalized_text(F.col(text_col)).alias("norm_text"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise over exploded shingles)
+# ---------------------------------------------------------------------------
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams per doc. n=1 -> word sets."""
+    toks = tokens(F.col(text_col))
+    if n == 1:
+        sh = F.explode(toks)
+    else:
+        # sliding window over the token array, JVM-side
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        sh = F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+    return df.select(F.col(id_col).alias("_id"), sh.alias("shingle")).where(
+        F.length("shingle") > 0
+    ).dropDuplicates(["_id", "shingle"])
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """All doc pairs (a < b) with shingle-set Jaccard >= threshold:
+    (id_a, id_b, jaccard rounded to 4). Exact — the quadratic blowup is
+    bounded because only docs sharing a shingle join, and the join key
+    is the shingle (broadcastable frequency cap would go here for
+    stopword-like shingles at scale)."""
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(_id, sig array<long>): minimum of xxhash64(shingle, seed_i)
+    per permutation — one explode + one groupBy, all JVM-side."""
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = sh.groupBy("_id").agg(*aggs)
+    return sigs.select("_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by MinHash banding, verified with exact shingle
+    Jaccard (LSH candidates only prune; output is exact at the
+    threshold): (id_a, id_b, jaccard). bands*rows == num_perm."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, id_col, text_col, shingle_n)
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)]).alias("bh")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "_id", F.explode(F.array(*band_cols)).alias("band_hash")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band_hash")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    # exact verify on the candidate set only
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(_id, simhash long): 64-bit simhash over word-unigram xxhash64
+    values — computed entirely JVM-side: explode tokens, per-bit sign
+    sums via bitwise ops, reassemble."""
+    tok = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.length("tok") > 0)
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    # per-bit +1/-1 contributions: shiftright then &1 -> {0,1} -> 2x-1
+    bit_aggs = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("_id").agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
+    return agg.select("_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= k, via the
+    pigeonhole banding trick: split 64 bits into k+1 bands; any pair
+    within distance k agrees on >= 1 band exactly."""
+    sims = simhash(df, id_col, text_col)
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    band_cols = [
+        F.shiftrightunsigned(F.col("simhash"), b * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sims.select("_id", "simhash", *band_cols)
+    pairs = None
+    for b in range(n_bands):
+        x = banded.select(
+            F.col("_id").alias("id_a"), F.col("simhash").alias("sim_a"), F.col(f"band{b}").alias("bk")
+        )
+        y = banded.select(
+            F.col("_id").alias("id_b"), F.col("simhash").alias("sim_b"), F.col(f"band{b}").alias("bk")
+        )
+        p = x.join(y, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col_name: str | None = "label",
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold. A blocking column
+    (e.g. a cluster/label or an LSH bucket from similarity.py) bounds
+    the quadratic join; pass None for the full cross join (small n)."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        *( [F.col(bucket_col_name).alias("_bk")] if bucket_col_name else [F.lit(0).alias("_bk")] ),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    a = v.select(F.col("_id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"), "_bk")
+    b = v.select(F.col("_id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"), "_bk")
+    return (
+        a.join(b, "_bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

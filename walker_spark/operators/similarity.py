@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: brute-force cosine top-k — a single narrow pass, JVM-side
+arithmetic (F.zip_with/F.aggregate), no shuffle until the final top-k.
+Scale path: random-hyperplane LSH bucketing — probe only matching
+buckets (multi-probe over Hamming-1 neighbors for recall), turning
+10^10 × q scans into per-bucket joins; exactness traded explicitly and
+measured (tests assert recall against brute force).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to ``query_vec``:
+    (id, score rounded 4), ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(
+            _dot(F.col(vec_col).cast("array<double>"), q)
+            / (F.lit(qn) * _norm(F.col(vec_col).cast("array<double>"))),
+            4,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (hash-based, no RNG
+    state — reproducible across cluster sizes)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:8], "big"
+            )
+            vals.append((h / 2**63) - 1.0)  # ~U(-1, 1)
+        planes.append(vals)
+    return planes
+
+
+def lsh_bucketize(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 13,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add an int `bucket` column: sign pattern of ``n_planes`` random
+    hyperplane projections (2^n_planes buckets)."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        proj = _dot(v, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 13,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``multiprobe`` bit-flips of the query's bucket. With n_planes=8 and
+    multiprobe=1 that's 9/256 of the corpus on uniform data."""
+    dim = len(query_vec)
+    bucketed = lsh_bucketize(df, dim, n_planes, seed, vec_col)
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(p * float(x) for p, x in zip(plane, query_vec)) >= 0:
+            qb |= 1 << i
+    probes = {qb}
+    if multiprobe >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n_planes)}
+    if multiprobe >= 2:
+        probes |= {
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    candidates = bucketed.filter(F.col("bucket").isin(*[int(p) for p in probes]))
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def pairwise_topk_per_label(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """For each vector, its k nearest neighbors within the same label
+    block (the blocked variant of the all-pairs similarity join):
+    (id, neighbor, score)."""
+    from pyspark.sql import Window
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    a = v.select(F.col("_id").alias("id"), F.col("_lbl"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("_id").alias("neighbor"), F.col("_lbl"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    scored = (
+        a.join(b, "_lbl")
+        .filter(F.col("id") != F.col("neighbor"))
+        .withColumn(
+            "score",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("neighbor"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "neighbor", "score")
+    )

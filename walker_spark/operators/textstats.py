@@ -1,0 +1,113 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side (built-in expressions), deliberately DuckDB-expressible so
+every operator carries an exact SQL oracle for the correctness gate.
+Heuristics are deterministic and documented — the point is distributed
+plumbing + reproducibility, not model quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Marker stopwords per language (tiny deterministic language ID).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"),
+    "es": ("el", "la", "los", "y", "es", "una", "por", "para", "con", "del"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "as", "at", "by", "on", "or", "be")
+
+
+def _marker_hits(text_col, words: tuple[str, ...]):
+    """Number of distinct marker words present as whole words."""
+    hits = F.lit(0)
+    for w in words:
+        hits = hits + F.when(F.lower(text_col).rlike(rf"\b{w}\b"), 1).otherwise(0)
+    return hits
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, predicted_lang, lang_score): argmax over languages of
+    distinct marker-word hits; ties broken by language code order;
+    'und' when nothing matches."""
+    cols = {lang: _marker_hits(F.col(text_col), ws) for lang, ws in LANG_MARKERS.items()}
+    best_score = F.greatest(*cols.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(cols[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        pred.alias("predicted_lang"),
+        best_score.cast("int").alias("lang_score"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, n_words): whitespace tokens plus a
+    BPE-ish subword proxy (runs of letters / digits / single other
+    chars) — both countable in ANSI SQL."""
+    t = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    word_pieces = F.size(
+        F.filter(
+            F.split(F.lower(t), r"[^a-z0-9]+"),
+            lambda s: F.length(s) > 0,
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.when(F.length(F.trim(t)) == 0, 0).otherwise(ws_tokens).cast("long").alias("n_tokens"),
+        word_pieces.cast("long").alias("n_words"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, punct_ratio, stopword_hits, mean_word_len, quality):
+    deterministic quality heuristics — punctuation density, English
+    stopword presence, mean token length; quality = a bounded linear
+    combination (rounded for oracle comparison)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double")
+    punct_ratio = F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 4)
+    stop_hits = _marker_hits(t, EN_STOPWORDS).cast("int")
+    toks = F.filter(F.split(F.lower(t), r"[^a-z0-9]+"), lambda s: F.length(s) > 0)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+    )
+    mean_word_len = F.round(
+        F.when(F.size(toks) > 0, total_len.cast("double") / F.size(toks)).otherwise(0.0), 4
+    )
+    quality = F.round(
+        F.least(
+            F.lit(1.0),
+            (stop_hits.cast("double") / 10.0) * 0.5
+            + F.when((mean_word_len >= 3) & (mean_word_len <= 8), 0.3).otherwise(0.0)
+            + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0),
+        ),
+        4,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        punct_ratio.alias("punct_ratio"),
+        stop_hits.alias("stopword_hits"),
+        mean_word_len.alias("mean_word_len"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fingerprint): md5 of whitespace-normalized lower-cased text
+    — the cross-engine-stable document fingerprint (the engine's own
+    FNV-1/64 fingerprint lives in functions.fnv for walker parity)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
+    )

@@ -79,6 +79,9 @@ def _page_html(seed: int, di: int, pi: int, n_domains: int, pages_per_domain: in
     # cross-domain link
     other = (di + 1 + (h % max(1, n_domains - 1))) % n_domains
     links.append(f'<a href="{page_url(other, h % pages_per_domain)}">x</a>')
+    # robots-excluded target on every root page (families 2/4 disallow it)
+    if pi == 0:
+        links.append('<a href="/private/area.html">private</a>')
 
     extras = []
     fam = h % 10
