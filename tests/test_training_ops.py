@@ -1,0 +1,146 @@
+"""Training-data operator tests: MinHash/SimHash banding guarantees,
+ANN recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from walker_spark.operators import dedup, multimodal, similarity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "completely different content about spark engines and shuffles"),
+    (4, "completely different content about spark engines and shuffle"),  # near-dup of 3
+    (5, "unrelated text with no overlap whatsoever here"),
+    (6, "THE  Quick   Brown fox jumps over the lazy dog"),  # normalizes to 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes(docs):
+    survivors = {r["doc_id"] for r in dedup.exact_dedup(docs).collect()}
+    # 0, 2 and 6 collapse (case/whitespace normalization)
+    assert survivors == {0, 1, 3, 4, 5}
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["keeper"] == 0 and groups[0]["n_docs"] == 3
+
+
+def test_jaccard_pairs_exact(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.5, shingle_n=1).collect()
+    }
+    assert pairs[(0, 2)] == 1.0 and pairs[(0, 6)] == 1.0 and pairs[(2, 6)] == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] < 1.0  # dog/cat differ
+    assert (3, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_bruteforce(docs):
+    """LSH candidates + exact verify == brute-force pairs at the
+    threshold (the banding design keeps recall ~1)."""
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.5, shingle_n=1).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, num_perm=64, bands=32, shingle_n=1
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_banding_complete(spark, docs):
+    """Banding (k+1 bands) must find every pair with hamming<=k —
+    verify against a brute-force cross join on the signatures."""
+    sims = dedup.simhash(docs).collect()
+    brute = set()
+    for i, a in enumerate(sims):
+        for b in sims[i + 1 :]:
+            x, y = sorted((a["_id"], b["_id"]))
+            ham = bin((a["simhash"] ^ b["simhash"]) & ((1 << 64) - 1)).count("1")
+            if ham <= 6:
+                brute.add((x, y, ham))
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert banded == brute
+    assert any(p[:2] == (0, 2) for p in banded)  # identical docs -> hamming 0
+
+
+def test_ann_recall(spark):
+    """Clustered corpus (the setting LSH is designed for): vectors near
+    4 centroids; the query sits near centroid 0, so its true top-k are
+    cluster-0 members and multiprobe LSH must recover most of them."""
+    import hashlib
+
+    def prand(*parts):  # deterministic U(-1,1)
+        h = int.from_bytes(hashlib.md5(":".join(map(str, parts)).encode()).digest()[:8], "big")
+        return (h / 2**63) - 1.0
+
+    dim = 16
+    centroids = [[prand("c", c, d) for d in range(dim)] for c in range(4)]
+    vecs = []
+    for i in range(200):
+        c = i % 4
+        vecs.append(
+            (i, [centroids[c][d] + 0.05 * prand("n", i, d) for d in range(dim)], c)
+        )
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    q = [centroids[0][d] + 0.03 * prand("q", d) for d in range(dim)]
+    exact = [r["id"] for r in similarity.cosine_topk(df, q, k=10).collect()]
+    approx = [
+        r["id"]
+        for r in similarity.ann_topk(df, q, k=10, n_planes=8, multiprobe=2).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, (recall, exact, approx)
+
+
+def test_multimodal_plumbing(spark, docs):
+    assets = multimodal.assets_from_documents(docs)
+    feats = multimodal.decode_and_extract(assets)
+    rows = feats.collect()
+    assert len(rows) == len(DOCS)
+    for r in rows:
+        assert r["n_bytes"] > 0 and len(r["checksum"]) == 32
+        if r["kind"] == "image":
+            assert r["width"] is not None and r["duration_ms"] is None
+        else:
+            assert r["width"] is None and r["duration_ms"] is not None
+    # strict mode marks the real decoder integration point
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_and_extract(assets, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+    frames = multimodal.sample_frames(feats)
+    fr = frames.collect()
+    assert fr, "video assets must fan out to frames"
+    assert all(r["ts_ms"] == r["frame_idx"] * 10_000 for r in fr)
+
+
+def test_embedding_dup_pairs_symmetric_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.99, 0.1, 0.0], 0),
+            (3, [0.0, 1.0, 0.0], 0),
+            (4, [1.0, 0.0, 0.0], 1),  # same direction, different label block
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in dedup.embedding_dup_pairs(df, 0.95).collect()
+    }
+    assert pairs == {(1, 2)}  # (1,4) blocked by label; (1,3) orthogonal

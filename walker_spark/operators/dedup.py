@@ -299,7 +299,7 @@ def embedding_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+            F.round(F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 3),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -41,9 +41,11 @@ def cosine_topk(
     scored = df.select(
         F.col(id_col).alias("id"),
         F.round(
-            _dot(F.col(vec_col).cast("array<double>"), q)
-            / (F.lit(qn) * _norm(F.col(vec_col).cast("array<double>"))),
-            4,
+            F.try_divide(
+                _dot(F.col(vec_col).cast("array<double>"), q),
+                F.lit(qn) * _norm(F.col(vec_col).cast("array<double>")),
+            ),
+            3,  # 3 decimals: stable across engines' float summation order
         ).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
@@ -141,7 +143,7 @@ def pairwise_topk_per_label(
         .filter(F.col("id") != F.col("neighbor"))
         .withColumn(
             "score",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+            F.round(F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 4),
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("neighbor"))
