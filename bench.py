@@ -1,0 +1,253 @@
+#!/usr/bin/env python
+"""Benchmark entry (driver contract): runs the headline suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "crawl": {...urls/sec + per-stage...}}
+
+Two parts:
+1. headline analytics/training-data queries from __spark_entry__ over
+   the driver's parquet tables (quadratic text-pair ops excluded at
+   bench scale — the synthetic 30-word vocabulary makes shingle joins
+   pathological; they are correctness-gated at sf0.01 instead);
+2. the crawl engine itself on a deterministic synthetic frontier
+   (seed -> dispatch -> claim -> fetch-join -> parse -> dedup sinks),
+   reporting URLs fetched+deduped/sec — the BASELINE.json metric.
+
+Scaling evidence across parallelism levels (local[8] vs local[32]) is
+produced by scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "latest_event_per_user",
+    "frontier_antijoin",
+    "segment_topk_per_group",
+    "domain_stats",
+    "keyset_pagination",
+    "refresh_split_quota",
+    "pricing_summary",
+    "revenue_by_nation",
+    "event_hourly_rollup",
+    "dedup_exact",
+    "embedding_topk",
+    "embedding_dup_pairs",
+    "language_id",
+    "token_stats",
+    "quality_scores",
+    "doc_fingerprints",
+    "multimodal_features",
+]
+
+# crawl corpus sizing per benchmark scale
+CRAWL_SHAPE = {"n_domains": 150, "pages_per_domain": 40, "mega_factor": 8, "iterations": 2}
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("walker-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.default.parallelism", str(2 * cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        times[name] = round(time.time() - t0, 3)
+        print(f"  {name:28s} rows={n:<8d} {times[name]:6.2f}s", file=sys.stderr)
+    return times
+
+
+def run_crawl(spark, cpus: int, shape: dict, workdir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from walker_spark.config import FrontierConfig, WalkerConfig
+    from walker_spark.sources import synthetic
+    from walker_spark.streaming.loop import CrawlEngine
+
+    n_domains = shape["n_domains"]
+    cfg = WalkerConfig(
+        frontier=FrontierConfig(
+            num_domain_buckets=2 * cpus,
+            claim_limit=n_domains + 64,  # one claim cycle per superstep
+        )
+    )
+    engine = CrawlEngine(spark, workdir, cfg, use_bloom=True)
+
+    t0 = time.time()
+    pages = synthetic.generate_pages(
+        spark,
+        n_domains=n_domains,
+        pages_per_domain=shape["pages_per_domain"],
+        seed=42,
+        mega_domain=0,
+        mega_factor=shape["mega_factor"],
+        parallelism=2 * cpus,
+    )
+    engine.store.overwrite("pages", pages)
+    n_pages = engine.store.read("pages").count()
+    gen_s = time.time() - t0
+
+    # seed every known page url of half the domains (big first superstep)
+    seeds = engine.store.read("pages").select("url").filter(
+        ~F.col("url").endswith("robots.txt")
+    )
+    t0 = time.time()
+    engine.seed(seeds)
+    seed_s = time.time() - t0
+
+    t0 = time.time()
+    metrics = engine.run(iterations=shape["iterations"], start_now_ms=1_700_000_000_000)
+    crawl_s = time.time() - t0
+
+    fetched = sum(m["fetch"].get("fetched", 0) for m in metrics)
+    excluded = sum(m["fetch"].get("robots_excluded", 0) for m in metrics)
+    deduped = sum(m["fetch"].get("outlinks_new", 0) for m in metrics)
+    urls = fetched + excluded + deduped
+    return {
+        "pages": n_pages,
+        "gen_sec": round(gen_s, 2),
+        "seed_sec": round(seed_s, 2),
+        "crawl_sec": round(crawl_s, 2),
+        "iterations": shape["iterations"],
+        "urls_fetched": fetched,
+        "robots_excluded": excluded,
+        "outlinks_deduped": deduped,
+        "urls_per_sec": round(urls / crawl_s, 1),
+    }
+
+
+def run_fetch_kernel(spark, pages_path: str, frontier_path: str, cfg=None) -> dict:
+    """The fetch superstep's data path as ONE chained Spark job (the
+    compute kernel the scaling criterion measures): frontier keys ->
+    politeness-budget window -> equi-join pages -> parse/fingerprint
+    mapInPandas -> outlink explode + normalize + URL-seen anti-join ->
+    count. No intermediate actions, no sinks — isolates how the crawl
+    computation itself scales with cores, separately from the fixed
+    per-job commit/scheduling costs of the full engine loop."""
+    from pyspark.sql import Window, functions as F
+
+    from walker_spark.config import WalkerConfig
+    from walker_spark.operators import seed as seed_ops
+    from walker_spark.operators.fetch import _make_parse_fn, mime_from_path
+    from walker_spark.functions.udfs import host_col
+
+    cfg = cfg or WalkerConfig()
+    pages = spark.read.parquet(pages_path)
+    frontier = spark.read.parquet(frontier_path)  # dom/subdom/path/proto
+
+    budget_ms = int(cfg.frontier.iteration_time_budget * 1000)
+    delay_ms = int(cfg.fetcher.default_crawl_delay * 1000)
+    w = Window.partitionBy("dom").orderBy("subdom", "path", "proto")
+    work = (
+        frontier.withColumn("host", host_col(F.col("subdom"), F.col("dom")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) * delay_ms < budget_ms)
+        .withColumn(
+            "url",
+            F.concat(F.col("proto"), F.lit("://"), F.col("host"), F.col("path")),
+        )
+        .withColumn("time", F.timestamp_millis(F.lit(0)))
+    )
+    fetched = (
+        work.join(pages.select("url", "warc_ts", "html"), "url", "left")
+        .withColumn("found", F.col("warc_ts").isNotNull())
+        .withColumn("mime", mime_from_path(F.col("path")))
+        .withColumn("not_modified", F.lit(False))
+    )
+    results = fetched.select(
+        "dom", "subdom", "path", "proto", "url", "html", "mime", "found", "not_modified"
+    ).mapInPandas(_make_parse_fn(cfg, 1_700_000_000_000), _parse_schema())
+    results = results.persist()  # parse once, feed both counts
+
+    outlinks = (
+        results.select(F.explode_outer("links").alias("u"), "fnv", "fnv_txt")
+        .filter(F.col("u").isNotNull())
+        .dropDuplicates(["u"])
+    )
+    keys = seed_ops.normalize_to_keys(outlinks, cfg, url_col="u")
+    unseen = keys.join(
+        frontier.select("dom", "subdom", "path", "proto"),
+        ["dom", "subdom", "path", "proto"],
+        "left_anti",
+    )
+    t0 = time.time()
+    n_fetched = results.count()
+    n_unseen = unseen.count()
+    dt = time.time() - t0
+    results.unpersist()
+    return {
+        "kernel_sec": round(dt, 2),
+        "fetched": n_fetched,
+        "outlinks_unseen": n_unseen,
+        "urls_per_sec": round((n_fetched + n_unseen) / dt, 1),
+    }
+
+
+def _parse_schema():
+    from walker_spark.operators.fetch import _PARSE_OUT
+
+    return _PARSE_OUT
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_all = time.time()
+    qtimes = run_queries(spark, sf_dir)
+
+    workdir = tempfile.mkdtemp(prefix="walker-bench-")
+    try:
+        crawl = run_crawl(spark, cpus, CRAWL_SHAPE, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    total = round(time.time() - t_all, 2)
+
+    out = {
+        "metric": "headline suite + crawl iterations wall time (urls fetched+deduped/sec in crawl.urls_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": cpus,
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence (north_rule: throughput efficiency
+>= 0.8 between N and 4N executors; sandbox evidencing per BASELINE.md —
+same job, same input, local[8] vs local[32], separate JVMs).
+
+Measures two things on a SHARED pre-generated corpus:
+
+1. **fetch kernel** — the crawl superstep's data path as one chained
+   Spark job (politeness window -> fetch join -> parse/fingerprint
+   mapInPandas -> outlink normalize -> URL-seen anti-join). This is the
+   computation that multiplies with data volume at 100 TB, and the
+   number the scaling criterion is about.
+2. **full engine superstep** — dispatch + fetch through the snapshot
+   store, including every commit. Reported as well, with the honest
+   caveat: local mode charges the constant per-job scheduling/commit
+   latency (identical at any core count, amortized to noise on a real
+   cluster where stages run minutes) against scaling.
+
+Writes BENCH/BASELINE.md + BENCH/scaling_results.json.
+
+Usage: python scripts/bench_scaling.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import bench
+from pyspark.sql import functions as F
+from walker_spark.sources import synthetic
+from walker_spark.operators import seed as seed_ops
+from walker_spark.config import WalkerConfig
+
+spark = bench.build_spark(32)
+spark.sparkContext.setLogLevel("ERROR")
+shape = {shape!r}
+pages = synthetic.generate_pages(
+    spark, n_domains=shape["n_domains"], pages_per_domain=shape["pages_per_domain"],
+    seed=42, mega_domain=0, mega_factor=shape["mega_factor"], parallelism=64,
+    words_per_page=shape["words_per_page"])
+pages.write.mode("overwrite").parquet({pages_path!r})
+urls = spark.read.parquet({pages_path!r}).select("url").filter(
+    ~F.col("url").endswith("robots.txt"))
+keys = seed_ops.normalize_to_keys(urls, WalkerConfig())
+keys.select("dom", "subdom", "path", "proto").write.mode("overwrite").parquet({frontier_path!r})
+n = spark.read.parquet({pages_path!r}).count()
+print("GEN", n)
+"""
+
+KERNEL = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import bench
+
+spark = bench.build_spark({cpus})
+spark.sparkContext.setLogLevel("ERROR")
+out = bench.run_fetch_kernel(spark, {pages_path!r}, {frontier_path!r})
+print("RESULT " + json.dumps(out))
+"""
+
+ENGINE = r"""
+import json, sys, tempfile, shutil, time
+sys.path.insert(0, {repo!r})
+import bench
+from pyspark.sql import functions as F
+from walker_spark.config import FrontierConfig, WalkerConfig
+from walker_spark.streaming.loop import CrawlEngine
+
+cpus = {cpus}
+spark = bench.build_spark(cpus)
+spark.sparkContext.setLogLevel("ERROR")
+workdir = tempfile.mkdtemp(prefix="walker-scale-")
+cfg = WalkerConfig(frontier=FrontierConfig(num_domain_buckets=2 * cpus,
+                                           claim_limit=100000))
+engine = CrawlEngine(spark, workdir, cfg, use_bloom=True)
+engine.store.overwrite("pages", spark.read.parquet({pages_path!r}))
+seeds = engine.store.read("pages").select("url").filter(
+    ~F.col("url").endswith("robots.txt"))
+t0 = time.time(); engine.seed(seeds); seed_s = time.time() - t0
+t0 = time.time()
+m = engine.run(1, start_now_ms=1_700_000_000_000)
+crawl_s = time.time() - t0
+f = m[0]["fetch"]
+urls = f.get("fetched", 0) + f.get("robots_excluded", 0) + f.get("outlinks_new", 0)
+out = {{"seed_sec": round(seed_s, 1), "crawl_sec": round(crawl_s, 1),
+       "urls": urls, "urls_per_sec": round(urls / crawl_s, 1),
+       "timings": f.get("timings")}}
+print("RESULT " + json.dumps(out))
+shutil.rmtree(workdir, ignore_errors=True)
+"""
+
+
+def run_py(code: str) -> dict | int:
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600, cwd=REPO,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+        if line.startswith("GEN "):
+            return int(line.split()[1])
+    print(proc.stdout[-2000:], file=sys.stderr)
+    print(proc.stderr[-2000:], file=sys.stderr)
+    raise RuntimeError("subprocess produced no RESULT")
+
+
+def main():
+    quick = "--quick" in sys.argv
+    shape = (
+        {"n_domains": 80, "pages_per_domain": 40, "mega_factor": 4, "words_per_page": 300}
+        if quick
+        else {"n_domains": 600, "pages_per_domain": 120, "mega_factor": 10, "words_per_page": 800}
+    )
+    base = tempfile.mkdtemp(prefix="walker-scaling-")
+    pages_path = os.path.join(base, "pages")
+    frontier_path = os.path.join(base, "frontier")
+    try:
+        print("== generating shared corpus ==", file=sys.stderr)
+        n_pages = run_py(GEN.format(repo=REPO, shape=shape, pages_path=pages_path,
+                                    frontier_path=frontier_path))
+        print(f"pages: {n_pages}", file=sys.stderr)
+
+        kernel, engine = {}, {}
+        for cpus in (8, 32):
+            print(f"== kernel local[{cpus}] ==", file=sys.stderr)
+            kernel[cpus] = run_py(KERNEL.format(repo=REPO, cpus=cpus,
+                                                pages_path=pages_path,
+                                                frontier_path=frontier_path))
+            print(json.dumps(kernel[cpus]), file=sys.stderr)
+        for cpus in (8, 32):
+            print(f"== engine local[{cpus}] ==", file=sys.stderr)
+            engine[cpus] = run_py(ENGINE.format(repo=REPO, cpus=cpus,
+                                                pages_path=pages_path))
+            print(json.dumps(engine[cpus]), file=sys.stderr)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    k_eff = kernel[32]["urls_per_sec"] / (4 * kernel[8]["urls_per_sec"])
+    e_eff = engine[32]["urls_per_sec"] / (4 * engine[8]["urls_per_sec"])
+    k_speed = kernel[32]["urls_per_sec"] / kernel[8]["urls_per_sec"]
+    e_speed = engine[32]["urls_per_sec"] / engine[8]["urls_per_sec"]
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE.md — measured scaling evidence
+
+Sandbox evidencing of the north_rule scaling criterion (no real cluster
+— see /root/repo/BASELINE.md): the same job on the same pre-generated
+input at two parallelism levels (local[8] = N vs local[32] = 4N; 32
+physical cores, separate JVMs, shuffle partitions scaled with cores).
+
+Corpus: {shape["n_domains"]} domains x {shape["pages_per_domain"]} pages
+(mega-host x{shape["mega_factor"]}, ~{shape["words_per_page"]} words/page),
+{n_pages} pages total.
+
+## 1. Fetch kernel (the scale-dominant computation, one chained job)
+
+politeness window -> fetch equi-join -> HTML parse + FNV fingerprints
+(Arrow mapInPandas) -> outlink normalize -> URL-seen anti-join.
+
+| run | parallelism | kernel wall (s) | URLs (fetch+dedup) | URLs/sec |
+|---|---|---|---|---|
+| A | local[8] (N) | {kernel[8]["kernel_sec"]} | {kernel[8]["fetched"] + kernel[8]["outlinks_unseen"]} | {kernel[8]["urls_per_sec"]} |
+| B | local[32] (4N) | {kernel[32]["kernel_sec"]} | {kernel[32]["fetched"] + kernel[32]["outlinks_unseen"]} | {kernel[32]["urls_per_sec"]} |
+
+**Kernel speedup {k_speed:.2f}x; scaling efficiency
+`throughput_4N / (4 x throughput_N)` = {k_eff:.2f}** (target >= 0.8).
+
+## 2. Full engine superstep (dispatch + fetch through the snapshot store)
+
+| run | parallelism | crawl wall (s) | URLs | URLs/sec |
+|---|---|---|---|---|
+| A | local[8] | {engine[8]["crawl_sec"]} | {engine[8]["urls"]} | {engine[8]["urls_per_sec"]} |
+| B | local[32] | {engine[32]["crawl_sec"]} | {engine[32]["urls"]} | {engine[32]["urls_per_sec"]} |
+
+Engine speedup {e_speed:.2f}x; efficiency {e_eff:.2f}. The gap vs the
+kernel is the ~20 constant-latency Spark actions per superstep (commit,
+manifest, claim bookkeeping) — identical wall cost at 8 and 32 cores in
+a single-JVM sandbox, so they are charged fully against scaling here.
+On a real N-vs-4N-executor cluster those driver-side constants are the
+same for both sizes and are amortized over stages that run minutes at
+100 TB, so the kernel number is the faithful predictor of cluster
+scaling; the engine number is its sandbox lower bound.
+
+## Extrapolation notes for a 10^10-URL frontier (projections, not measurements)
+
+- **Buckets**: `num_domain_buckets = 8192` (Iceberg `bucket(8192, dom)`),
+  ~1.2M URLs/bucket at 10^10; one task per bucket keeps scan partitions
+  at 100-200 MB parquet.
+- **Bloom sizing**: 10 bits/key at fpp 1% -> ~12.5 GB of bitmaps
+  cluster-wide, ~1.5 MB/bucket; probes ship only their bucket's bitmap.
+  Bloom snapshots cover links <= version V; newer deltas are checked
+  exactly (incremental-scan), so maintenance is a periodic rebuild at
+  compaction, not a per-append rewrite.
+- **Skew**: the per-domain segment cap (500/dispatch) structurally
+  bounds any mega-host's per-iteration work; dispatch is one
+  hash(dom) exchange end-to-end (verified single Exchange in the plan)
+  with per-class rank caps ahead of every Python stage; AQE skew-join
+  enabled for the fetch join.
+- **Politeness**: per-iteration budget = floor(budget/crawl_delay) URLs
+  per domain — same crawl set/order as walker's sleep pacing over the
+  same wall window, independent of cluster size: adding executors adds
+  domains per iteration, never per-domain rate.
+
+Raw results: BENCH/scaling_results.json
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
+        json.dump(
+            {
+                "shape": shape,
+                "pages": n_pages,
+                "kernel": {str(k): v for k, v in kernel.items()},
+                "engine": {str(k): v for k, v in engine.items()},
+                "kernel_efficiency": round(k_eff, 3),
+                "engine_efficiency": round(e_eff, 3),
+            },
+            f,
+            indent=2,
+        )
+    print(json.dumps({"kernel_eff": round(k_eff, 2), "engine_eff": round(e_eff, 2)}))
+
+
+if __name__ == "__main__":
+    main()

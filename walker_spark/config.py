@@ -92,6 +92,19 @@ class FrontierConfig:
     iteration_time_budget: float = 500.0
     # Expected false-positive rate for the URL-seen bloom pre-filter.
     bloom_fpp: float = 0.01
+    # Compact (rewrite) the append-heavy links table every N crawl
+    # iterations so snapshot read fan-in stays bounded (Iceberg
+    # rewrite_data_files analog). 0 disables.
+    compact_links_every: int = 8
+
+
+_DURATION_KEYS = {
+    "default_crawl_delay",
+    "max_crawl_delay",
+    "min_link_refresh_time",
+    "empty_dispatch_retry_interval",
+    "iteration_time_budget",
+}
 
 
 @dataclass
@@ -102,6 +115,29 @@ class WalkerConfig:
 
     def with_(self, **sections) -> "WalkerConfig":
         return replace(self, **sections)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "WalkerConfig":
+        """Build from a walker.yaml-shaped dict (sections ``fetcher``,
+        ``dispatcher``, plus our ``frontier``); Go duration strings
+        ("49h", "15m", "1s") are accepted for the duration knobs
+        (reference: config.go readConfig + walker.yaml)."""
+
+        def section(klass, values: dict):
+            kwargs = {}
+            for k, v in (values or {}).items():
+                if k in _DURATION_KEYS and isinstance(v, str):
+                    v = _go_duration_seconds(v)
+                elif isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return klass(**kwargs)
+
+        return cls(
+            fetcher=section(FetcherConfig, d.get("fetcher", {})),
+            dispatcher=section(DispatcherConfig, d.get("dispatcher", {})),
+            frontier=section(FrontierConfig, d.get("frontier", {})),
+        )
 
 
 DEFAULT_CONFIG = WalkerConfig()

@@ -53,15 +53,36 @@ _SELECT_OUT = StructType(
 
 def latest_links(links: DataFrame) -> DataFrame:
     """Latest crawl state per URL (F9/W1, dispatcher.go:553-577); ties on
-    time resolved by write_seq (Cassandra same-PK overwrite)."""
-    w = Window.partitionBy("dom", "subdom", "path", "proto").orderBy(
-        F.col("time").desc(), F.col("write_seq").desc_nulls_last()
+    time resolved by write_seq (Cassandra same-PK overwrite).
+
+    Partitioned by ``dom`` only (not the full URL key): within a domain,
+    rows sort in clustering order with time DESC, and the first row of
+    each (subdom, path, proto) group is the latest — walker's own
+    single-pass scan trick (dispatcher.go:560-567) expressed with lag().
+    One hash(dom) exchange that every downstream window, groupBy and
+    applyInPandas in the dispatcher then reuses — the whole job is a
+    single shuffle (verified via .explain: one Exchange, ReusedExchange
+    elsewhere). Mega-domain sorts are bounded by Iceberg's matching
+    write.sort-order at scale (O2)."""
+    w = Window.partitionBy("dom").orderBy(
+        "subdom",
+        "path",
+        "proto",
+        F.col("time").desc(),
+        F.col("write_seq").desc_nulls_last(),
     )
-    return (
-        links.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    prev_key = [
+        F.lag("subdom").over(w),
+        F.lag("path").over(w),
+        F.lag("proto").over(w),
+    ]
+    is_first = (
+        prev_key[0].isNull()
+        | (prev_key[0] != F.col("subdom"))
+        | (prev_key[1] != F.col("path"))
+        | (prev_key[2] != F.col("proto"))
     )
+    return links.withColumn("_first", is_first).filter(F.col("_first")).drop("_first")
 
 
 def _make_select_fn(cfg: WalkerConfig, now_ms: int):
@@ -157,20 +178,31 @@ def run_dispatch(
     # is unbounded here, which cannot survive a mega-domain).
     limit = cfg.dispatcher.max_links_per_segment
     crawled_cap = max(limit, cfg.frontier.max_crawled_candidates)
-    w_clu = Window.partitionBy("dom").orderBy("subdom", "path", "proto")
+    # Per-class rank = running count of same-class rows, over windows
+    # partitioned by dom only (reuses the latest_links exchange).
+    w_clu = Window.partitionBy("dom").orderBy("subdom", "path", "proto").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     w_old = Window.partitionBy("dom").orderBy(
         "time_ms", "subdom", "path", "proto"
-    )
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     is_uncrawled = F.col("time_ms") == 0
+    cls = (
+        F.when(F.col("getnow"), F.lit(0)).when(is_uncrawled, F.lit(1)).otherwise(F.lit(2))
+    )
     capped = (
-        latest.withColumn(
-            "_cls",
-            F.when(F.col("getnow"), F.lit(0)).when(is_uncrawled, F.lit(1)).otherwise(F.lit(2)),
-        )
+        latest.withColumn("_cls", cls)
         .withColumn(
             "_rk",
-            F.when(F.col("_cls") == 2, F.row_number().over(w_old.partitionBy("dom", "_cls")))
-            .otherwise(F.row_number().over(w_clu.partitionBy("dom", "_cls"))),
+            F.when(
+                F.col("_cls") == 2,
+                F.sum((cls == 2).cast("int")).over(w_old),
+            ).otherwise(
+                F.when(
+                    F.col("_cls") == 0,
+                    F.sum((cls == 0).cast("int")).over(w_clu),
+                ).otherwise(F.sum((cls == 1).cast("int")).over(w_clu)),
+            ),
         )
         .filter(
             (F.col("_cls") == 0) & (F.col("_rk") <= limit)

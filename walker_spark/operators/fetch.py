@@ -30,6 +30,7 @@ that value exactly as walker does on Content-Type.
 
 from __future__ import annotations
 
+import time
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -103,7 +104,14 @@ def robots_rules_for_hosts(
     2xx-fetchable robots.txt get the default group: no rules + default
     crawl delay (fetcher.go:698-706). Small per-iteration output —
     intended for a broadcast join (J3)."""
-    pages = store.read("pages").select("url", "html")
+    # pushdown: only /robots.txt rows can match — the endswith filter
+    # reaches the parquet scan and prunes ~all pages (check PushedFilters
+    # StringEndsWith in .explain)
+    pages = (
+        store.read("pages")
+        .filter(F.col("url").endswith("/robots.txt"))
+        .select("url", "html")
+    )
     robots_url = F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
     joined = hosts.select("host").dropDuplicates().withColumn("_rurl", robots_url).join(
         pages.withColumnRenamed("url", "_rurl"), "_rurl", "left"
@@ -275,6 +283,47 @@ def _make_parse_fn(cfg: WalkerConfig, now_ms: int):
     return parse_batches
 
 
+def redirect_link_rows(
+    fetch_results: DataFrame, cfg: WalkerConfig, write_seq: int
+) -> DataFrame:
+    """Redirect-chain linkage rows (J6/S5 — StoreURLFetchResults,
+    datastore.go:416-436): for a fetch of ``url`` that redirected
+    through ``redirected_from = [r0, r1, ...]``, walker stores one
+    links row per hop — url -> r0, r0 -> r1, ... — each keyed by the
+    hop's own (dom, subdom, path, proto) at the fetch time with
+    ``redto_url`` pointing forward. Input: (url, redirected_from
+    array<string>, time_ms). The table-driven fetch simulation never
+    produces redirects (pages rows are terminal), so this operator is
+    exercised by unit fixtures and ready for a live-HTTP source."""
+    from walker_spark.functions.udfs import make_url_key_udf
+
+    chain = F.concat(F.array(F.col("url")), F.coalesce(F.col("redirected_from"), F.array()))
+    hops = fetch_results.select(
+        "time_ms",
+        chain.alias("_chain"),
+        F.posexplode(chain).alias("_pos", "back"),
+    ).withColumn("redto_url", F.try_element_at(F.col("_chain"), F.col("_pos") + 2))
+    hops = hops.filter(F.col("redto_url").isNotNull())
+    key_udf = make_url_key_udf(cfg.fetcher.purge_sid_list)
+    keyed = hops.withColumn("_k", key_udf(F.col("back"))).filter(
+        F.col("_k.dom").isNotNull()
+    )
+    row = keyed.select(
+        F.col("_k.dom").alias("dom"),
+        F.col("_k.subdom").alias("subdom"),
+        F.col("_k.path").alias("path"),
+        F.col("_k.proto").alias("proto"),
+        F.timestamp_millis(F.col("time_ms")).alias("time"),
+        F.col("redto_url"),
+    )
+    for field in schemas.LINKS.fields:
+        if field.name == "write_seq":
+            row = row.withColumn("write_seq", F.lit(write_seq).cast("long"))
+        elif field.name not in ("dom", "subdom", "path", "proto", "time", "redto_url"):
+            row = row.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return row.select(*[f.name for f in schemas.LINKS.fields])
+
+
 # ---------------------------------------------------------------------------
 # the iteration
 # ---------------------------------------------------------------------------
@@ -293,8 +342,17 @@ def run_fetch(
     called with the handleable results DataFrame (2xx/304, not
     robots-excluded, mime-accepted, not noindex-suppressed)."""
     claim_tok = f"it-{iteration:06d}"
+    timings: dict[str, float] = {}
+    _t0 = time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        timings[stage] = round(time.time() - _t0, 2)
+        _t0 = time.time()
+
     claimed = claim_domains(store, cfg, now_ms, claim_tok).localCheckpoint()
     n_claimed = claimed.count()
+    _mark("claim")
     metrics = {"claimed_domains": n_claimed, "now_ms": now_ms}
     if n_claimed == 0:
         store.record_run("fetch", iteration, {"metrics": metrics})
@@ -325,6 +383,12 @@ def run_fetch(
     )
     work = work.withColumn("in_budget", F.col("cum_before") < F.lit(budget_ms))
     work = work.localCheckpoint()
+    agg = work.agg(
+        F.sum((F.col("in_budget") & ~F.col("allowed")).cast("int")).alias("n_excluded"),
+        F.sum(F.col("in_budget").cast("int")).alias("n_processed"),
+    ).collect()[0]
+    n_excluded = int(agg["n_excluded"] or 0)
+    _mark("robots_budget")
 
     processed = work.filter(F.col("in_budget"))
 
@@ -362,6 +426,7 @@ def run_fetch(
     ).mapInPandas(_make_parse_fn(cfg, now_ms), _PARSE_OUT)
     results = results.localCheckpoint()
     n_fetched = results.count()
+    _mark("fetch_parse")
 
     # ---- links sink (S5) --------------------------------------------------
     write_seq = store.version("links") + 1
@@ -407,7 +472,8 @@ def run_fetch(
         nulls["headers"].alias("headers"),
         F.lit(write_seq).cast("long").alias("write_seq"),
     )
-    store.append("links", result_rows.unionByName(excluded_rows))
+    link_sink_rows = result_rows.unionByName(excluded_rows)
+    _mark("links_sink")
 
     # ---- outlinks sink (S6 + J1) ------------------------------------------
     follow = results
@@ -435,13 +501,17 @@ def run_fetch(
     n_new = unseen.count()
     n_domains = seed_ops.add_new_domains(store, unseen, cfg)
     if n_new:
-        out_seq = store.version("links") + 1
-        rows = seed_ops.new_link_rows(unseen).withColumn(
-            "write_seq", F.lit(out_seq).cast("long")
+        # same write_seq as the result rows is safe: an outlink row is
+        # only written for keys with NO existing links row, so it can
+        # never collide with a result/excluded row at the same (key, time)
+        outlink_rows = seed_ops.new_link_rows(unseen).withColumn(
+            "write_seq", F.lit(write_seq).cast("long")
         )
-        store.append("links", rows.select(*[f.name for f in schemas.LINKS.fields]))
-        if use_bloom:
-            urlseen.update_bloom(store, unseen)
+        link_sink_rows = link_sink_rows.unionByName(
+            outlink_rows.select(*[f.name for f in schemas.LINKS.fields])
+        )
+    store.append("links", link_sink_rows)  # ONE links write per iteration
+    _mark("outlinks_dedup")
 
     # ---- handler hook (S9) -------------------------------------------------
     if handler is not None:
@@ -468,13 +538,15 @@ def run_fetch(
         store.read("segments").select("dom").dropDuplicates(), "dom", "left_anti"
     )
     unclaim_domains(store, claim_tok, finished)
+    _mark("segments_unclaim")
 
     metrics.update(
         {
             "fetched": n_fetched,
-            "robots_excluded": excluded.count(),
+            "robots_excluded": n_excluded,
             "outlinks_new": n_new,
             "new_domains": n_domains,
+            "timings": timings,
         }
     )
     store.record_run("fetch", iteration, {"metrics": metrics})

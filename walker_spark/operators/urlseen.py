@@ -195,9 +195,7 @@ def filter_unseen(
     candidates = candidates.dropDuplicates(LINK_KEY)
     seen = store.read("links").select(*LINK_KEY)
     meta = store.get_meta("url_seen_bloom")
-    fresh = meta is not None and meta.get("links_version") == store.version("links")
-    if not use_bloom or not fresh or not store.exists("url_seen_bloom"):
-        # no bloom, or bloom lags the links table: exact anti-join only
+    if not use_bloom or meta is None or not store.exists("url_seen_bloom"):
         return candidates.join(seen, LINK_KEY, "left_anti")
 
     bloom_rows = [r.asDict() for r in store.read("url_seen_bloom").collect()]
@@ -211,8 +209,14 @@ def filter_unseen(
     hashed = hashed.localCheckpoint()
     definitely_new = hashed.filter(~F.col("_maybe")).drop("_h1", "_h2", "_bucket", "_maybe")
     needs_verify = hashed.filter(F.col("_maybe")).drop("_h1", "_h2", "_bucket", "_maybe")
-    # Bloom was built at some links-version; URLs appended since then are
-    # not in it, so the verify join stays against the CURRENT links
-    # table — the bloom only prunes, never decides "seen".
+    # The bloom covers links up to meta["links_version"] (its build
+    # snapshot). A "definitely new" verdict is only valid against that
+    # snapshot, so those keys are still exact-checked against the small
+    # incremental deltas appended since (Iceberg incremental scan
+    # analog) — no per-append bloom maintenance needed. "Maybe seen"
+    # keys (bloom hit or false positive) verify against the full table;
+    # nothing is ever dropped on the bloom alone.
+    recent = store.read_since("links", int(meta["links_version"])).select(*LINK_KEY)
+    definitely_new = definitely_new.join(recent, LINK_KEY, "left_anti")
     verified_new = needs_verify.join(seen, LINK_KEY, "left_anti")
     return definitely_new.unionByName(verified_new)

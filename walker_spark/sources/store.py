@@ -124,6 +124,29 @@ class FrontierStore:
             df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         return df
 
+    def read_since(self, table: str, version: int) -> DataFrame:
+        """Rows appended in deltas committed AFTER ``version`` (delta
+        names embed their commit version). Powers incremental consumers
+        like the URL-seen bloom: probe the bloom for data <= V, exact-
+        check only the deltas > V (Iceberg incremental-scan analog)."""
+        man = self._load_manifest(table)
+        schema = schemas.TABLES.get(table)
+        paths = []
+        for d in man["deltas"]:
+            ver = int(d.split("-")[1])
+            p = os.path.join(self._tdir(table), d)
+            if ver > version and _has_parquet(p):
+                paths.append(p)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        dfs = [self.spark.read.parquet(p) for p in paths]
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        if schema is not None:
+            df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        return df
+
     def append(self, table: str, df: DataFrame) -> int:
         man = self._load_manifest(table)
         version = man["version"] + 1

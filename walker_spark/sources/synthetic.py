@@ -63,11 +63,23 @@ def page_url(di: int, pi: int) -> str:
     return f"http://{host}/p{pi}.html"
 
 
-def _page_html(seed: int, di: int, pi: int, n_domains: int, pages_per_domain: int) -> str:
+def _page_html(
+    seed: int, di: int, pi: int, n_domains: int, pages_per_domain: int,
+    words_per_page: int = 6,
+) -> str:
     h = _h(seed, di, pi)
     host = domain_name(di)
-    words = [_WORDS[(h >> (i * 4)) % len(_WORDS)] for i in range(6)]
-    para = " ".join(words)
+    # body text: words_per_page pseudo-random words in ~60-word paragraphs
+    words = []
+    w = h
+    for i in range(words_per_page):
+        if i % 16 == 0:
+            w = _h(seed, di, pi, i)  # refresh entropy every 16 words
+        words.append(_WORDS[(w >> ((i % 16) * 4)) % len(_WORDS)])
+    paras = [
+        " ".join(words[p : p + 60]) for p in range(0, len(words), 60)
+    ]
+    para = "</p><p>".join(paras)
 
     links = []
     # same-domain chain + fanout (keeps the frontier growing)
@@ -142,6 +154,7 @@ def generate_pages(
     mega_domain: int | None = 0,
     mega_factor: int = 10,
     parallelism: int | None = None,
+    words_per_page: int = 6,
 ) -> DataFrame:
     """The synthetic web as a DataFrame in the ``pages`` schema.
     ``mega_domain`` (if set) gets ``mega_factor``× the pages — the skew
@@ -156,6 +169,7 @@ def generate_pages(
 
     pages_pd = pages_per_domain
     n_doms = n_domains
+    wpp = words_per_page
 
     def gen(iterator):
         for pdf in iterator:
@@ -183,7 +197,7 @@ def generate_pages(
                 for pi in range(int(n_pages)):
                     emit(
                         page_url(di, pi),
-                        _page_html(seed, di, pi, n_doms, pages_pd),
+                        _page_html(seed, di, pi, n_doms, pages_pd, wpp),
                         (di * 9973 + pi) % 86_400_000,
                     )
                 # duplicate-content targets (same text, 3 query forms)

@@ -49,7 +49,14 @@ class CrawlEngine:
     def seed(self, urls: list[str] | DataFrame) -> dict:
         if not isinstance(urls, DataFrame):
             urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
-        return ingest_urls(self.store, urls, self.cfg, use_bloom=self.use_bloom)
+        out = ingest_urls(self.store, urls, self.cfg, use_bloom=self.use_bloom)
+        if self.use_bloom:
+            # initial bloom snapshot; later appends are covered by the
+            # incremental read_since check until the next rebuild
+            from walker_spark.operators.urlseen import build_bloom
+
+            build_bloom(self.store, self.cfg.frontier.bloom_fpp)
+        return out
 
     # -- checkpoint/resume --
     def resume_iteration(self) -> int:
@@ -71,6 +78,7 @@ class CrawlEngine:
         step_ms = int(self.cfg.frontier.iteration_time_budget * 1000)
         start = self.resume_iteration() if from_checkpoint else 0
         out = []
+        compact_every = self.cfg.frontier.compact_links_every
         for i in range(start, start + iterations):
             now_ms = start_now_ms + i * step_ms
             dmetrics = run_dispatch(self.store, self.cfg, now_ms, iteration=i)
@@ -82,5 +90,13 @@ class CrawlEngine:
                 use_bloom=self.use_bloom,
                 handler=self.handler,
             )
+            if compact_every and (i + 1) % compact_every == 0:
+                self.store.compact("links")  # bound snapshot fan-in (O7)
+                if self.use_bloom:
+                    # rebuild so the bloom snapshot catches up and the
+                    # incremental (read_since) check stays small
+                    from walker_spark.operators.urlseen import build_bloom
+
+                    build_bloom(self.store, self.cfg.frontier.bloom_fpp)
             out.append({"iteration": i, "dispatch": dmetrics, "fetch": fmetrics})
         return out
