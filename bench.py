@@ -66,6 +66,10 @@ def build_spark(cpus: int):
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fat rows (html bodies): cap Arrow batches so 32 concurrent
+        # python workers don't each pin ~160MB batches (default 10k
+        # records x ~16KB/row thrashes memory at high parallelism)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -178,9 +182,20 @@ def run_fetch_kernel(spark, pages_path: str, frontier_path: str, cfg=None) -> di
         )
         .withColumn("time", F.timestamp_millis(F.lit(0)))
     )
+    # broadcast the (structurally bounded) work side: pages never
+    # shuffles its html bytes — mirrors run_fetch's J2 plan
+    page_side = pages.select("url", "warc_ts", "html")
+    found = page_side.join(F.broadcast(work), "url", "inner").withColumn(
+        "found", F.lit(True)
+    )
+    missing = (
+        work.join(page_side.select("url"), "url", "left_anti")
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("found", F.lit(False))
+    )
     fetched = (
-        work.join(pages.select("url", "warc_ts", "html"), "url", "left")
-        .withColumn("found", F.col("warc_ts").isNotNull())
+        found.unionByName(missing.select(*found.columns))
         .withColumn("mime", mime_from_path(F.col("path")))
         .withColumn("not_modified", F.lit(False))
     )

@@ -21,7 +21,9 @@ from walker_spark.streaming.loop import CrawlEngine
 
 NOW0 = 1_700_000_000_000
 
-CFG = WalkerConfig(frontier=FrontierConfig(num_domain_buckets=8))
+# compact_links_every=2 so a 3-iteration run exercises compaction +
+# bloom rebuild mid-crawl (O7) without changing any results
+CFG = WalkerConfig(frontier=FrontierConfig(num_domain_buckets=8, compact_links_every=2))
 
 
 def _run(spark, root: str, use_bloom: bool, iterations: int = 3):

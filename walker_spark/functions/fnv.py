@@ -35,15 +35,20 @@ def _fnv1_chunk(chunk: list[bytes], out: np.ndarray, idx: np.ndarray) -> None:
     maxlen = int(lens.max()) if n else 0
     h = np.full(n, FNV_OFFSET, dtype=np.uint64)
     if maxlen:
-        mat = np.zeros((n, maxlen), dtype=np.uint8)
+        # byte-position-major layout: the per-position loop reads
+        # contiguous rows (n bytes each). A (rows, positions) layout
+        # would read stride-maxlen columns — ~cacheline-per-element
+        # traffic that saturates memory bandwidth and anti-scales with
+        # concurrent workers.
+        mat = np.zeros((maxlen, n), dtype=np.uint8)
         for i, b in enumerate(chunk):
             if b:
-                mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+                mat[: len(b), i] = np.frombuffer(b, dtype=np.uint8)
         prime = np.uint64(FNV_PRIME)
         with np.errstate(over="ignore"):
             for j in range(maxlen):
                 active = lens > j
-                upd = (h * prime) ^ mat[:, j].astype(np.uint64)
+                upd = (h * prime) ^ mat[j].astype(np.uint64)
                 h = np.where(active, upd, h)
     out[idx] = h.view(np.int64)
 

@@ -406,12 +406,24 @@ def run_fetch(
         ),
     )
 
-    pages = store.read("pages").select(
-        "url", "warc_ts", "html", F.col("lang").alias("_lang")
+    # Fetch join (J2). Per-iteration work is structurally bounded —
+    # claim_limit domains x max_links_per_segment links — independent of
+    # frontier scale, so the WORK side is always the broadcastable one.
+    # Broadcasting it keeps the pages scan narrow (no shuffle of html
+    # bytes, the dominant volume); the not-found complement is a
+    # column-pruned anti-join on url only.
+    pages = store.read("pages").select("url", "warc_ts", "html")
+    found = pages.join(F.broadcast(fetchable), "url", "inner").withColumn(
+        "found", F.lit(True)
+    )
+    missing = (
+        fetchable.join(pages.select("url"), "url", "left_anti")
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("found", F.lit(False))
     )
     fetched = (
-        fetchable.join(pages, "url", "left")
-        .withColumn("found", F.col("warc_ts").isNotNull())
+        found.unionByName(missing.select(*found.columns))
         .withColumn("mime", mime_from_path(F.col("path")))
         .withColumn(
             "not_modified",
