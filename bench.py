@@ -182,10 +182,20 @@ def run_fetch_kernel(spark, pages_path: str, frontier_path: str, cfg=None) -> di
         )
         .withColumn("time", F.timestamp_millis(F.lit(0)))
     )
-    # broadcast the (structurally bounded) work side: pages never
-    # shuffles its html bytes — mirrors run_fetch's J2 plan
+    # Join strategy: in the real engine the work side is structurally
+    # bounded (claim_limit x segment cap) so it broadcasts and pages
+    # never shuffles (run_fetch's J2 plan). The kernel bench drives the
+    # WHOLE frontier in one wave, where a driver-built broadcast of
+    # hundreds of thousands of keys becomes the serial term — there the
+    # scale-honest plan is the shuffle join (both sides hash on url,
+    # scales with cores). Pick via SPARK_GRAFT_KERNEL_JOIN.
+    # Measured A/B at 300k keys / 3.6GB pages: broadcast 68s vs shuffle
+    # 216s at 8 cores — moving the html bytes loses even when the work
+    # side is large; broadcast stays the default.
     page_side = pages.select("url", "warc_ts", "html")
-    found = page_side.join(F.broadcast(work), "url", "inner").withColumn(
+    join_mode = os.environ.get("SPARK_GRAFT_KERNEL_JOIN", "broadcast")
+    work_side = F.broadcast(work) if join_mode == "broadcast" else work
+    found = page_side.join(work_side, "url", "inner").withColumn(
         "found", F.lit(True)
     )
     missing = (
@@ -199,13 +209,22 @@ def run_fetch_kernel(spark, pages_path: str, frontier_path: str, cfg=None) -> di
         .withColumn("mime", mime_from_path(F.col("path")))
         .withColumn("not_modified", F.lit(False))
     )
+    # row counting rides the parse stage via an accumulator so the
+    # whole kernel is ONE action (no persist double-pass)
+    acc = spark.sparkContext.accumulator(0)
+    base_fn = _make_parse_fn(cfg, 1_700_000_000_000)
+
+    def counting_parse(it):
+        for pdf in base_fn(it):
+            acc.add(len(pdf))
+            yield pdf
+
     results = fetched.select(
         "dom", "subdom", "path", "proto", "url", "html", "mime", "found", "not_modified"
-    ).mapInPandas(_make_parse_fn(cfg, 1_700_000_000_000), _parse_schema())
-    results = results.persist()  # parse once, feed both counts
+    ).mapInPandas(counting_parse, _parse_schema())
 
     outlinks = (
-        results.select(F.explode_outer("links").alias("u"), "fnv", "fnv_txt")
+        results.select(F.explode_outer("links").alias("u"))
         .filter(F.col("u").isNotNull())
         .dropDuplicates(["u"])
     )
@@ -216,10 +235,9 @@ def run_fetch_kernel(spark, pages_path: str, frontier_path: str, cfg=None) -> di
         "left_anti",
     )
     t0 = time.time()
-    n_fetched = results.count()
     n_unseen = unseen.count()
     dt = time.time() - t0
-    results.unpersist()
+    n_fetched = int(acc.value)
     return {
         "kernel_sec": round(dt, 2),
         "fetched": n_fetched,

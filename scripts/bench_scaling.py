@@ -151,7 +151,7 @@ def main():
     shape = (
         {"n_domains": 80, "pages_per_domain": 40, "mega_factor": 4, "words_per_page": 300}
         if quick
-        else {"n_domains": 600, "pages_per_domain": 160, "mega_factor": 8, "words_per_page": 2000}
+        else {"n_domains": 600, "pages_per_domain": 500, "mega_factor": 4, "words_per_page": 1500}
     )
     # N=2 vs 4N=8: this sandbox's 32 "cores" are hypervisor-throttled —
     # even an embarrassingly-parallel raw-CPU baseline only reaches
@@ -163,20 +163,31 @@ def main():
     lo, hi = 2, 8
     calib = cpu_calibration(lo, hi)
     print(f"raw-CPU calibration {lo}->{hi}: {calib:.2f}x (ideal 4)", file=sys.stderr)
-    base = tempfile.mkdtemp(prefix="walker-scaling-")
-    pages_path = os.path.join(base, "pages")
-    frontier_path = os.path.join(base, "frontier")
-    try:
+    reuse = os.path.join(REPO, "fixtures", "bench-corpus")
+    if os.path.isdir(os.path.join(reuse, "pages")) and not quick:
+        base = None
+        pages_path = os.path.join(reuse, "pages")
+        frontier_path = os.path.join(reuse, "frontier")
+        print("== reusing fixtures/bench-corpus ==", file=sys.stderr)
+        n_pages = run_py("import sys; sys.path.insert(0,%r); import bench;"
+                         "s=bench.build_spark(8); s.sparkContext.setLogLevel('ERROR');"
+                         "print('GEN', s.read.parquet(%r).count())" % (REPO, pages_path))
+    else:
+        base = tempfile.mkdtemp(prefix="walker-scaling-")
+        pages_path = os.path.join(base, "pages")
+        frontier_path = os.path.join(base, "frontier")
         print("== generating shared corpus ==", file=sys.stderr)
         n_pages = run_py(GEN.format(repo=REPO, shape=shape, pages_path=pages_path,
                                     frontier_path=frontier_path))
-        print(f"pages: {n_pages}", file=sys.stderr)
+    print(f"pages: {n_pages}", file=sys.stderr)
+    try:
+        pass
 
         kernel, engine = {}, {}
         # single-machine wall times are noisy (GC bursts, hypervisor
         # neighbors): best-of-3, alternating levels so interference
         # hits both symmetrically
-        reps = 1 if quick else 3
+        reps = 1 if quick else 2
         for rep in range(reps):
             for cpus in (lo, hi):
                 print(f"== kernel local[{cpus}] rep {rep} ==", file=sys.stderr)
@@ -192,7 +203,8 @@ def main():
                                                 pages_path=pages_path))
             print(json.dumps(engine[cpus]), file=sys.stderr)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        if base:
+            shutil.rmtree(base, ignore_errors=True)
 
     k_eff = kernel[hi]["urls_per_sec"] / (4 * kernel[lo]["urls_per_sec"])
     e_eff = engine[hi]["urls_per_sec"] / (4 * engine[lo]["urls_per_sec"])

@@ -92,6 +92,12 @@ class FrontierStore:
         bucketed = table in schemas.BUCKETED_BY_DOM
         if bucketed:
             df = df.withColumn("bucket", bucket_col(F.col("dom"), self.num_buckets))
+            # hash-distribute on the partition column before the
+            # partitioned write (Iceberg write.distribution-mode=hash):
+            # one file per bucket instead of tasks x buckets files —
+            # the commit's file operations are serial driver work, so
+            # file count is the write's non-scaling term
+            df = df.repartition(self.num_buckets, "bucket")
             df.write.partitionBy("bucket").parquet(path)
         else:
             df.write.parquet(path)
