@@ -283,6 +283,25 @@ def _make_parse_fn(cfg: WalkerConfig, now_ms: int):
     return parse_batches
 
 
+def link_accept_condition(cfg: WalkerConfig):
+    """shouldStoreParsedLink as a Column predicate over (path, proto)
+    (F2/X10 — fetcher.go:786-805): drop when the RequestURI exceeds
+    max_path_length (if positive), when it matches exclude patterns
+    without matching include patterns (OR-joined regexes,
+    fetcher.go:386-413), or when the scheme is not accepted."""
+    keep = F.lit(True)
+    if cfg.fetcher.max_path_length > 0:
+        keep = keep & (F.length(F.col("path")) <= cfg.fetcher.max_path_length)
+    if cfg.fetcher.exclude_link_patterns:
+        included = ~F.col("path").rlike("|".join(cfg.fetcher.exclude_link_patterns))
+        if cfg.fetcher.include_link_patterns:
+            included = included | F.col("path").rlike(
+                "|".join(cfg.fetcher.include_link_patterns)
+            )
+        keep = keep & included
+    return keep & F.col("proto").isin(*cfg.fetcher.accept_protocols)
+
+
 def redirect_link_rows(
     fetch_results: DataFrame, cfg: WalkerConfig, write_seq: int
 ) -> DataFrame:
@@ -497,17 +516,7 @@ def run_fetch(
         .dropDuplicates(["url"])
     )
     keys = seed_ops.normalize_to_keys(outlinks, cfg)
-    # shouldStoreParsedLink (F2, fetcher.go:786-805)
-    keep = F.length(F.col("path")) <= cfg.fetcher.max_path_length
-    if cfg.fetcher.exclude_link_patterns:
-        excl = "|".join(cfg.fetcher.exclude_link_patterns)
-        inc_col = ~F.col("path").rlike(excl)
-        if cfg.fetcher.include_link_patterns:
-            incl = "|".join(cfg.fetcher.include_link_patterns)
-            inc_col = inc_col | F.col("path").rlike(incl)
-        keep = keep & inc_col
-    keep = keep & F.col("proto").isin(*cfg.fetcher.accept_protocols)
-    keys = keys.filter(keep)
+    keys = keys.filter(link_accept_condition(cfg))
 
     unseen = urlseen.filter_unseen(store, keys, use_bloom=use_bloom).localCheckpoint()
     n_new = unseen.count()
