@@ -59,11 +59,15 @@ def q_latest_event_per_user(spark, sf_dir):
 
 
 def q_frontier_antijoin(spark, sf_dir):
-    """J1/U2 — URL-seen anti-join shape (datastore.go:461-463)."""
+    """J1/U2 — URL-seen anti-join shape (datastore.go:461-463):
+    candidates minus the filtered seen-set (customers with no
+    high-value order; the 450k threshold gives a non-trivial split at
+    every SF, unlike the bare no-orders anti-join which is empty in
+    this data)."""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        seen, customer.c_custkey == seen.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -422,7 +426,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1""",
         "frontier_antijoin": """
             SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 450000)""",
         "segment_topk_per_group": """
             SELECT o_custkey, o_orderkey, o_orderdate, rk
             FROM (SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER (
