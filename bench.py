@@ -52,7 +52,7 @@ HEADLINE = [
 ]
 
 # crawl corpus sizing per benchmark scale
-CRAWL_SHAPE = {"n_domains": 150, "pages_per_domain": 40, "mega_factor": 8, "iterations": 2}
+CRAWL_SHAPE = {"n_domains": 300, "pages_per_domain": 60, "mega_factor": 6, "iterations": 2}
 
 
 def build_spark(cpus: int):
