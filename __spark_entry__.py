@@ -217,6 +217,19 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_orders_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP totals (status, priority) — grouping-set
+    breadth on top of the A2 aggregate shapes."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def q_event_hourly_rollup(spark, sf_dir):
     """ST6-adjacent — event-time windowed aggregation (the batch form
     of the streaming rollup in streaming/loop.py's superstep model)."""
@@ -359,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_wordset_clusters": q_dup_wordset_clusters,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "orders_rollup": q_orders_rollup,
         "event_hourly_rollup": q_event_hourly_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -496,6 +510,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
         "event_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 2) AS sum_value

@@ -40,6 +40,7 @@ HEADLINE = [
     "refresh_split_quota",
     "pricing_summary",
     "revenue_by_nation",
+    "orders_rollup",
     "event_hourly_rollup",
     "dedup_exact",
     "embedding_topk",
