@@ -283,6 +283,14 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_simhash_md5(spark, sf_dir):
+    """60-bit md5-token simhash near-dups, hamming<=3 — the
+    cross-engine-checkable simhash variant (full SQL oracle)."""
+    from walker_spark.operators.dedup import simhash_md5_pairs
+
+    return simhash_md5_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def q_embedding_topk(spark, sf_dir):
     from walker_spark.operators.similarity import cosine_topk
 
@@ -378,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_md5": q_dedup_simhash_md5,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
@@ -408,6 +417,38 @@ FROM inter
 JOIN sz x ON x.id = id_a
 JOIN sz y ON y.id = id_b
 WHERE round(i * 1.0 / (x.sz + y.sz - i), 4) >= {threshold}
+"""
+
+
+def _simhash_md5_sql(max_hamming: int) -> str:
+    """DuckDB oracle for the md5-based 60-bit simhash: token hash =
+    first 15 hex digits of md5(token) decoded positionally; per-bit
+    sign sums over distinct tokens; pairs by hamming(bit_count(xor))."""
+    hex_decode = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h15, {i}, 1)) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    bit_cols = ", ".join(
+        f"CASE WHEN sum(2 * ((h >> {i}) & 1) - 1) > 0 THEN 1 ELSE 0 END AS b{i}"
+        for i in range(60)
+    )
+    sim_expr = " + ".join(f"b{i} * {2 ** i}" for i in range(60))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, unnest({_TOKS_SQL}) AS tok
+  FROM documents WHERE length({_NORM_TEXT_SQL}) > 0
+), th AS (
+  SELECT id, ({hex_decode}) AS h
+  FROM (SELECT id, substr(md5(tok), 1, 15) AS h15 FROM tok)
+), bits AS (
+  SELECT id, {bit_cols} FROM th GROUP BY id
+), sim AS (
+  SELECT id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
@@ -525,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY {_NORM_TEXT_SQL}""",
         "dedup_jaccard_pairs": _jaccard_sql(0.999),
         "dedup_minhash_lsh": _jaccard_sql(0.95),
+        "dedup_simhash_md5": _simhash_md5_sql(3),
         "embedding_topk": f"""
             SELECT vec_id AS id,
                    round(list_cosine_similarity(embedding::DOUBLE[], {_QUERY_VEC_SQL}), 3) AS score

@@ -260,6 +260,71 @@ def simhash_pairs(
     )
 
 
+def simhash_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(_id, simhash long): 60-bit simhash over DISTINCT word unigrams
+    with an md5-derived token hash (first 15 hex digits as an integer).
+    Slower than the xxhash64 variant but exactly reproducible in ANSI
+    SQL — this is the cross-engine-checkable simhash."""
+    tok = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+        .withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"))
+    )
+    bit_aggs = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(60)
+    ]
+    agg = tok.groupBy("_id").agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(60):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("_id", sim.alias("simhash"))
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with md5-simhash hamming <= k via the pigeonhole
+    banding trick (k+1 bands over 60 bits): (id_a, id_b, hamming)."""
+    sims = simhash_md5(df, id_col, text_col)
+    n_bands = max_hamming + 1
+    width = 60 // n_bands
+    band_cols = [
+        F.shiftrightunsigned(F.col("simhash"), b * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sims.select("_id", "simhash", *band_cols)
+    pairs = None
+    for b in range(n_bands):
+        x = banded.select(
+            F.col("_id").alias("id_a"), F.col("simhash").alias("sim_a"),
+            F.col(f"band{b}").alias("bk"),
+        )
+        y = banded.select(
+            F.col("_id").alias("id_b"), F.col("simhash").alias("sim_b"),
+            F.col(f"band{b}").alias("bk"),
+        )
+        p = x.join(y, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup (cosine)
 # ---------------------------------------------------------------------------
