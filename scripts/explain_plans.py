@@ -120,6 +120,27 @@ def main():
         ],
     )
 
+    # 4. URL-seen bloom probe: co-partitioned cogroup, no driver bitmaps
+    from walker_spark.operators import urlseen as US
+
+    US.build_bloom(store)
+    cands = store.read("links").select("dom", "subdom", "path", "proto")
+    probe = US._probe_cogrouped(
+        US._with_hashes(cands, store.num_buckets), store.read("url_seen_bloom")
+    )
+    ok &= grab(
+        "URL-seen bloom probe: cogrouped per-bucket bitmap delivery",
+        probe,
+        [
+            ("FlatMapCoGroupsInPandas (per-bucket probe task)",
+             r"FlatMapCoGroupsInPandas", 1),
+            ("candidates exchanged on _bucket",
+             r"Exchange hashpartitioning\(_bucket", (1,)),
+            ("bloom table exchanged on bucket (bitmaps stay distributed)",
+             r"Exchange hashpartitioning\(bucket", (1,)),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

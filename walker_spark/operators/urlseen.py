@@ -16,8 +16,11 @@ operator:
 Hashes are JVM-side ``xxhash64`` with two seeds; the probe is a
 vectorized numpy double-hash over an Arrow batch. At 10^10 URLs with
 8192 buckets and 10 bits/key the bitmap set is ~12.5 GB cluster-wide /
-~1.5 MB per bucket — each probe task only needs its own bucket's bitmap
-(delivered here via broadcast of the per-bucket map).
+~1.5 MB per bucket — each probe task only needs its own bucket's
+bitmap, so the probe is a cogrouped ``applyInPandas``: candidates
+hash-partitioned by ``_bucket`` meet exactly their bucket's bloom row.
+No bitmap ever travels to the driver and no task reads a bitmap for a
+bucket it doesn't own.
 """
 
 from __future__ import annotations
@@ -148,43 +151,48 @@ def update_bloom(store: FrontierStore, new_keys: DataFrame) -> None:
     )
 
 
-def _probe_udf(spark, bloom_rows):
-    """Broadcast the per-bucket bitmaps and return a pandas UDF
-    maybe_seen(bucket, h1, h2) -> bool."""
-    table = {
-        int(r["bucket"]): (
-            int(r["num_bits"]),
-            int(r["num_hashes"]),
-            np.frombuffer(r["bitmap"], dtype=np.uint8),
-        )
-        for r in bloom_rows
-    }
-    bc = spark.sparkContext.broadcast(table)
+def _probe_cogrouped(hashed: DataFrame, blooms: DataFrame) -> DataFrame:
+    """Tag each candidate row with ``_maybe`` (bloom says maybe-seen)
+    via a cogrouped applyInPandas: candidates hash-partitioned on
+    ``_bucket`` meet only their own bucket's bitmap row. Buckets with
+    no bloom row (or with candidates only) mark every row maybe=False
+    — the build covered no keys there, so nothing can be seen.
 
-    @F.pandas_udf(BooleanType())
-    def maybe_seen(bucket: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
-        tbl = bc.value
-        out = np.zeros(len(bucket), dtype=bool)
-        b = bucket.to_numpy(dtype=np.int64)
-        h1v = h1.to_numpy(dtype=np.int64).view(np.uint64)
-        h2v = h2.to_numpy(dtype=np.int64).view(np.uint64)
-        for bkt in np.unique(b):
-            entry = tbl.get(int(bkt))
-            sel = b == bkt
-            if entry is None:
-                continue  # no bloom for bucket -> nothing seen there
-            m, kk, bits = entry
-            mask = np.uint64(m - 1)
-            hit = np.ones(int(sel.sum()), dtype=bool)
-            hh1, hh2 = h1v[sel], h2v[sel]
-            for i in range(kk):
-                idx = (hh1 + np.uint64(i) * hh2) & mask
-                byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
-                hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
-            out[sel] = hit
-        return pd.Series(out)
+    This is the 10^10-key-safe delivery: each task materializes exactly
+    one ~1.5 MB bitmap; the driver never sees any bitmap."""
+    from pyspark.sql.types import StructField, StructType
 
-    return maybe_seen
+    out_schema = StructType(
+        list(hashed.schema.fields) + [StructField("_maybe", BooleanType())]
+    )
+
+    def probe(cand: pd.DataFrame, bloom: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return pd.DataFrame(columns=list(cand.columns) + ["_maybe"])
+        if len(bloom) == 0:
+            cand = cand.copy()
+            cand["_maybe"] = False
+            return cand
+        m = int(bloom["num_bits"].iloc[0])
+        kk = int(bloom["num_hashes"].iloc[0])
+        bits = np.frombuffer(bloom["bitmap"].iloc[0], dtype=np.uint8)
+        mask = np.uint64(m - 1)
+        h1 = cand["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = cand["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+        hit = np.ones(len(cand), dtype=bool)
+        for i in range(kk):
+            idx = (h1 + np.uint64(i) * h2) & mask
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        cand = cand.copy()
+        cand["_maybe"] = hit
+        return cand
+
+    return (
+        hashed.groupBy("_bucket")
+        .cogroup(blooms.groupBy("bucket"))
+        .applyInPandas(probe, out_schema)
+    )
 
 
 def filter_unseen(
@@ -198,14 +206,8 @@ def filter_unseen(
     if not use_bloom or meta is None or not store.exists("url_seen_bloom"):
         return candidates.join(seen, LINK_KEY, "left_anti")
 
-    bloom_rows = [r.asDict() for r in store.read("url_seen_bloom").collect()]
-    if not bloom_rows:
-        return candidates.join(seen, LINK_KEY, "left_anti")
-    maybe_seen = _probe_udf(store.spark, bloom_rows)
-
-    hashed = _with_hashes(candidates, store.num_buckets).withColumn(
-        "_maybe", maybe_seen(F.col("_bucket"), F.col("_h1"), F.col("_h2"))
-    )
+    blooms = store.read("url_seen_bloom")
+    hashed = _probe_cogrouped(_with_hashes(candidates, store.num_buckets), blooms)
     hashed = hashed.localCheckpoint()
     definitely_new = hashed.filter(~F.col("_maybe")).drop("_h1", "_h2", "_bucket", "_maybe")
     needs_verify = hashed.filter(F.col("_maybe")).drop("_h1", "_h2", "_bucket", "_maybe")
