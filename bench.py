@@ -9,9 +9,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Two parts:
 1. headline analytics/training-data queries from __spark_entry__ over
-   the driver's parquet tables (quadratic text-pair ops excluded at
-   bench scale — the synthetic 30-word vocabulary makes shingle joins
-   pathological; they are correctness-gated at sf0.01 instead);
+   the driver's parquet tables — including the Jaccard/MinHash near-dup
+   pair ops (identical-set collapse + prefix filtering keep the shingle
+   joins bounded even on the synthetic 30-word vocabulary, which makes
+   most document pairs genuine near-dups);
 2. the crawl engine itself on a deterministic synthetic frontier
    (seed -> dispatch -> claim -> fetch-join -> parse -> dedup sinks),
    reporting URLs fetched+deduped/sec — the BASELINE.json metric.
@@ -43,6 +44,8 @@ HEADLINE = [
     "orders_rollup",
     "event_hourly_rollup",
     "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
     "embedding_topk",
     "embedding_dup_pairs",
     "language_id",

@@ -21,7 +21,7 @@ Scale notes (10^10 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def normalized_text(col):
@@ -84,6 +84,61 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     ).dropDuplicates(["_id", "shingle"])
 
 
+def _set_groups(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse identical shingle sets: returns ``(members, reps)``.
+
+    ``members`` = (_id, set_key, sz); ``reps`` = the min-_id member per
+    distinct set. All pairwise work downstream runs on *distinct sets
+    only* — a corpus where 10^6 docs share one boilerplate text costs
+    one representative in the join and pure (unavoidable) output fan-out
+    at expansion, instead of a 10^12-row shingle join.
+
+    set_key is md5 over the sorted shingle set (128-bit: collision odds
+    are ~2^-64 even at 10^10 docs — the same identity scheme exact-dedup
+    at 100 TB would use)."""
+    members = sh.groupBy("_id").agg(
+        F.md5(F.concat_ws("\x00", F.sort_array(F.collect_set("shingle")))).alias("set_key"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    reps = members.groupBy("set_key").agg(
+        F.min("_id").alias("_id"), F.first("sz").alias("sz")
+    )
+    return members, reps
+
+
+def _expand_set_pairs(
+    set_pairs: DataFrame, members: DataFrame, threshold: float
+) -> DataFrame:
+    """Doc-level (id_a < id_b, jaccard) pairs from set-level matches:
+    cross-group expansion of qualifying distinct-set pairs, plus all
+    within-group pairs (identical sets -> jaccard exactly 1.0, which
+    passes any threshold <= 1)."""
+    ma = members.select(F.col("set_key").alias("k_a"), F.col("_id").alias("ia"))
+    mb = members.select(F.col("set_key").alias("k_b"), F.col("_id").alias("ib"))
+    cross = (
+        set_pairs.join(ma, "k_a")
+        .join(mb, "k_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        ma.join(
+            members.select(F.col("set_key").alias("k_a"), F.col("_id").alias("ib")),
+            "k_a",
+        )
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within).filter(F.col("jaccard") >= threshold)
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -92,33 +147,77 @@ def jaccard_pairs(
     shingle_n: int = 1,
 ) -> DataFrame:
     """All doc pairs (a < b) with shingle-set Jaccard >= threshold:
-    (id_a, id_b, jaccard rounded to 4). Exact — the quadratic blowup is
-    bounded because only docs sharing a shingle join, and the join key
-    is the shingle (broadcastable frequency cap would go here for
-    stopword-like shingles at scale)."""
+    (id_a, id_b, jaccard rounded to 4). Exact, and join-safe on skewed
+    corpora via two public techniques:
+
+    * identical shingle sets collapse to one representative before any
+      join (:func:`_set_groups`) — duplicate-heavy corpora cost output
+      size, not join size;
+    * prefix filtering (AllPairs/PPJoin, Xiao et al.): under a global
+      rarest-first shingle order, sim(x,y) >= t implies the prefixes of
+      length |x| - ceil(t*|x|) + 1 share a shingle, so only those
+      prefix shingles are join keys. Stopword-like shingles (high
+      document frequency) land at the back of the order and are never
+      joined on unless a set is almost entirely stopwords."""
     sh = _shingles(df, id_col, text_col, shingle_n)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    members, reps = _set_groups(sh)
+    rep_sh = sh.join(reps.select("_id"), "_id", "left_semi")
+
+    # global rarest-first order: (document frequency over distinct sets,
+    # shingle) — computed once, one groupBy
+    dfreq = rep_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "shingle")
+    ranked = (
+        rep_sh.join(dfreq, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    prefix = ranked.join(reps.select("_id", "sz"), "_id").filter(
+        F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    cand = (
+        prefix.select(F.col("_id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    verified = _verify_jaccard(cand, rep_sh, threshold)
+    set_pairs = (
+        verified.join(
+            members.select(F.col("_id").alias("id_a"), F.col("set_key").alias("k_a")),
+            "id_a",
+        )
+        .join(
+            members.select(F.col("_id").alias("id_b"), F.col("set_key").alias("k_b")),
+            "id_b",
+        )
+        .select("k_a", "k_b", "jaccard")
+    )
+    return _expand_set_pairs(set_pairs, members, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs via JVM-side array_intersect
+    over the pair's two shingle sets — O(|cand| x set size), no explode,
+    never a function of shingle document frequency."""
+    sets = sh.groupBy("_id").agg(F.sort_array(F.collect_set("shingle")).alias("_set"))
+    a = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+                F.col("inter")
+                / (F.size("_sa") + F.size("_sb") - F.col("inter")),
+                4,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +257,21 @@ def minhash_lsh_pairs(
     threshold): (id_a, id_b, jaccard). bands*rows == num_perm."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, id_col, text_col, shingle_n)
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    # Identical shingle sets collapse to one representative before
+    # signatures/banding: duplicate-heavy corpora (the common case at
+    # 100 TB) would otherwise put g identical signatures in every band
+    # bucket — a g^2 banding join for pairs that are knowably jaccard
+    # 1.0. Distinct sets only go through LSH; groups expand at the end.
+    members, reps = _set_groups(sh)
+    rep_sh = sh.join(reps.select("_id"), "_id", "left_semi")
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = rep_sh.groupBy("_id").agg(*aggs).select(
+        "_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
+    )
     band_cols = [
         F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)]).alias("bh")
         for b in range(bands)
@@ -173,27 +286,22 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .dropDuplicates()
     )
-    # exact verify on the candidate set only
-    sh = _shingles(df, id_col, text_col, shingle_n)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+    # exact verify on the candidate set only (join keyed on
+    # (id_b, shingle): bounded by |cand| x set size, not by shingle
+    # document frequency)
+    verified = _verify_jaccard(cand, rep_sh, threshold)
+    set_pairs = (
+        verified.join(
+            members.select(F.col("_id").alias("id_a"), F.col("set_key").alias("k_a")),
+            "id_a",
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .join(
+            members.select(F.col("_id").alias("id_b"), F.col("set_key").alias("k_b")),
+            "id_b",
+        )
+        .select("k_a", "k_b", "jaccard")
     )
+    return _expand_set_pairs(set_pairs, members, threshold)
 
 
 # ---------------------------------------------------------------------------
