@@ -634,8 +634,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS checksum
             FROM documents""",
-        # dedup_simhash, ann_topk, frame_sampling: intentionally no SQL
-        # oracle (signature/bucket internals are engine-defined; the
-        # driver records the weaker rows-only check, and pytest gates
-        # their semantics — recall vs brute force, banding guarantees).
+        "ann_topk": _ann_topk_sql(),
+        "frame_sampling": _frame_sampling_sql(),
+        # dedup_simhash: intentionally the ONE remaining no-oracle row —
+        # its 64-bit signature is xxhash64 (Spark-JVM-native, not
+        # available in DuckDB). The md5-token variant dedup_simhash_md5
+        # IS the fully oracle-checked simhash path; pytest additionally
+        # gates the xxhash64 variant's banding semantics.
     }
+
+
+def _ann_topk_sql(k: int = 10, n_planes: int = 8, seed: int = 13, multiprobe: int = 2) -> str:
+    """Exact SQL replica of ann_topk: the md5-derived hyperplanes and
+    the multiprobe bucket set are driver-side CONSTANTS, so the oracle
+    inlines them as literals and reproduces bucket assignment + the
+    within-bucket brute-force top-k entirely in DuckDB."""
+    from walker_spark.operators.similarity import _hyperplanes, probe_buckets
+
+    planes = _hyperplanes(len(_QUERY_VEC), n_planes, seed)
+    probes = sorted(probe_buckets(_QUERY_VEC, n_planes, seed, multiprobe))
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH bucketed AS (
+          SELECT vec_id, embedding, {bucket_expr} AS bucket
+          FROM embeddings
+        )
+        SELECT vec_id AS id,
+               round(list_cosine_similarity(embedding::DOUBLE[], {_QUERY_VEC_SQL}), 3) AS score
+        FROM bucketed
+        WHERE bucket IN ({', '.join(str(p) for p in probes)})
+        ORDER BY score DESC, id LIMIT {k}"""
+
+
+def _frame_sampling_sql(every_ms: int = 10_000, max_frames: int = 32) -> str:
+    """SQL replica of sample_frames over the deterministic fake assets:
+    duration_ms = 1000 + h % 600000 with h = first 8 hex digits of
+    md5(text payload) (multimodal.decode_and_extract's fake path)."""
+    h_expr = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(text), {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"""
+        WITH vids AS (
+          SELECT doc_id AS asset_id,
+                 CAST(1000 + ({h_expr}) % 600000 AS BIGINT) AS duration_ms
+          FROM documents
+          WHERE CAST(doc_id % 3 AS INT) = 2
+        ), nf AS (
+          SELECT asset_id,
+                 least({max_frames}, CAST(floor(duration_ms / {every_ms}) AS INT) + 1) AS n_frames
+          FROM vids
+        ), fanned AS (
+          SELECT asset_id, unnest(range(0, n_frames)) AS frame_idx FROM nf
+        )
+        SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(frame_idx * {every_ms} AS BIGINT) AS ts_ms
+        FROM fanned"""

@@ -85,6 +85,29 @@ def lsh_bucketize(
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+def probe_buckets(
+    query_vec: list[float], n_planes: int = 8, seed: int = 13, multiprobe: int = 1
+) -> set[int]:
+    """The query's LSH bucket plus all buckets within ``multiprobe``
+    bit-flips — driver-side constants (also used to build the SQL
+    oracle, since the hyperplanes are md5-derived literals)."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(p * float(x) for p, x in zip(plane, query_vec)) >= 0:
+            qb |= 1 << i
+    probes = {qb}
+    if multiprobe >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n_planes)}
+    if multiprobe >= 2:
+        probes |= {
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    return probes
+
+
 def ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -100,21 +123,7 @@ def ann_topk(
     multiprobe=1 that's 9/256 of the corpus on uniform data."""
     dim = len(query_vec)
     bucketed = lsh_bucketize(df, dim, n_planes, seed, vec_col)
-
-    planes = _hyperplanes(dim, n_planes, seed)
-    qb = 0
-    for i, plane in enumerate(planes):
-        if sum(p * float(x) for p, x in zip(plane, query_vec)) >= 0:
-            qb |= 1 << i
-    probes = {qb}
-    if multiprobe >= 1:
-        probes |= {qb ^ (1 << i) for i in range(n_planes)}
-    if multiprobe >= 2:
-        probes |= {
-            qb ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        }
+    probes = probe_buckets(query_vec, n_planes, seed, multiprobe)
     candidates = bucketed.filter(F.col("bucket").isin(*[int(p) for p in probes]))
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
