@@ -43,6 +43,9 @@ class FetcherConfig:
     accept_formats: tuple[str, ...] = ("text/html", "text/*;")
     accept_protocols: tuple[str, ...] = ("http", "https")
     store_response_body: bool = False
+    # store response headers on result rows (datastore.go:389-395;
+    # multi-valued headers are \0-joined like the reference)
+    store_response_headers: bool = False
     max_http_content_size_bytes: int = 20 * 1024 * 1024
     ignore_tags: tuple[str, ...] = ("script", "img", "link")
     max_links_per_page: int = 1000

@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     BooleanType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -51,7 +52,7 @@ from walker_spark.functions import htmlparse, robots as robots_mod, urlkernel
 from walker_spark.functions.udfs import host_col
 from walker_spark.operators import seed as seed_ops
 from walker_spark.operators import urlseen
-from walker_spark.operators.claim import claim_domains, unclaim_domains
+from walker_spark.operators.claim import claim_plan, unclaim_plan
 from walker_spark.plans import schemas
 from walker_spark.sources.store import FrontierStore
 
@@ -184,8 +185,28 @@ _PARSE_OUT = StructType(
         StructField("meta_noindex", BooleanType(), False),
         StructField("meta_nofollow", BooleanType(), False),
         StructField("body", StringType(), True),
+        StructField("redirect_to", StringType(), True),
+        StructField("headers", MapType(StringType(), StringType()), True),
     ]
 )
+
+# An HTTP redirect captured in the table-driven pages simulation: a
+# page whose only content is an IMMEDIATE meta refresh (delay 0) — the
+# WARC-style stand-in for a 301 Location response. Delayed refreshes
+# (content="5; url=...") stay ordinary links (parse.go:239-251).
+_REDIRECT_RE = None
+
+
+def _redirect_target(raw: bytes):
+    global _REDIRECT_RE
+    if _REDIRECT_RE is None:
+        import re
+
+        _REDIRECT_RE = re.compile(
+            rb'<meta\s+http-equiv="refresh"\s+content="0;\s*url=([^"]+)"', re.I
+        )
+    m = _REDIRECT_RE.search(raw)
+    return m.group(1).decode("utf-8", "replace") if m else None
 
 
 def _make_parse_fn(cfg: WalkerConfig, now_ms: int):
@@ -197,6 +218,7 @@ def _make_parse_fn(cfg: WalkerConfig, now_ms: int):
     max_size = cfg.fetcher.max_http_content_size_bytes
     max_links = cfg.fetcher.max_links_per_page
     store_body = cfg.fetcher.store_response_body
+    store_headers = cfg.fetcher.store_response_headers
 
     def parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -211,6 +233,8 @@ def _make_parse_fn(cfg: WalkerConfig, now_ms: int):
             body_out = [None] * n
             fnv_in: list = [None] * n
             txt_in: list = [None] * n
+            redirect_to: list = [None] * n
+            headers_out: list = [None] * n
 
             for i, (url, html, mime, found, not_modified) in enumerate(
                 zip(pdf["url"], pdf["html"], pdf["mime"], pdf["found"], pdf["not_modified"])
@@ -230,9 +254,43 @@ def _make_parse_fn(cfg: WalkerConfig, now_ms: int):
                         % url
                     )
                     continue
+                target = (
+                    _redirect_target(raw)
+                    if isinstance(mime, str) and mime.startswith("text/html")
+                    else None
+                )
+                if target is not None:
+                    # redirect hop (fetcher.go:723-749 CheckRedirect;
+                    # hop-row semantics datastore.go:416-436): stat 301,
+                    # redto_url forward, no body fingerprint (Go zero).
+                    # The target enters the frontier as an outlink, so
+                    # the chain is followed one hop per superstep.
+                    absolute = urlkernel.resolve(url, target)
+                    norm = (
+                        urlkernel.normalize_url(absolute, parser_cfg.purge_sid_list)
+                        if absolute
+                        else None
+                    )
+                    stat[i] = 301
+                    redirect_to[i] = norm or target
+                    if norm:
+                        links[i] = [norm]
+                    continue
                 stat[i] = 200
                 mime_out[i] = mime
                 fnv_in[i] = raw
+                if store_headers:
+                    import hashlib
+
+                    hh = hashlib.md5(url.encode()).hexdigest()
+                    headers_out[i] = {
+                        "Content-Type": mime if isinstance(mime, str) else "",
+                        "Content-Length": str(len(raw)),
+                        "Server": "srv-" + hh[:6],
+                        # multi-valued header joined by \0 exactly like
+                        # the reference (datastore.go:389-395)
+                        "Via": f"1.1 edge-{hh[:4]}\x001.1 cache-{hh[4:8]}",
+                    }
                 if store_body:
                     body_out[i] = raw.decode("utf-8", "replace")
                 if isinstance(mime, str) and mime.startswith("text/html"):
@@ -277,6 +335,8 @@ def _make_parse_fn(cfg: WalkerConfig, now_ms: int):
                     "meta_noindex": noindex,
                     "meta_nofollow": nofollow,
                     "body": body_out,
+                    "redirect_to": redirect_to,
+                    "headers": headers_out,
                 }
             )
 
@@ -369,11 +429,27 @@ def run_fetch(
         timings[stage] = round(time.time() - _t0, 2)
         _t0 = time.time()
 
-    claimed = claim_domains(store, cfg, now_ms, claim_tok).localCheckpoint()
+    # Claim as a pure plan over the superstep's domain_info snapshot:
+    # the post-claim state stays in memory and is committed ONCE at the
+    # end of the superstep together with the unclaim bookkeeping and any
+    # new domains — one domain_info write per iteration instead of
+    # three, and no read-after-write (the MERGE-INTO shape the Iceberg
+    # DDL path uses at scale).
+    di = store.read("domain_info")
+    max_priority = di.agg(F.max("priority")).collect()[0][0]  # A1
+    if max_priority is None:
+        metrics = {"claimed_domains": 0, "now_ms": now_ms}
+        store.record_run("fetch", iteration, {"metrics": metrics})
+        return {**metrics, "fetched": 0, "outlinks_new": 0}
+    claimed, di_claimed = claim_plan(di, cfg, now_ms, claim_tok, max_priority)
+    claimed = claimed.localCheckpoint()
     n_claimed = claimed.count()
     _mark("claim")
     metrics = {"claimed_domains": n_claimed, "now_ms": now_ms}
     if n_claimed == 0:
+        # nothing fetched, but the weighted-fair credit advance must
+        # still commit (next_crawl accumulation is the scheduler state)
+        store.overwrite("domain_info", di_claimed)
         store.record_run("fetch", iteration, {"metrics": metrics})
         return {**metrics, "fetched": 0, "outlinks_new": 0}
 
@@ -401,12 +477,7 @@ def run_fetch(
         ),
     )
     work = work.withColumn("in_budget", F.col("cum_before") < F.lit(budget_ms))
-    work = work.localCheckpoint()
-    agg = work.agg(
-        F.sum((F.col("in_budget") & ~F.col("allowed")).cast("int")).alias("n_excluded"),
-        F.sum(F.col("in_budget").cast("int")).alias("n_processed"),
-    ).collect()[0]
-    n_excluded = int(agg["n_excluded"] or 0)
+    work = work.localCheckpoint()  # one robots/budget pass, three consumers
     _mark("robots_budget")
 
     processed = work.filter(F.col("in_budget"))
@@ -456,7 +527,6 @@ def run_fetch(
         "dom", "subdom", "path", "proto", "url", "html", "mime", "found", "not_modified"
     ).mapInPandas(_make_parse_fn(cfg, now_ms), _PARSE_OUT)
     results = results.localCheckpoint()
-    n_fetched = results.count()
     _mark("fetch_parse")
 
     # ---- links sink (S5) --------------------------------------------------
@@ -476,13 +546,13 @@ def run_fetch(
         "stat",
         "err",
         nulls["robot_ex"].alias("robot_ex"),
-        nulls["redto_url"].alias("redto_url"),
+        F.col("redirect_to").alias("redto_url"),  # hop rows (J6/S5)
         nulls["getnow"].alias("getnow"),
         "mime",
         "fnv",
         "fnv_txt",
         "body",
-        nulls["headers"].alias("headers"),
+        F.col("headers").alias("headers"),  # gated by store_response_headers
         F.lit(write_seq).cast("long").alias("write_seq"),
     )
     excluded_rows = excluded.select(
@@ -519,18 +589,22 @@ def run_fetch(
     keys = keys.filter(link_accept_condition(cfg))
 
     unseen = urlseen.filter_unseen(store, keys, use_bloom=use_bloom).localCheckpoint()
-    n_new = unseen.count()
-    n_domains = seed_ops.add_new_domains(store, unseen, cfg)
-    if n_new:
-        # same write_seq as the result rows is safe: an outlink row is
-        # only written for keys with NO existing links row, so it can
-        # never collide with a result/excluded row at the same (key, time)
-        outlink_rows = seed_ops.new_link_rows(unseen).withColumn(
-            "write_seq", F.lit(write_seq).cast("long")
-        )
-        link_sink_rows = link_sink_rows.unionByName(
-            outlink_rows.select(*[f.name for f in schemas.LINKS.fields])
-        )
+    # same write_seq as the result rows is safe: an outlink row is
+    # only written for keys with NO existing links row, so it can
+    # never collide with a result/excluded row at the same (key, time)
+    outlink_rows = seed_ops.new_link_rows(unseen).withColumn(
+        "write_seq", F.lit(write_seq).cast("long")
+    )
+    link_sink_rows = link_sink_rows.unionByName(
+        outlink_rows.select(*[f.name for f in schemas.LINKS.fields])
+    )
+    # new domains ride the end-of-superstep domain_info commit (no
+    # separate append); di is the pre-superstep snapshot, which claim
+    # neither adds to nor removes from
+    if cfg.frontier.add_new_domains:
+        fresh_domains = seed_ops.new_domain_rows(unseen, cfg, di)
+    else:
+        fresh_domains = di.limit(0)
     store.append("links", link_sink_rows)  # ONE links write per iteration
     _mark("outlinks_dedup")
 
@@ -558,15 +632,34 @@ def run_fetch(
     finished = claimed.select("dom").join(
         store.read("segments").select("dom").dropDuplicates(), "dom", "left_anti"
     )
-    unclaim_domains(store, claim_tok, finished)
+    # ONE domain_info commit per superstep: unclaim bookkeeping applied
+    # to the in-memory post-claim state, new domains unioned in
+    final_di = unclaim_plan(di_claimed, claim_tok, finished).unionByName(fresh_domains)
+    store.overwrite("domain_info", final_di)
     _mark("segments_unclaim")
 
+    # ONE fused metrics job over the checkpointed stage outputs (was
+    # four separate count/agg actions — the per-superstep constant the
+    # scaling report blames)
+    def _m(df, key):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
+            F.lit(key).alias("k"), "v"
+        )
+
+    mrows = (
+        _m(results, "fetched")
+        .unionByName(_m(work.filter(F.col("in_budget") & ~F.col("allowed")), "robots_excluded"))
+        .unionByName(_m(unseen, "outlinks_new"))
+        .unionByName(_m(fresh_domains, "new_domains"))
+        .collect()
+    )
+    counts = {r["k"]: int(r["v"]) for r in mrows}
     metrics.update(
         {
-            "fetched": n_fetched,
-            "robots_excluded": n_excluded,
-            "outlinks_new": n_new,
-            "new_domains": n_domains,
+            "fetched": counts["fetched"],
+            "robots_excluded": counts["robots_excluded"],
+            "outlinks_new": counts["outlinks_new"],
+            "new_domains": counts["new_domains"],
             "timings": timings,
         }
     )

@@ -18,6 +18,8 @@ The corpus exercises every fetch/parse/dispatch operator (FIXTURES.md):
   query-param filtering trigger;
 * SID-bearing outlinks (``;jsessionid=...`` / ``?phpsessid=...``);
 * script/style blocks (text-extraction parity);
+* redirect pages (immediate meta refresh = the WARC-style stand-in for
+  a 301; the fetch stage emits hop rows with ``redto_url``);
 * one mega-host with ``mega_factor`` × the normal page count (skew
   fixture O12);
 * non-HTML resources (images) and oversized pages (content cap).
@@ -116,6 +118,14 @@ def _page_html(
         links.append(f'<a href="/dup{pi % 7}.html?ref=abc">dup ref</a>')
     elif fam == 6:  # meta refresh link (parse.go:239-251)
         extras.append(f'<meta http-equiv="refresh" content="5; url=/p{(pi + 9) % pages_per_domain}.html">')
+    elif fam == 7 and pi != 0:  # HTTP-redirect stand-in: immediate refresh
+        # (fetcher.go:723-749 CheckRedirect; hop rows datastore.go:416-436).
+        # Root pages stay real so every seed fetch yields content.
+        target = (pi * 3 + 5) % pages_per_domain
+        return (
+            '<html><head><meta http-equiv="refresh" content="0; '
+            f'url=/p{target}.html"></head><body></body></html>'
+        )
 
     title = f"Page {pi} of {host}"
     return (
