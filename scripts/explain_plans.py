@@ -147,6 +147,17 @@ def main():
             "Generated by scripts/explain_plans.py (local[4], tiny fixtures —\n"
             "plan SHAPE is what matters; AQE may further coalesce at scale).\n\n"
             + "\n".join(sections)
+            + "\n## domain_info at 10^8 domains: row-touch MERGE, not rewrite\n\n"
+            "The sandbox store overwrites domain_info once per superstep (the\n"
+            "fused claim+unclaim+new-domain commit). That full rewrite is a\n"
+            "sandbox artifact: the fetch superstep computes the post-claim state\n"
+            "as one in-memory plan (claim_plan/unclaim_plan/new_domain_rows),\n"
+            "which on the Iceberg DDL path (plans/schemas.py iceberg_ddl +\n"
+            "DOMAIN_INFO_MERGE_SQL) commits as MERGE INTO with merge-on-read —\n"
+            "only the claimed rows' delete/data files are written, so the\n"
+            "per-superstep commit cost is O(claimed domains), not O(all\n"
+            "domains). The updates side is exactly the claimed/unclaimed/new\n"
+            "rows the superstep already has.\n"
         )
     print("ALL PLAN CHECKS PASS" if ok else "PLAN CHECK FAILURES — see PLANS.md")
     return 0 if ok else 1

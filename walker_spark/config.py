@@ -46,6 +46,11 @@ class FetcherConfig:
     # store response headers on result rows (datastore.go:389-395;
     # multi-valued headers are \0-joined like the reference)
     store_response_headers: bool = False
+    # F5 — drop links whose host is an IP literal in a private range
+    # (config.go:131 defaults true; fetcher.go:882-918 ranges). The
+    # reference checks the POST-DNS dialed address; a table-driven
+    # engine has no resolver, so the predicate covers IP-literal hosts.
+    blacklist_private_ips: bool = True
     max_http_content_size_bytes: int = 20 * 1024 * 1024
     ignore_tags: tuple[str, ...] = ("script", "img", "link")
     max_links_per_page: int = 1000

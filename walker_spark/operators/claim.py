@@ -24,20 +24,19 @@ from walker_spark.config import WalkerConfig
 from walker_spark.sources.store import FrontierStore
 
 
-def claim_domains(
-    store: FrontierStore,
+def claim_plan(
+    di: DataFrame,
     cfg: WalkerConfig,
     now_ms: int,
     claim_tok: str,
-) -> DataFrame:
-    """Claim up to ``frontier.claim_limit`` dispatched, unclaimed
-    domains; persists the updated domain_info and returns the claimed
-    rows (dom, priority, crawl-order deterministic)."""
-    di = store.read("domain_info")
-    max_priority = di.agg(F.max("priority")).collect()[0][0]  # A1
-    if max_priority is None:
-        return di.limit(0).select("dom", "priority")
-
+    max_priority: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Pure plan for one claim pass over an in-memory ``domain_info``
+    state: returns ``(claimed, merged)`` where ``claimed`` is the
+    (dom, priority) rows taken this pass and ``merged`` is the full
+    post-claim domain_info. No I/O — the caller decides when to commit,
+    so a superstep can fuse claim/unclaim bookkeeping into a single
+    table write instead of three."""
     claimable = F.col("dispatched") & F.col("claim_tok").isNull() & ~F.col("excluded")
     advanced = di.withColumn(
         "next_crawl",
@@ -80,24 +79,44 @@ def claim_domains(
             .alias("next_crawl"),
         )
     )
-    store.overwrite("domain_info", merged)
-    return (
-        store.read("domain_info")
-        .filter(F.col("claim_tok") == claim_tok)
-        .select("dom", "priority")
+    claimed = merged.filter(F.col("claim_tok") == F.lit(claim_tok)).select(
+        "dom", "priority"
     )
+    return claimed, merged
 
 
-def unclaim_domains(
-    store: FrontierStore, claim_tok: str, finished_doms: DataFrame
-) -> None:
-    """UnclaimHost (datastore.go:276-291): clear the claim and reset
+def claim_domains(
+    store: FrontierStore,
+    cfg: WalkerConfig,
+    now_ms: int,
+    claim_tok: str,
+) -> DataFrame:
+    """Claim up to ``frontier.claim_limit`` dispatched, unclaimed
+    domains; persists the updated domain_info and returns the claimed
+    rows (dom, priority, crawl-order deterministic)."""
+    di = store.read("domain_info")
+    max_priority = di.agg(F.max("priority")).collect()[0][0]  # A1
+    if max_priority is None:
+        return di.limit(0).select("dom", "priority")
+    claimed, merged = claim_plan(di, cfg, now_ms, claim_tok, max_priority)
+    # Freeze the claimed rows BEFORE the overwrite so no re-read of the
+    # just-committed table is needed (old snapshot files stay on disk,
+    # but the checkpoint removes even that dependency).
+    claimed = claimed.localCheckpoint()
+    store.overwrite("domain_info", merged)
+    return claimed
+
+
+def unclaim_plan(
+    di: DataFrame, claim_tok: str, finished_doms: DataFrame
+) -> DataFrame:
+    """UnclaimHost (datastore.go:276-291) as a pure plan over an
+    in-memory domain_info state: clear the claim and reset
     ``dispatched`` so the dispatcher can regenerate a segment. Only
     domains whose segment was fully consumed are reset; partially
     fetched domains keep claim_tok=null + dispatched=true so the next
     iteration claims them again and continues (politeness budget ST3
     can split one segment across iterations)."""
-    di = store.read("domain_info")
     fin = finished_doms.select("dom").withColumn("_fin", F.lit(True))
     merged = (
         di.join(fin, "dom", "left")
@@ -125,4 +144,14 @@ def unclaim_domains(
             "next_crawl",
         )
     )
+    return merged
+
+
+def unclaim_domains(
+    store: FrontierStore, claim_tok: str, finished_doms: DataFrame
+) -> None:
+    """Standalone unclaim: read-modify-overwrite domain_info. The fetch
+    superstep uses :func:`unclaim_plan` instead and folds the result
+    into its single end-of-superstep domain_info commit."""
+    merged = unclaim_plan(store.read("domain_info"), claim_tok, finished_doms)
     store.overwrite("domain_info", merged)

@@ -248,7 +248,17 @@ def run_dispatch(
             F.timestamp_millis(F.col("time_ms")).alias("time"),
         )
     )
-    n_segment_rows = segment.count()
+    # ONE metrics job for both counts (distinct keys among queued rows
+    # == the row_number-collapsed segment rows; distinct doms with a
+    # queued row == domains dispatched non-empty)
+    mrow = selected.agg(
+        F.count_distinct(
+            F.when(F.col("seq") >= 0, F.struct("dom", "subdom", "path", "proto"))
+        ).alias("n_seg"),
+        F.count_distinct(F.when(F.col("seq") >= 0, F.col("dom"))).alias("n_dom"),
+    ).collect()[0]
+    n_segment_rows = int(mrow["n_seg"])
+    n_dispatched = int(mrow["n_dom"])
     if n_segment_rows:
         store.append("segments", segment)
 
@@ -295,7 +305,6 @@ def run_dispatch(
             "next_crawl",
         )
     )
-    n_dispatched = upd.filter(F.col("u_queued") > 0).count()
     store.overwrite("domain_info", merged)
 
     metrics = {

@@ -20,18 +20,44 @@ from walker_spark.plans import schemas
 from walker_spark.sources.store import FrontierStore
 
 
+def private_ip_host_condition(host_col) -> "F.Column":
+    """F5 — BlacklistPrivateIPs (fetcher.go:819-841, 882-918) as a pure
+    column predicate: true when the host is a dotted IPv4 literal in
+    10/8, 192.168/16, 172.16/12 or 127/8 (privateNetworks,
+    fetcher.go:882-887). The reference tests the dialed (post-DNS)
+    address; without a resolver only IP-literal hosts are decidable —
+    the documented divergence."""
+    # try_cast: ANSI mode would throw on non-numeric hosts even behind
+    # the is_ipv4 guard (& does not short-circuit)
+    octet = [F.split(host_col, r"\.")[i].try_cast("int") for i in range(2)]
+    is_ipv4 = host_col.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    return is_ipv4 & (
+        (octet[0] == 10)
+        | (octet[0] == 127)
+        | ((octet[0] == 192) & (octet[1] == 168))
+        | ((octet[0] == 172) & (octet[1] >= 16) & (octet[1] <= 31))
+    )
+
+
 def normalize_to_keys(urls: DataFrame, cfg: WalkerConfig, url_col: str = "url") -> DataFrame:
     """url strings -> (dom, subdom, path, proto, norm_url), dropping
     rows that fail to parse or lack an eTLD+1 (ParseAndNormalizeURL
-    returning error, url.go:94-101)."""
-    from walker_spark.functions.udfs import make_url_key_udf
+    returning error, url.go:94-101) and, when
+    ``blacklist_private_ips`` is set, private-range IP-literal hosts
+    (F5)."""
+    from walker_spark.functions.udfs import host_col, make_url_key_udf
 
     key_udf = make_url_key_udf(cfg.fetcher.purge_sid_list)
-    return (
+    keys = (
         urls.withColumn("_k", key_udf(F.col(url_col)))
         .select("_k.dom", "_k.subdom", "_k.path", "_k.proto", "_k.norm_url")
         .filter(F.col("dom").isNotNull())
     )
+    if cfg.fetcher.blacklist_private_ips:
+        keys = keys.filter(
+            ~private_ip_host_condition(host_col(F.col("subdom"), F.col("dom")))
+        )
+    return keys
 
 
 def new_link_rows(keys: DataFrame) -> DataFrame:
@@ -47,16 +73,15 @@ def new_link_rows(keys: DataFrame) -> DataFrame:
     return row.select(*[f.name for f in schemas.LINKS.fields])
 
 
-def add_new_domains(store: FrontierStore, keys: DataFrame, cfg: WalkerConfig) -> int:
-    """Append domains unseen in domain_info (J4 anti-join; reference
-    hasDomain/addDomain, datastore.go:479-535)."""
-    if not cfg.frontier.add_new_domains:
-        return 0
-    existing = store.read("domain_info").select("dom")
-    fresh = (
+def new_domain_rows(keys: DataFrame, cfg: WalkerConfig, existing: DataFrame) -> DataFrame:
+    """Full domain_info rows for domains in ``keys`` absent from
+    ``existing`` (J4 anti-join; reference hasDomain/addDomain,
+    datastore.go:479-535). Pure plan — callers decide whether to append
+    standalone or fold into a fused superstep commit."""
+    return (
         keys.select("dom")
         .dropDuplicates()
-        .join(existing, "dom", "left_anti")
+        .join(existing.select("dom"), "dom", "left_anti")
         .select(
             "dom",
             F.lit(cfg.frontier.default_domain_priority).alias("priority"),
@@ -73,6 +98,13 @@ def add_new_domains(store: FrontierStore, keys: DataFrame, cfg: WalkerConfig) ->
             F.lit(0).cast("long").alias("next_crawl"),
         )
     )
+
+
+def add_new_domains(store: FrontierStore, keys: DataFrame, cfg: WalkerConfig) -> int:
+    """Standalone append of unseen domains to domain_info."""
+    if not cfg.frontier.add_new_domains:
+        return 0
+    fresh = new_domain_rows(keys, cfg, store.read("domain_info"))
     fresh = fresh.localCheckpoint()
     n = fresh.count()
     if n:

@@ -180,8 +180,33 @@ def iceberg_ddl(catalog: str = "crawl", num_buckets: int = 8192) -> dict[str, st
                 tot_links INT, uncrawled_links INT, queued_links INT,
                 last_dispatch TIMESTAMP, last_empty_dispatch TIMESTAMP,
                 next_crawl BIGINT)
-            USING iceberg""",
+            USING iceberg
+            PARTITIONED BY (bucket({num_buckets}, dom))
+            TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+                           'write.update.mode'='merge-on-read')""",
     }
+
+
+# At 10^8+ domains the sandbox store's snapshot overwrite becomes a
+# full-table rewrite per superstep; on Iceberg the same bookkeeping is
+# a row-touch MERGE so each commit rewrites only the claimed rows'
+# delete/data files (merge-on-read). The superstep already computes
+# claim + unclaim + new-domain state as ONE plan (claim_plan /
+# unclaim_plan / new_domain_rows fused into a single commit), which
+# maps 1:1 onto this statement.
+DOMAIN_INFO_MERGE_SQL = """
+    MERGE INTO {catalog}.domain_info t
+    USING updates u ON t.dom = u.dom
+    WHEN MATCHED THEN UPDATE SET
+        t.claim_tok = u.claim_tok, t.claim_time = u.claim_time,
+        t.dispatched = u.dispatched,
+        t.tot_links = u.tot_links, t.uncrawled_links = u.uncrawled_links,
+        t.queued_links = u.queued_links,
+        t.last_dispatch = u.last_dispatch,
+        t.last_empty_dispatch = u.last_empty_dispatch,
+        t.next_crawl = u.next_crawl
+    WHEN NOT MATCHED THEN INSERT *
+"""
 
 
 TABLES: dict[str, StructType] = {
