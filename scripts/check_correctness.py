@@ -26,7 +26,9 @@ def norm_cell(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # full precision: the driver's hash is float-sensitive to the
+        # last ulp (domain_stats round-1 lesson) — the mimic must be too
+        return f"{v:.17g}"
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ").replace("+00:00", "")
     if isinstance(v, bool):
