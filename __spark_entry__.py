@@ -353,6 +353,39 @@ def q_multimodal_features(spark, sf_dir):
     return decode_and_extract(assets).select("asset_id", "kind", "n_bytes", "checksum")
 
 
+def q_sample_deterministic(spark, sf_dir):
+    """Reproducible hash-based sampling (no RNG state — stable across
+    retries/partitionings, unlike df.sample)."""
+    from walker_spark.operators.curation import deterministic_sample
+
+    return deterministic_sample(_t(spark, sf_dir, "documents"), rate=0.25)
+
+
+def q_cap_per_source(spark, sf_dir):
+    """Data-mix balancing: at most k docs per source."""
+    from walker_spark.operators.curation import cap_per_source
+
+    return cap_per_source(_t(spark, sf_dir, "documents"), k=40)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (pack_id by running token sum)."""
+    from walker_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget_tokens=512)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing an 8-gram with the
+    held-out benchmark slice (doc_id % 97 == 0 simulates the eval set)."""
+    from walker_spark.operators.curation import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)  # 4-grams: non-trivial
+    # hit rate on the synthetic vocab (8-grams never collide there)
+    return contaminated_docs(docs.filter(F.col("doc_id") % 97 != 0), bench, ngram=4)
+
+
 def q_frame_sampling(spark, sf_dir):
     """Video frame-sampling fan-out (fake durations are hash-derived —
     rows-only check)."""
@@ -407,6 +440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "frame_sampling": q_frame_sampling,
+        "sample_deterministic": q_sample_deterministic,
+        "cap_per_source": q_cap_per_source,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -643,6 +680,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "ann_topk": _ann_topk_sql(),
         "frame_sampling": _frame_sampling_sql(),
+        "sample_deterministic": f"""
+            SELECT doc_id AS id FROM documents
+            WHERE ({_md5_hex_int_sql("CAST(doc_id AS VARCHAR)", 8)}) / 4294967296.0 < 0.25""",
+        "cap_per_source": """
+            SELECT doc_id AS id, source, rk FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 40""",
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id AS id, source,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT id, source, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS pack_id
+            FROM t""",
+        "decontaminate": f"""
+            WITH cg AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id, unnest(list_transform(
+                    range(0, greatest(len(toks) - 4, 0) + 1),
+                    i -> array_to_string(toks[i+1:i+4], ' '))) AS s
+                FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+                      WHERE doc_id % 97 <> 0))
+              WHERE length(s) > 0
+            ), bg AS (
+              SELECT DISTINCT s FROM (
+                SELECT unnest(list_transform(
+                    range(0, greatest(len(toks) - 4, 0) + 1),
+                    i -> array_to_string(toks[i+1:i+4], ' '))) AS s
+                FROM (SELECT {_TOKS_SQL} AS toks FROM documents
+                      WHERE doc_id % 97 = 0))
+              WHERE length(s) > 0
+            )
+            SELECT DISTINCT doc_id AS id FROM cg WHERE s IN (SELECT s FROM bg)""",
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
         # available in DuckDB). The md5-token variant dedup_simhash_md5
@@ -676,6 +752,15 @@ def _ann_topk_sql(k: int = 10, n_planes: int = 8, seed: int = 13, multiprobe: in
         FROM bucketed
         WHERE bucket IN ({', '.join(str(p) for p in probes)})
         ORDER BY score DESC, id LIMIT {k}"""
+
+
+def _md5_hex_int_sql(expr: str, n_hex: int) -> str:
+    """DuckDB expression: integer value of the first ``n_hex`` hex
+    digits of md5(expr), decoded positionally."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1) * {16 ** (n_hex - i)}"
+        for i in range(1, n_hex + 1)
+    )
 
 
 def _frame_sampling_sql(every_ms: int = 10_000, max_frames: int = 32) -> str:

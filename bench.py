@@ -53,6 +53,10 @@ HEADLINE = [
     "quality_scores",
     "doc_fingerprints",
     "multimodal_features",
+    "sample_deterministic",
+    "cap_per_source",
+    "pack_sequences",
+    "decontaminate",
 ]
 
 # crawl corpus sizing per benchmark scale

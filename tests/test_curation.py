@@ -1,0 +1,79 @@
+"""Corpus-curation operators (walker_spark/operators/curation.py):
+deterministic sampling, mix capping, sequence packing, benchmark
+decontamination. Semantics gated here; cross-engine value parity is
+gated by the driver oracles in __spark_entry__."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from walker_spark.operators.curation import (
+    cap_per_source,
+    contaminated_docs,
+    deterministic_sample,
+    pack_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"tok{i % 5} " * (10 + i % 7) + "shared phrase four tokens", f"src{i % 3}")
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_sample_deterministic_and_partition_invariant(docs):
+    s1 = {r["id"] for r in deterministic_sample(docs, 0.3).collect()}
+    s2 = {r["id"] for r in deterministic_sample(docs.repartition(7), 0.3).collect()}
+    assert s1 == s2  # partitioning cannot change the sample
+    assert 0.1 < len(s1) / 200 < 0.5  # rate is approximately honored
+    # monotone: a larger rate strictly contains a smaller one
+    s3 = {r["id"] for r in deterministic_sample(docs, 0.6).collect()}
+    assert s1 <= s3
+
+
+def test_cap_per_source_bounds_and_keeps_smallest(docs):
+    out = cap_per_source(docs, k=10).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r["id"])
+    assert all(len(ids) == 10 for ids in per_src.values())
+    # smallest ids win: src0 holds doc_ids 0,3,6,...
+    assert sorted(per_src["src0"]) == [3 * i for i in range(10)]
+
+
+def test_pack_sequences_budget(docs):
+    out = pack_sequences(docs, budget_tokens=64).collect()
+    # pack ids are contiguous from 0 per source, and every pack except
+    # possibly the last holds >= budget tokens once its overflow doc is
+    # counted (best-effort contiguous fill)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["id"])
+        packs = sorted({r["pack_id"] for r in rows})
+        assert packs == list(range(len(packs)))
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 64
+            cum += r["n_tokens"]
+
+
+def test_contaminated_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "alpha beta gamma delta nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta yy")], "doc_id long, text string"
+    )
+    hit = {r["id"] for r in contaminated_docs(corpus, bench, ngram=4).collect()}
+    assert hit == {1, 3}  # both share the 4-gram "alpha beta gamma delta"
