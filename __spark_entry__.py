@@ -353,6 +353,17 @@ def q_multimodal_features(spark, sf_dir):
     return decode_and_extract(assets).select("asset_id", "kind", "n_bytes", "checksum")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (faiss-IVFFlat shape): deterministic
+    codebook (first-16 vectors), nprobe=4 inverted cells, exact cosine
+    within. refine_iters=0 keeps every step SQL-replayable."""
+    from walker_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10, n_centroids=16, nprobe=4
+    )
+
+
 def q_sample_deterministic(spark, sf_dir):
     """Reproducible hash-based sampling (no RNG state — stable across
     retries/partitionings, unlike df.sample)."""
@@ -434,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "language_id": q_language_id,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -679,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS checksum
             FROM documents""",
         "ann_topk": _ann_topk_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         "frame_sampling": _frame_sampling_sql(),
         "sample_deterministic": f"""
             SELECT doc_id AS id FROM documents
@@ -751,6 +764,42 @@ def _ann_topk_sql(k: int = 10, n_planes: int = 8, seed: int = 13, multiprobe: in
                round(list_cosine_similarity(embedding::DOUBLE[], {_QUERY_VEC_SQL}), 3) AS score
         FROM bucketed
         WHERE bucket IN ({', '.join(str(p) for p in probes)})
+        ORDER BY score DESC, id LIMIT {k}"""
+
+
+def _ivf_topk_sql(k: int = 10, n_centroids: int = 16, nprobe: int = 4, dim: int = 64) -> str:
+    """SQL replica of ivf_topk (refine_iters=0): codebook = first
+    n_centroids vectors by id; assignment = argmin squared L2 with
+    cid tie-break (squares materialized then left-folded, the same op
+    order as the Spark fold); probe = nprobe nearest cells to the
+    query; exact cosine top-k within."""
+    sq = (
+        "list_aggregate(list_transform(range(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), 'sum')"
+    )
+    d_expr = sq.format(n=dim + 1, a="e.embedding", b="c.cv")
+    q_expr = sq.format(n=dim + 1, a="cv", b="q")
+    return f"""
+        WITH c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+        ), d AS (
+          SELECT e.vec_id, c.cid, {d_expr} AS dist
+          FROM embeddings e CROSS JOIN c0 c
+        ), a AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d)
+          WHERE rn = 1
+        ), qd AS (
+          SELECT cid, {q_expr} AS qdist
+          FROM (SELECT cid, cv, {_QUERY_VEC_SQL} AS q FROM c0)
+        ), probe AS (SELECT cid FROM qd ORDER BY qdist, cid LIMIT {nprobe})
+        SELECT e.vec_id AS id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], {_QUERY_VEC_SQL}), 3) AS score
+        FROM embeddings e JOIN a USING (vec_id)
+        WHERE a.cid IN (SELECT cid FROM probe)
         ORDER BY score DESC, id LIMIT {k}"""
 
 

@@ -144,3 +144,40 @@ def test_embedding_dup_pairs_symmetric_threshold(spark):
         (r["id_a"], r["id_b"]) for r in dedup.embedding_dup_pairs(df, 0.95).collect()
     }
     assert pairs == {(1, 2)}  # (1,4) blocked by label; (1,3) orthogonal
+
+
+def test_ivf_recall_and_refinement(spark):
+    """IVF on the clustered corpus: probing the cells nearest the query
+    recovers the true top-k; one Lloyd iteration moves the sampled
+    codebook toward the real cluster centers without hurting recall."""
+    import hashlib
+
+    def prand(*parts):
+        h = int.from_bytes(hashlib.md5(":".join(map(str, parts)).encode()).digest()[:8], "big")
+        return (h / 2**63) - 1.0
+
+    dim = 16
+    centroids = [[prand("c", c, d) for d in range(dim)] for c in range(4)]
+    vecs = []
+    for i in range(200):
+        c = i % 4
+        vecs.append((i, [centroids[c][d] + 0.05 * prand("n", i, d) for d in range(dim)], c))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    q = [centroids[0][d] + 0.03 * prand("q", d) for d in range(dim)]
+
+    exact = [r["id"] for r in similarity.cosine_topk(df, q, k=10).collect()]
+    for iters in (0, 1):
+        approx = [
+            r["id"]
+            for r in similarity.ivf_topk(
+                df, q, k=10, n_centroids=8, nprobe=3, refine_iters=iters
+            ).collect()
+        ]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.7, (iters, recall, exact, approx)
+
+    # Lloyd refinement is deterministic (decimal sums): two runs agree
+    cb0 = similarity.ivf_sample_centroids(df, 8)
+    r1 = similarity.ivf_refine_centroids(df, cb0, iters=2)
+    r2 = similarity.ivf_refine_centroids(df.repartition(5), cb0, iters=2)
+    assert r1 == r2

@@ -128,6 +128,125 @@ def ann_topk(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def _sq_l2(vec_col, centroid: list[float]):
+    """Squared L2 distance to a literal centroid: squares materialized
+    then left-folded — the same op order as DuckDB's
+    list_transform + list_aggregate('sum'), so distances are
+    bit-comparable across engines."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_sample_centroids(
+    df: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic codebook: the vectors with the ``n_centroids``
+    smallest ids, in id order (cid = rank). Collecting the codebook is
+    driver-side by design — it IS the index, a few KB. Production
+    pipelines would train it offline (k-means); see
+    :func:`ivf_refine_centroids` for the Lloyd step."""
+    rows = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid): nearest centroid by squared L2, ties to the smallest
+    cid (array_position returns the first minimum). One narrow map —
+    no shuffle; the inverted-file partition of a 10^10-vector corpus."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[_sq_l2(v, c) for c in centroids])
+    return df.select(
+        F.col(id_col).alias("id"),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cid"),
+    )
+
+
+def ivf_refine_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement: re-center each cell on the mean of its members.
+    Per-component sums run in DECIMAL(28,10) so the result is
+    independent of partitioning/summation order (empty cells keep their
+    previous centroid). Returns the refined codebook."""
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        comp = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+            )
+            .join(assigned, "id")
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(28,10)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        acc: dict[int, dict[int, tuple]] = {}
+        for r in comp:
+            acc.setdefault(int(r["cid"]), {})[int(r["pos"])] = (r["s"], int(r["n"]))
+        for cid, by_pos in acc.items():
+            new[cid] = [
+                float(by_pos[p][0]) / by_pos[p][1] for p in sorted(by_pos)
+            ]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k (faiss-IVFFlat shape): partition the corpus
+    into ``n_centroids`` inverted cells, probe the ``nprobe`` cells
+    nearest the query, brute-force cosine top-k within them. With
+    ``refine_iters=0`` every step is deterministic arithmetic over the
+    data + literals, so a SQL oracle can replay it exactly."""
+    centroids = ivf_sample_centroids(df, n_centroids, id_col, vec_col)
+    if refine_iters:
+        centroids = ivf_refine_centroids(df, centroids, refine_iters, id_col, vec_col)
+    # probe order: squared L2 of centroid vs query, computed with the
+    # same left fold as the assignment (ties to the smaller cid)
+    qd = sorted(
+        (sum((x - y) * (x - y) for x, y in zip(c, query_vec)), cid)
+        for cid, c in enumerate(centroids)
+    )
+    probes = [cid for _, cid in qd[:nprobe]]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    cand = df.join(
+        assigned.filter(F.col("cid").isin(probes)).select(F.col("id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,
