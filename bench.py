@@ -53,6 +53,7 @@ HEADLINE = [
     "quality_scores",
     "doc_fingerprints",
     "multimodal_features",
+    "ivf_topk",
     "sample_deterministic",
     "cap_per_source",
     "pack_sequences",

@@ -209,7 +209,7 @@ def _redirect_target(raw: bytes):
     return m.group(1).decode("utf-8", "replace") if m else None
 
 
-def _make_parse_fn(cfg: WalkerConfig, now_ms: int):
+def _make_parse_fn(cfg: WalkerConfig, now_ms: int, emit_text: bool = True):
     parser_cfg = htmlparse.parser_cfg(
         cfg.fetcher.ignore_tags,
         cfg.fetcher.honor_meta_nofollow,
@@ -295,7 +295,12 @@ def _make_parse_fn(cfg: WalkerConfig, now_ms: int):
                     body_out[i] = raw.decode("utf-8", "replace")
                 if isinstance(mime, str) and mime.startswith("text/html"):
                     res = htmlparse.parse_html(raw, parser_cfg)
-                    text[i] = res.text
+                    # emit_text=False skips Arrow transfer + checkpoint
+                    # IO of the extracted text (the dominant column)
+                    # when no content handler consumes it; fnv_txt is
+                    # fingerprinted either way
+                    if emit_text:
+                        text[i] = res.text
                     txt_in[i] = res.text
                     noindex[i] = res.meta_noindex
                     nofollow[i] = res.meta_nofollow
@@ -525,7 +530,9 @@ def run_fetch(
 
     results = fetched.select(
         "dom", "subdom", "path", "proto", "url", "html", "mime", "found", "not_modified"
-    ).mapInPandas(_make_parse_fn(cfg, now_ms), _PARSE_OUT)
+    ).mapInPandas(
+        _make_parse_fn(cfg, now_ms, emit_text=handler is not None), _PARSE_OUT
+    )
     results = results.localCheckpoint()
     _mark("fetch_parse")
 
