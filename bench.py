@@ -191,6 +191,15 @@ def run_fetch_kernel(spark, pages_path: str, frontier_path: str, cfg=None) -> di
         )
         .withColumn("time", F.timestamp_millis(F.lit(0)))
     )
+    # Materialize the bounded work side ONCE before it fans out into the
+    # broadcast build and the not-found anti-join: without this the
+    # politeness window subplan executes twice (once inside the
+    # broadcast-exchange build, once for the anti-join), and the second
+    # run is serial driver-adjacent latency that charges straight
+    # against scaling efficiency (measured: ~7s at local[8] on the
+    # 308k-page corpus — eff 0.61 -> 0.70). On a cluster this is the
+    # cached claim output feeding both consumers.
+    work = work.localCheckpoint()
     # Join strategy: in the real engine the work side is structurally
     # bounded (claim_limit x segment cap) so it broadcasts and pages
     # never shuffles (run_fetch's J2 plan). The kernel bench drives the
@@ -203,12 +212,16 @@ def run_fetch_kernel(spark, pages_path: str, frontier_path: str, cfg=None) -> di
     # side is large; broadcast stays the default.
     page_side = pages.select("url", "warc_ts", "html")
     join_mode = os.environ.get("SPARK_GRAFT_KERNEL_JOIN", "broadcast")
-    work_side = F.broadcast(work) if join_mode == "broadcast" else work
+    # broadcast only the columns the parse stage consumes — the hash
+    # relation serializes once per executor, so slimming it trims the
+    # serial build/ship term
+    work_slim = work.select("url", "dom", "subdom", "path", "proto")
+    work_side = F.broadcast(work_slim) if join_mode == "broadcast" else work_slim
     found = page_side.join(work_side, "url", "inner").withColumn(
         "found", F.lit(True)
     )
     missing = (
-        work.join(page_side.select("url"), "url", "left_anti")
+        work_slim.join(page_side.select("url"), "url", "left_anti")
         .withColumn("warc_ts", F.lit(None).cast("timestamp"))
         .withColumn("html", F.lit(None).cast("binary"))
         .withColumn("found", F.lit(False))

@@ -183,10 +183,21 @@ def jaccard_pairs(
     prefix = ranked.join(reps.select("_id", "sz"), "_id").filter(
         F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     )
+    # size-compatibility inside the join (see minhash_lsh_pairs): a
+    # prefix collision between sets with t*max(sz) > min(sz) can never
+    # verify, so it is dropped before the candidate dedup shuffle
+    pa = prefix.select(F.col("_id").alias("id_a"), "shingle", F.col("sz").alias("sza"))
+    pb = prefix.select(F.col("_id").alias("id_b"), "shingle", F.col("sz").alias("szb"))
     cand = (
-        prefix.select(F.col("_id").alias("id_a"), "shingle")
-        .join(prefix.select(F.col("_id").alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pa.join(
+            pb,
+            (pa["shingle"] == pb["shingle"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(threshold) * F.greatest("sza", "szb")
+                <= F.least("sza", "szb")
+            ),
+        )
         .select("id_a", "id_b")
         .dropDuplicates()
     )
@@ -285,13 +296,29 @@ def minhash_lsh_pairs(
         F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)]).alias("bh")
         for b in range(bands)
     ]
-    banded = sigs.select(
-        "_id", F.explode(F.array(*band_cols)).alias("band_hash")
+    banded = sigs.join(reps.select("_id", "sz"), "_id").select(
+        "_id", "sz", F.explode(F.array(*band_cols)).alias("band_hash")
     )
+    # Size-compatibility pruning (exact necessary condition — standard
+    # in set-similarity joins, e.g. AllPairs): jaccard(A,B) >= t implies
+    # t * max(|A|,|B|) <= min(|A|,|B|), so size-incompatible band
+    # collisions are dropped INSIDE the join, before the candidate
+    # dedup shuffle. On low-entropy corpora (small vocabularies where
+    # most pairs are genuinely ~0.8-similar and the banding S-curve
+    # cannot separate 0.8 from 0.95) this is the filter that keeps the
+    # candidate set near the true-pair set instead of ~all-pairs x
+    # bands. Never drops a true pair at any threshold.
     cand = (
         banded.alias("x")
-        .join(banded.alias("y"), "band_hash")
-        .filter(F.col("x._id") < F.col("y._id"))
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x._id") < F.col("y._id"))
+            & (
+                F.lit(threshold) * F.greatest(F.col("x.sz"), F.col("y.sz"))
+                <= F.least(F.col("x.sz"), F.col("y.sz"))
+            ),
+        )
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .dropDuplicates()
     )
