@@ -302,6 +302,19 @@ def q_dedup_simhash_md5(spark, sf_dir):
     return simhash_md5_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clustering: MinHash-LSH pairs at 0.95 -> distributed
+    connected components (min-label propagation + pointer jumping; see
+    operators/dedup.py connected_components) -> (doc_id, cluster_id,
+    is_keeper). The oracle replays it as brute-force Jaccard pairs +
+    a recursive-CTE transitive closure in DuckDB."""
+    from walker_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.95, shingle_n=1
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     from walker_spark.operators.similarity import cosine_topk
 
@@ -442,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_md5": q_dedup_simhash_md5,
+        "dedup_components": q_dedup_components,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
@@ -525,6 +539,31 @@ def _hits_sql(words) -> str:
         f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
         for w in words
     )
+
+
+def _dedup_components_sql(threshold: float) -> str:
+    """Connected components over the brute-force near-dup pair graph:
+    symmetric closure of the pairs, recursive transitive closure, then
+    cluster_id = min reachable id (including self)."""
+    pairs = _jaccard_sql(threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id,
+       least(a, min(b)) AS cluster_id,
+       a = least(a, min(b)) AS is_keeper
+FROM reach
+GROUP BY a
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -627,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY {_NORM_TEXT_SQL}""",
         "dedup_jaccard_pairs": _jaccard_sql(0.999),
         "dedup_minhash_lsh": _jaccard_sql(0.95),
+        "dedup_components": _dedup_components_sql(0.95),
         "dedup_simhash_md5": _simhash_md5_sql(3),
         "embedding_topk": f"""
             SELECT vec_id AS id,

@@ -141,6 +141,30 @@ def main():
         ],
     )
 
+    # 5. kernel fetch join against url-bucketed pages: storage-
+    # partitioned sort-merge join — pages scanned in place (bucketed
+    # scan, no Exchange, no driver-built broadcast), only the bounded
+    # work side is exchanged. This is the Iceberg bucket(N, url) plan
+    # the 100 TB kernel runs (bench.run_fetch_kernel join_mode=bucketed).
+    bpath = os.path.join(root, "pages_bucketed")
+    pg = store.read("pages").select("url", "warc_ts", "html")
+    (pg.repartition(8, F.col("url")).write.mode("overwrite")
+       .bucketBy(8, "url").sortBy("url")
+       .option("path", bpath).saveAsTable("plans_pages_b"))
+    bp = spark.table("plans_pages_b")
+    bjoined = bp.join(work.hint("merge"), "url", "inner")
+    ok &= grab(
+        "Kernel fetch join: url-bucketed storage-partitioned merge join",
+        bjoined,
+        [
+            ("SortMergeJoin on url", r"SortMergeJoin", (1,)),
+            ("bucketed pages scan (all buckets selected, scanned in place)",
+             r"SelectedBucketsCount", (1,)),
+            ("exactly one Exchange (work side only; html bytes never move)",
+             r"Exchange hashpartitioning\(url", 1),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

@@ -181,3 +181,26 @@ def test_ivf_recall_and_refinement(spark):
     r1 = similarity.ivf_refine_centroids(df, cb0, iters=2)
     r2 = similarity.ivf_refine_centroids(df.repartition(5), cb0, iters=2)
     assert r1 == r2
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, exercises pointer jumping), pair {10,11},
+    # and an isolated self-contained triangle {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dup_clusters_keeper(docs):
+    out = dedup.near_dup_clusters(
+        docs, threshold=0.5, shingle_n=1, num_perm=64, bands=32
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # docs 0/2/6 are exact dups and 3/4 near-dups at 0.5: keeper = min id
+    assert by_id[3]["cluster_id"] == 3 and by_id[3]["is_keeper"]
+    assert by_id[4]["cluster_id"] == 3 and not by_id[4]["is_keeper"]
+    assert by_id[0]["is_keeper"] and by_id[2]["cluster_id"] == 0 and by_id[6]["cluster_id"] == 0
+    assert 5 not in by_id  # no near-dup -> not in any cluster

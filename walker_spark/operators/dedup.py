@@ -470,6 +470,105 @@ def simhash_md5_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (connected components over a pair graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node of the near-dup pair graph;
+    ``cluster_id`` is the minimum doc id in the node's connected
+    component — the canonical "keeper" every dedup pipeline needs after
+    pair generation (drop all rows where doc_id != cluster_id).
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    a node takes the minimum label over {itself} ∪ neighbors ∪ its
+    label's own label. Neighbor propagation alone converges in
+    O(component diameter) rounds; the pointer-jump join compresses
+    chains so rounds are O(log diameter). Near-dup components are
+    shallow (dups of a page are dups of each other), so real corpora
+    converge in a handful of rounds; each round is two hash joins + a
+    groupBy on (node) — no driver-side graph state, edges never move to
+    the driver. For adversarially long chains the same loop structure
+    admits the large-star/small-star variant (Kiveris et al., MR
+    connected components); not needed at these diameters.
+
+    Iterative-by-nature (like Spark's own GraphFrames CC): each round
+    localCheckpoints the label table (lineage would otherwise grow
+    exponentially) and stops when a fixpoint is reached (0 changes,
+    checked with one count per round)."""
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        jump = labels.select(F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl"))
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .join(jump, labels["lbl"] == jump["j_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nlbl"), F.col("lbl")),
+                    F.coalesce(F.col("j_lbl"), F.col("lbl")),
+                ).alias("lbl"),
+                (F.col("lbl") != F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nlbl"), F.col("lbl")),
+                    F.coalesce(F.col("j_lbl"), F.col("lbl")),
+                )).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs at
+    ``threshold`` -> connected components -> (doc_id, cluster_id,
+    is_keeper). Keeper = the minimum doc id of each cluster (the
+    deterministic survivor a dedup pass keeps)."""
+    pairs = minhash_lsh_pairs(
+        df, threshold=threshold, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, **lsh_kwargs,
+    )
+    comps = connected_components(pairs)
+    return comps.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup (cosine)
 # ---------------------------------------------------------------------------
 

@@ -157,6 +157,16 @@ def run_dispatch(
 ) -> dict:
     """One dispatcher pass (oneShot(1), dispatcher.go:115-126).
     ``now_ms`` is passed explicitly for determinism (tests freeze it)."""
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        timings[stage] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
+
     domain_info = store.read("domain_info")
     eligible = eligible_domains(domain_info, now_ms, cfg).select("dom")
 
@@ -231,6 +241,7 @@ def run_dispatch(
         F.coalesce("uncrawled_links_exact", "uncrawled_links").alias("uncrawled_links"),
     )
     selected = selected.localCheckpoint()  # one computation, two sinks
+    _mark("select")
 
     link_rows = selected.filter(F.col("seq") >= 0)
     # Cassandra PK collapse: duplicate keys keep the last insert (U1/T3).
@@ -259,8 +270,10 @@ def run_dispatch(
     ).collect()[0]
     n_segment_rows = int(mrow["n_seg"])
     n_dispatched = int(mrow["n_dom"])
+    _mark("metrics")
     if n_segment_rows:
         store.append("segments", segment)
+    _mark("segment_write")
 
     # domain_info merge (S7): every eligible domain gets stats + the
     # dispatched flag + last_dispatch/last_empty_dispatch = now
@@ -306,11 +319,13 @@ def run_dispatch(
         )
     )
     store.overwrite("domain_info", merged)
+    _mark("domain_info_merge")
 
     metrics = {
         "segment_rows": n_segment_rows,
         "domains_dispatched": n_dispatched,
         "now_ms": now_ms,
+        "timings": timings,
     }
     store.record_run("dispatch", iteration, {"metrics": metrics})
     return metrics
