@@ -253,6 +253,19 @@ def q_event_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (ST6 — batch form of the
+    applyInPandasWithState streaming sessionizer in
+    streaming/windowed.py; identical semantics, parity-tested):
+    consecutive events of a user closer than 30 min form one session."""
+    from walker_spark.streaming.windowed import sessionize_batch
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return sessionize_batch(events, gap_s=1800)
+
+
 # ---------------------------------------------------------------------------
 # training-data operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -450,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "orders_rollup": q_orders_rollup,
         "event_hourly_rollup": q_event_hourly_rollup,
+        "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -661,6 +675,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid""",
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY {_NORM_TEXT_SQL}""",

@@ -43,6 +43,7 @@ HEADLINE = [
     "revenue_by_nation",
     "orders_rollup",
     "event_hourly_rollup",
+    "sessionize",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
