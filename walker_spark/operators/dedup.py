@@ -594,7 +594,18 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold. A blocking column
     (e.g. a cluster/label or an LSH bucket from similarity.py) bounds
-    the quadratic join; pass None for the full cross join (small n)."""
+    the quadratic join; pass None for the full cross join (small n
+    ONLY — warns, because at corpus scale an unblocked join is O(n^2);
+    derive a bucket with similarity.hyperplane_buckets first)."""
+    if bucket_col_name is None:
+        import warnings
+
+        warnings.warn(
+            "embedding_dup_pairs without a blocking column is a full "
+            "cross join — O(n^2) pairs; block on a label or LSH bucket "
+            "(similarity.py) for anything beyond ~10^4 vectors",
+            stacklevel=2,
+        )
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),

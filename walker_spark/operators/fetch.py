@@ -503,12 +503,29 @@ def run_fetch(
 
     # Fetch join (J2). Per-iteration work is structurally bounded —
     # claim_limit domains x max_links_per_segment links — independent of
-    # frontier scale, so the WORK side is always the broadcastable one.
-    # Broadcasting it keeps the pages scan narrow (no shuffle of html
-    # bytes, the dominant volume); the not-found complement is a
-    # column-pruned anti-join on url only.
+    # frontier scale, so the WORK side is normally the broadcastable
+    # one. Broadcasting it keeps the pages scan narrow (no shuffle of
+    # html bytes, the dominant volume); the not-found complement is a
+    # column-pruned anti-join on url only. Guard: if a mis-set
+    # claim_limit lets an iteration's work grow past broadcastable size
+    # (counted on the already-checkpointed work table — one cheap job),
+    # fall back to letting Catalyst/AQE plan the join rather than
+    # force-feeding the driver a multi-GB hash relation; at that size
+    # the right plan is the storage-partitioned join against
+    # url-bucketed pages that bench.run_fetch_kernel demonstrates
+    # (Iceberg bucket(N, url)).
+    # The count job only runs when the static bound cannot certify the
+    # broadcast (normal configs skip it — no extra superstep action).
     pages = store.read("pages").select("url", "warc_ts", "html")
-    found = pages.join(F.broadcast(fetchable), "url", "inner").withColumn(
+    static_bound = cfg.frontier.claim_limit * cfg.dispatcher.max_links_per_segment
+    if static_bound <= 2_000_000:
+        small_work = True
+    else:
+        small_work = (
+            work.filter(F.col("in_budget") & F.col("allowed")).count() <= 2_000_000
+        )
+    work_join_side = F.broadcast(fetchable) if small_work else fetchable
+    found = pages.join(work_join_side, "url", "inner").withColumn(
         "found", F.lit(True)
     )
     missing = (
