@@ -90,16 +90,32 @@ def main():
         ],
     )
 
-    # 2. robots source pushdown
+    # 2. robots source: one-time materialization scan has the endswith
+    # pushdown + column pruning; the per-superstep rules source then
+    # reads only the tiny robots_pages cache (no pages scan at all)
     from walker_spark.operators.fetch import robots_rules_for_hosts
 
+    build_plan = (
+        store.read("pages")
+        .filter(F.col("url").endswith("/robots.txt"))
+        .select("url", "html")
+    )
+    ok &= grab(
+        "Robots cache build (once per pages snapshot): pushdown + pruning",
+        build_plan,
+        [
+            ("StringEndsWith pushed to scan", r"StringEndsWith", (1,)),
+            ("scan reads only url+html", r"ReadSchema: struct<url:string,html:binary>", (1,)),
+        ],
+    )
     hosts = spark.createDataFrame([("site00000.com",)], "host string")
     rules = robots_rules_for_hosts(store, hosts, cfg)
     ok &= grab(
-        "Robots source: endswith pushdown + column pruning",
+        "Robots rules per superstep: reads the materialized cache only",
         rules,
         [
-            ("StringEndsWith pushed to scan", r"StringEndsWith", (1,)),
+            ("no suffix filter left in the per-superstep plan",
+             r"StringEndsWith", 0),
             ("scan reads only url+html", r"ReadSchema: struct<url:string,html:binary>", (1,)),
         ],
     )

@@ -98,6 +98,33 @@ def mime_accept_condition(mime_col, accept_formats) -> "F.Column":
 # ---------------------------------------------------------------------------
 
 
+def _robots_pages(store: FrontierStore) -> DataFrame:
+    """The /robots.txt subset of pages, materialized once per pages
+    snapshot. The endswith filter IS pushed to the parquet scan
+    (PushedFilters StringEndsWith), but a suffix predicate cannot use
+    row-group statistics, so the pushed filter still reads the url
+    column of every row group — a full-table column scan per superstep,
+    which at 100 TB is the wrong plan. The reference caches robots per
+    host in fetcher memory (fetcher.go:656-721); the table analog is
+    this tiny materialized subset, rebuilt only when the pages snapshot
+    version changes."""
+    meta = store.get_meta("robots_pages")
+    pages_version = store.version("pages")
+    if (
+        meta is None
+        or meta.get("pages_version") != pages_version
+        or not store.exists("robots_pages")
+    ):
+        subset = (
+            store.read("pages")
+            .filter(F.col("url").endswith("/robots.txt"))
+            .select("url", "html")
+        )
+        store.overwrite("robots_pages", subset)
+        store.put_meta("robots_pages", {"pages_version": pages_version})
+    return store.read("robots_pages")
+
+
 def robots_rules_for_hosts(
     store: FrontierStore, hosts: DataFrame, cfg: WalkerConfig
 ) -> DataFrame:
@@ -105,14 +132,7 @@ def robots_rules_for_hosts(
     2xx-fetchable robots.txt get the default group: no rules + default
     crawl delay (fetcher.go:698-706). Small per-iteration output —
     intended for a broadcast join (J3)."""
-    # pushdown: only /robots.txt rows can match — the endswith filter
-    # reaches the parquet scan and prunes ~all pages (check PushedFilters
-    # StringEndsWith in .explain)
-    pages = (
-        store.read("pages")
-        .filter(F.col("url").endswith("/robots.txt"))
-        .select("url", "html")
-    )
+    pages = _robots_pages(store)
     robots_url = F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
     joined = hosts.select("host").dropDuplicates().withColumn("_rurl", robots_url).join(
         pages.withColumnRenamed("url", "_rurl"), "_rurl", "left"

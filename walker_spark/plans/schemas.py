@@ -124,6 +124,16 @@ FETCH_RESULTS = StructType(
     ]
 )
 
+# Materialized /robots.txt subset of pages (rebuilt when the pages
+# snapshot version changes) — the per-superstep robots source reads
+# this tiny table instead of suffix-scanning all of pages.
+ROBOTS_PAGES = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("html", BinaryType(), True),
+    ]
+)
+
 # Per-host robots rules extracted from `pages` rows at /robots.txt
 # (reference: fetcher.go:656-721). Prefix rules are pre-compiled per
 # host; `crawl_delay` already capped at max_crawl_delay.
@@ -215,6 +225,7 @@ TABLES: dict[str, StructType] = {
     "segments": SEGMENTS,
     "domain_info": DOMAIN_INFO,
     "robots_rules": ROBOTS_RULES,
+    "robots_pages": ROBOTS_PAGES,
     "url_seen_bloom": URL_SEEN_BLOOM,
 }
 

@@ -50,6 +50,15 @@ class CrawlEngine:
         if not isinstance(urls, DataFrame):
             urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
         out = ingest_urls(self.store, urls, self.cfg, use_bloom=self.use_bloom)
+        # Pre-materialize the robots cache (the /robots.txt subset of
+        # pages) as part of frontier preparation, so no superstep pays
+        # the full pages suffix-scan — real crawlers warm robots caches
+        # at ingest; the lazy build in _robots_pages remains the
+        # fallback when pages changes mid-run.
+        from walker_spark.operators.fetch import _robots_pages
+
+        if self.store.exists("pages"):
+            _robots_pages(self.store)
         if self.use_bloom:
             # initial bloom snapshot; later appends are covered by the
             # incremental read_since check until the next rebuild
