@@ -315,6 +315,26 @@ def q_dedup_simhash_md5(spark, sf_dir):
     return simhash_md5_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone numbers -> placeholder
+    tokens + per-doc match counts). The synthetic documents carry no
+    PII, so the query first injects deterministic fake PII derived
+    from doc_id — built identically in the SQL oracle — making the
+    cross-engine comparison exercise the actual regex semantics."""
+    from walker_spark.operators.textstats import redact_pii
+
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com or +1-555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".7"),
+    )
+    df = _t(spark, sf_dir, "documents").select("doc_id", injected.alias("text"))
+    return redact_pii(df)
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup clustering: MinHash-LSH pairs at 0.95 -> distributed
     connected components (min-label propagation + pointer jumping; see
@@ -470,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_components": q_dedup_components,
+        "redact_pii": q_redact_pii,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
@@ -698,6 +719,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _jaccard_sql(0.999),
         "dedup_minhash_lsh": _jaccard_sql(0.95),
         "dedup_components": _dedup_components_sql(0.95),
+        "redact_pii": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1-555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                     AS t
+              FROM documents)
+            SELECT doc_id AS id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS clean_text,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                   len(regexp_extract_all(t, '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone
+            FROM injected""",
         "dedup_simhash_md5": _simhash_md5_sql(3),
         "embedding_topk": f"""
             SELECT vec_id AS id,

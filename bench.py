@@ -54,6 +54,7 @@ HEADLINE = [
     "token_stats",
     "quality_scores",
     "doc_fingerprints",
+    "redact_pii",
     "multimodal_features",
     "ivf_topk",
     "sample_deterministic",

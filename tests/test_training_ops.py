@@ -204,3 +204,20 @@ def test_near_dup_clusters_keeper(docs):
     assert by_id[4]["cluster_id"] == 3 and not by_id[4]["is_keeper"]
     assert by_id[0]["is_keeper"] and by_id[2]["cluster_id"] == 0 and by_id[6]["cluster_id"] == 0
     assert 5 not in by_id  # no near-dup -> not in any cluster
+
+
+def test_redact_pii(spark):
+    from walker_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@foo-bar.org and 192.168.0.1 call +44-123-456-7890 done"),
+            (2, "no pii here, just 1.2 numbers and an @ sign"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in textstats.redact_pii(df).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> and <IP> call <PHONE> done"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[2]["clean_text"] == "no pii here, just 1.2 numbers and an @ sign"
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)

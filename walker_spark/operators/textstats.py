@@ -102,6 +102,43 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+# PII patterns chosen from the Java-regex ∩ RE2 common subset so the
+# same pattern strings run verbatim on Spark and DuckDB (no lookaround,
+# no backreferences).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, clean_text, n_email, n_ip, n_phone): replace emails, IPv4
+    literals and international-format phone numbers with placeholder
+    tokens, counting matches per document. Order matters (emails first:
+    an address would otherwise partially match the phone/ip digit
+    runs). All JVM-side regexp_replace / regexp_extract_all — one
+    narrow projection, no shuffle; at 100 TB this runs inside the same
+    whole-stage-codegen pass as the rest of the cleaning pipeline.
+    Heuristic by design (like every regex PII pass): the point is the
+    distributed plumbing and cross-engine determinism, not recall."""
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for name, pat, _tok in PII_PATTERNS
+    }
+    clean = t
+    for _name, pat, tok in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, tok)
+    return df.select(
+        F.col(id_col).alias("id"),
+        clean.alias("clean_text"),
+        counts["email"].cast("int").alias("n_email"),
+        counts["ip"].cast("int").alias("n_ip"),
+        counts["phone"].cast("int").alias("n_phone"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fingerprint): md5 of whitespace-normalized lower-cased text
     — the cross-engine-stable document fingerprint (the engine's own
