@@ -180,8 +180,19 @@ def main():
         pages_path = os.path.join(reuse, "pages")
         frontier_path = os.path.join(reuse, "frontier")
         print("== reusing fixtures/bench-corpus ==", file=sys.stderr)
+        def _latest_mtime(d):
+            out = 0.0
+            for r, _s, fs in os.walk(d):
+                for f in fs:
+                    out = max(out, os.path.getmtime(os.path.join(r, f)))
+            return out
+
         mkbucketed = ""
-        if not os.path.isdir(pages_path + "_bucketed"):
+        bpath = pages_path + "_bucketed"
+        # rebuild the bucketed copy when absent OR stale (pages corpus
+        # regenerated after the copy was written) — a silent stale copy
+        # would benchmark the kernel against mismatched inputs
+        if not os.path.isdir(bpath) or _latest_mtime(pages_path) > _latest_mtime(bpath):
             mkbucketed = (
                 "from pyspark.sql import functions as F;"
                 "(s.read.parquet(%r).repartition(bench.KERNEL_PAGE_BUCKETS, F.col('url'))"

@@ -103,7 +103,21 @@ def sessionize_stream(
     the event-time watermark passes its last event + gap (event-time
     timeout), which is when its row is emitted. Custom stateful logic
     via applyInPandasWithState — per-user state never leaves the
-    executor that owns the user's hash partition."""
+    executor that owns the user's hash partition.
+
+    Requires ``spark.sql.session.timeZone=UTC`` (the engine-wide
+    setting): Arrow delivers session-localized naive timestamps, so a
+    non-UTC session would shift the epoch-ms state against the UTC
+    event-time watermark used by setTimeoutTimestamp.
+
+    Ordering: a trigger's events are gathered across ALL Arrow chunks
+    and sorted once (a >maxRecordsPerBatch group arrives as several
+    chunks in no guaranteed order). Across triggers, an event that
+    arrives late but within the watermark merges into the open session
+    when it falls inside the gap window before session_start (lowering
+    session_start); a late event older than that is emitted directly
+    as its own single-event session — state only summarizes the open
+    session, so earlier sessions cannot be reopened retroactively."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ms = gap_s * 1000
@@ -119,16 +133,24 @@ def sessionize_stream(
         n = 0
         if state.exists:
             start_ms, last_ms, n = state.get
+        new_ts = sorted(
+            int(t.value // 10**6)
+            for pdf in pdfs
+            for t in pd.to_datetime(pdf[ts_col])
+        )
         out = []
-        for pdf in pdfs:
-            for ts in sorted(int(t.value // 10**6) for t in pd.to_datetime(pdf[ts_col])):
-                if last_ms is None:
-                    start_ms, last_ms, n = ts, ts, 1
-                elif ts - last_ms <= gap_ms:
-                    last_ms, n = max(last_ms, ts), n + 1
-                else:
-                    out.append((start_ms, last_ms, n))
-                    start_ms, last_ms, n = ts, ts, 1
+        for ts in new_ts:
+            if last_ms is None:
+                start_ms, last_ms, n = ts, ts, 1
+            elif ts >= start_ms - gap_ms and ts - last_ms <= gap_ms:
+                start_ms = min(start_ms, ts)
+                last_ms, n = max(last_ms, ts), n + 1
+            elif ts < start_ms:
+                # late beyond the open session's reach: emit standalone
+                out.append((ts, ts, 1))
+            else:
+                out.append((start_ms, last_ms, n))
+                start_ms, last_ms, n = ts, ts, 1
         state.update((start_ms, last_ms, n))
         state.setTimeoutTimestamp(last_ms + gap_ms)
         for s in out:
@@ -158,28 +180,19 @@ def sessionize_batch(
     for the streaming operator, and the backfill path): lag() marks
     session starts, a running sum assigns session ids, then one groupBy
     — two window passes over a single hash(user) shuffle."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_exceeded = (
+        F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    ) > gap_s * 1000
     ses = (
         events.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))
-        .withColumn(
-            "_new",
-            (
-                F.coalesce(
-                    F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(
-                        Window.partitionBy("user_id").orderBy("ts")
-                    )),
-                    F.lit(None).cast("long"),
-                )
-                > gap_s * 1000
-            ).cast("int"),
-        )
-        .withColumn("_new", F.coalesce(F.col("_new"), F.lit(1)))
+        # lag NULL (first event) -> NULL comparison -> coalesce to 1:
+        # every user's first event opens a session
+        .withColumn("_new", F.coalesce(gap_exceeded.cast("int"), F.lit(1)))
         .withColumn(
             "_sid",
             F.sum("_new").over(
-                Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
     )
