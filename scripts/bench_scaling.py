@@ -287,7 +287,8 @@ bounded work side moves) -> HTML parse + FNV fingerprints (Arrow
 mapInPandas) -> outlink normalize -> URL-seen anti-join. The bucketed
 join replaced the round-1 broadcast join after an A/B showed the
 driver-serial broadcast build was the kernel's main non-scaling term
-(local[4]: 62s bucketed vs 84s broadcast; efficiency 0.95 vs 0.74).
+(local[4]: 62s bucketed vs 84s broadcast; efficiency ~0.9 vs ~0.74
+with the checkpoint-inclusive timer).
 
 | run | parallelism | kernel wall (s) | URLs (fetch+dedup) | URLs/sec |
 |---|---|---|---|---|
