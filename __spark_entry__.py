@@ -90,12 +90,12 @@ def q_domain_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("tot_orders"),
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("open_orders"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
-        # Exact DECIMAL cents arithmetic, then one deterministic
-        # decimal->double conversion: summation order can no longer
-        # change the last ulp between Spark and DuckDB.
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_spend"),
+        # Exact integer cents end-to-end: no double ever appears in the
+        # output, so the driver's float normalization cannot differ
+        # between engines (the r1/r2 hash-mismatch cause).
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("total_spend_cents"),
     )
 
 
@@ -629,7 +629,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS tot_orders,
                    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
                    count(DISTINCT o_orderpriority) AS n_priorities,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_spend_cents
             FROM orders GROUP BY o_custkey""",
         "keyset_pagination": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
