@@ -257,25 +257,35 @@ def run_fetch_kernel(spark, pages_path: str, frontier_path: str, cfg=None) -> di
     # side lets Spark zip the work shuffle with the bucketed scan
     work_slim = work.select("url", "dom", "subdom", "path", "proto")
     if join_mode == "broadcast":
-        work_side = F.broadcast(work_slim)
-    elif join_mode == "bucketed":
-        # pin sort-merge so AQE can't flip to a driver-built broadcast;
-        # the pages side is bucketed+sorted by url, so the merge join
-        # reads it in place and only sorts the shuffled work side
-        work_side = work_slim.hint("merge")
+        # broadcast mode must keep the found/missing union: a LEFT
+        # OUTER join streams the preserved work side, so work can't be
+        # the broadcast build side there
+        found = page_side.join(F.broadcast(work_slim), "url", "inner").withColumn(
+            "found", F.lit(True)
+        )
+        missing = (
+            work_slim.join(page_side.select("url"), "url", "left_anti")
+            .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("found", F.lit(False))
+        )
+        fetched = found.unionByName(missing.select(*found.columns))
     else:
-        work_side = work_slim
-    found = page_side.join(work_side, "url", "inner").withColumn(
-        "found", F.lit(True)
-    )
-    missing = (
-        work_slim.join(page_side.select("url"), "url", "left_anti")
-        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
-        .withColumn("html", F.lit(None).cast("binary"))
-        .withColumn("found", F.lit(False))
-    )
+        # bucketed/shuffle/auto: ONE left-outer join replaces the
+        # found-union-missing shape — pages is scanned exactly once and
+        # there is no anti-join over the corpus url column at all.
+        # Under "bucketed" the merge hint pins SMJ so the pages side is
+        # read in place (bucketed+sorted by url) and only the work side
+        # shuffles.
+        page_flagged = page_side.withColumn("found", F.lit(True))
+        if join_mode == "bucketed":
+            page_flagged = page_flagged.hint("merge")
+        fetched = (
+            work_slim.join(page_flagged, "url", "left")
+            .withColumn("found", F.coalesce(F.col("found"), F.lit(False)))
+        )
     fetched = (
-        found.unionByName(missing.select(*found.columns))
+        fetched
         .withColumn("mime", mime_from_path(F.col("path")))
         .withColumn("not_modified", F.lit(False))
     )

@@ -136,6 +136,29 @@ def main():
         ],
     )
 
+    # 3b. missing-side complement: after the (checkpointed) found set is
+    # computed, the not-found rows come from an anti-join against the
+    # BOUNDED found-url set broadcast executor-side — the per-superstep
+    # plan touches pages exactly once (the fetch join above); the
+    # missing plan must contain NO pages scan and NO exchange of a
+    # corpus url column.
+    found_ck = joined.withColumn("found", F.lit(True)).localCheckpoint()
+    missing_plan = work.join(F.broadcast(found_ck.select("url")), "url", "left_anti")
+    ok &= grab(
+        "Fetch missing set: anti-join against broadcast found urls (no pages access)",
+        missing_plan,
+        [
+            ("broadcast anti-join on the bounded found set",
+             r"BroadcastHashJoin \[url[^\]]*\], \[url[^\]]*\], LeftAnti", (1,)),
+            ("no pages scan in the missing plan: the only parquet scan is the "
+             "work/links side; found urls come from the checkpointed RDD",
+             r"Scan parquet", 1),
+            ("no parquet read of html (pages columns only appear in the "
+             "checkpointed RDD schema)", r"ReadSchema:[^\n]*html", 0),
+            ("no exchange of a url column", r"Exchange hashpartitioning\(url", 0),
+        ],
+    )
+
     # 4. URL-seen bloom probe: co-partitioned cogroup, no driver bitmaps
     from walker_spark.operators import urlseen as US
 

@@ -545,11 +545,20 @@ def run_fetch(
             work.filter(F.col("in_budget") & F.col("allowed")).count() <= 2_000_000
         )
     work_join_side = F.broadcast(fetchable) if small_work else fetchable
-    found = pages.join(work_join_side, "url", "inner").withColumn(
-        "found", F.lit(True)
+    # Materialize the found set once: pages is the 100 TB side and this
+    # is the superstep's ONLY scan of it. The checkpoint holds the
+    # claimed working set (bounded by claim_limit x segment cap — the
+    # same volume the parse stage consumes anyway); the not-found
+    # complement then anti-joins the bounded found-url set broadcast
+    # executor-side, instead of re-scanning the url column of the
+    # entire corpus every iteration.
+    found = (
+        pages.join(work_join_side, "url", "inner")
+        .withColumn("found", F.lit(True))
+        .localCheckpoint()
     )
     missing = (
-        fetchable.join(pages.select("url"), "url", "left_anti")
+        fetchable.join(F.broadcast(found.select("url")), "url", "left_anti")
         .withColumn("warc_ts", F.lit(None).cast("timestamp"))
         .withColumn("html", F.lit(None).cast("binary"))
         .withColumn("found", F.lit(False))
