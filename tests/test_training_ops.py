@@ -206,6 +206,38 @@ def test_near_dup_clusters_keeper(docs):
     assert 5 not in by_id  # no near-dup -> not in any cluster
 
 
+def test_near_dup_clusters_pairs_reuse_and_singletons(spark, docs):
+    # precomputed pairs (pipeline reuse) == recomputing the LSH join
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, shingle_n=1, num_perm=64, bands=32
+    ).localCheckpoint()
+    reused = sorted(tuple(r) for r in dedup.near_dup_clusters(pairs=pairs).collect())
+    direct = sorted(
+        tuple(r)
+        for r in dedup.near_dup_clusters(
+            docs, threshold=0.5, shingle_n=1, num_perm=64, bands=32
+        ).collect()
+    )
+    assert reused == direct
+    # include_singletons emits every document, dup-free ones as keepers
+    full = dedup.near_dup_clusters(docs, pairs=pairs, include_singletons=True)
+    rows = {r["doc_id"]: r for r in full.collect()}
+    assert set(rows) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert rows[5]["is_keeper"] and rows[5]["cluster_id"] == 5  # singleton
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.near_dup_clusters()
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.connected_components(pairs, max_iterations=0)
+
+
 def test_redact_pii(spark):
     from walker_spark.operators import textstats
 

@@ -541,26 +541,62 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        # Partially-propagated labels are silently-wrong cluster ids
+        # (and a wrong is_keeper downstream) — fail loudly instead.
+        # Unreachable at realistic diameters: pointer jumping converges
+        # in O(log diameter) rounds.
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within "
+            f"{max_iterations} iterations; raise max_iterations"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
 def near_dup_clusters(
-    df: DataFrame,
+    df: DataFrame | None = None,
     threshold: float = 0.95,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 1,
+    pairs: DataFrame | None = None,
+    include_singletons: bool = False,
     **lsh_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH pairs at
     ``threshold`` -> connected components -> (doc_id, cluster_id,
     is_keeper). Keeper = the minimum doc id of each cluster (the
-    deterministic survivor a dedup pass keeps)."""
-    pairs = minhash_lsh_pairs(
-        df, threshold=threshold, id_col=id_col, text_col=text_col,
-        shingle_n=shingle_n, **lsh_kwargs,
-    )
+    deterministic survivor a dedup pass keeps).
+
+    ``pairs``: a precomputed (id_a, id_b, ...) near-dup pair DataFrame
+    — pass it when an upstream stage already ran the LSH join (a real
+    pipeline materializes pairs once and reuses them; recomputing the
+    banded join inside clustering doubles the dominant cost).
+
+    Output covers only nodes of the pair graph by default — documents
+    with no near-dup are absent. To drop dups, LEFT join documents to
+    this result and keep rows where ``coalesce(is_keeper, true)`` (a
+    missing row means the document is its own keeper); an inner join +
+    ``doc_id == cluster_id`` would silently discard the entire
+    dup-free majority of a real corpus. Or pass
+    ``include_singletons=True`` (requires ``df``) to emit every
+    document as its own keeper row."""
+    if pairs is None:
+        if df is None:
+            raise ValueError("near_dup_clusters needs df or pairs")
+        pairs = minhash_lsh_pairs(
+            df, threshold=threshold, id_col=id_col, text_col=text_col,
+            shingle_n=shingle_n, **lsh_kwargs,
+        )
     comps = connected_components(pairs)
+    if include_singletons:
+        if df is None:
+            raise ValueError("include_singletons=True requires df")
+        ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+        comps = ids.join(comps, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
     return comps.select(
         "doc_id",
         "cluster_id",
