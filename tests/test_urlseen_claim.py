@@ -52,6 +52,17 @@ def test_bloom_parity_with_exact_antijoin(spark, tmp_path):
     }
     assert with_bloom == exact
     assert len(exact) == 250  # 300 candidates - 100 already seen + 50 new
+    # both probe strategies (size-adaptive picks one; force each) agree
+    for strategy in ("broadcast", "cogroup"):
+        got = {
+            tuple(r)
+            for r in urlseen.filter_unseen(
+                store, candidates, use_bloom=True, probe_strategy=strategy
+            )
+            .select(*schemas.LINK_KEY)
+            .collect()
+        }
+        assert got == exact, strategy
 
 
 def test_bloom_incremental_update(spark, tmp_path):

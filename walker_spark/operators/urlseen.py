@@ -26,6 +26,7 @@ bucket it doesn't own.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -151,6 +152,87 @@ def update_bloom(store: FrontierStore, new_keys: DataFrame) -> None:
     )
 
 
+# Bitmap sets at or below this total size are probed via an
+# executor-side Spark broadcast of the bucket->bitmap map (one bounded
+# build pass per bloom snapshot — the same driver role a broadcast-join
+# build has); larger sets use the cogrouped per-bucket delivery where
+# no task ever holds more than its own bucket's bitmap.
+_BLOOM_BROADCAST_MAX = int(
+    os.environ.get("SPARK_GRAFT_BLOOM_BROADCAST_MAX", str(128 << 20))
+)
+
+# one broadcast per (store root, bloom snapshot): the bloom only
+# changes at rebuild (compaction), so supersteps between rebuilds reuse
+# the same broadcast instead of re-collecting the table every probe
+_bloom_bc_cache: dict[str, tuple[int, object]] = {}
+
+
+def _bloom_broadcast(store: FrontierStore, links_version: int):
+    cached = _bloom_bc_cache.get(store.root)
+    if cached is not None and cached[0] == links_version:
+        return cached[1]
+    table = {
+        int(r["bucket"]): (
+            int(r["num_bits"]),
+            int(r["num_hashes"]),
+            np.frombuffer(r["bitmap"], dtype=np.uint8),
+        )
+        for r in store.read("url_seen_bloom").collect()
+    }
+    bc = store.spark.sparkContext.broadcast(table)
+    if cached is not None:
+        try:
+            cached[1].unpersist()
+        except Exception:
+            pass
+    _bloom_bc_cache[store.root] = (links_version, bc)
+    return bc
+
+
+def _probe_broadcast(hashed: DataFrame, bc) -> DataFrame:
+    """Tag candidates with ``_maybe`` via mapInPandas against the
+    broadcast bucket->bitmap map: ZERO exchanges — the probe rides
+    whatever distribution the candidate pipeline already has (in the
+    outlink path that is the dom-keyed flow), instead of forcing two
+    bucket exchanges plus a cogroup sort. This is the right plan while
+    the whole bitmap set is broadcastable; past
+    SPARK_GRAFT_BLOOM_BROADCAST_MAX the cogrouped delivery takes over."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        list(hashed.schema.fields) + [StructField("_maybe", BooleanType())]
+    )
+
+    def probe(it):
+        table = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            h1 = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            buckets = pdf["_bucket"].to_numpy()
+            maybe = np.zeros(len(pdf), dtype=bool)
+            for b in np.unique(buckets):
+                ent = table.get(int(b))
+                if ent is None:
+                    continue  # no keys were built there -> nothing seen
+                m, kk, bits = ent
+                sel = buckets == b
+                sh1, sh2 = h1[sel], h2[sel]
+                mask = np.uint64(m - 1)
+                hit = np.ones(int(sel.sum()), dtype=bool)
+                for i in range(kk):
+                    idx = (sh1 + np.uint64(i) * sh2) & mask
+                    byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+                    hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+                maybe[sel] = hit
+            pdf = pdf.copy()
+            pdf["_maybe"] = maybe
+            yield pdf
+
+    return hashed.mapInPandas(probe, out_schema)
+
+
 def _probe_cogrouped(hashed: DataFrame, blooms: DataFrame) -> DataFrame:
     """Tag each candidate row with ``_maybe`` (bloom says maybe-seen)
     via a cogrouped applyInPandas: candidates hash-partitioned on
@@ -196,18 +278,36 @@ def _probe_cogrouped(hashed: DataFrame, blooms: DataFrame) -> DataFrame:
 
 
 def filter_unseen(
-    store: FrontierStore, candidates: DataFrame, use_bloom: bool = False
+    store: FrontierStore,
+    candidates: DataFrame,
+    use_bloom: bool = False,
+    probe_strategy: str | None = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose (dom, subdom, path, proto) is not in
-    the links table. Exact regardless of ``use_bloom``."""
+    the links table. Exact regardless of ``use_bloom``.
+
+    ``probe_strategy``: None = size-adaptive (broadcast the bitmap map
+    while the whole set fits SPARK_GRAFT_BLOOM_BROADCAST_MAX, cogrouped
+    per-bucket delivery above — the 10^10-key plan); "broadcast" or
+    "cogroup" force a path (tests assert their parity)."""
     candidates = candidates.dropDuplicates(LINK_KEY)
     seen = store.read("links").select(*LINK_KEY)
     meta = store.get_meta("url_seen_bloom")
     if not use_bloom or meta is None or not store.exists("url_seen_bloom"):
         return candidates.join(seen, LINK_KEY, "left_anti")
 
-    blooms = store.read("url_seen_bloom")
-    hashed = _probe_cogrouped(_with_hashes(candidates, store.num_buckets), blooms)
+    if probe_strategy is None:
+        total_bytes = store.num_buckets * (int(meta["bits"]) // 8)
+        probe_strategy = (
+            "broadcast" if total_bytes <= _BLOOM_BROADCAST_MAX else "cogroup"
+        )
+    hashed_in = _with_hashes(candidates, store.num_buckets)
+    if probe_strategy == "broadcast":
+        bc = _bloom_broadcast(store, int(meta["links_version"]))
+        hashed = _probe_broadcast(hashed_in, bc)
+    else:
+        blooms = store.read("url_seen_bloom")
+        hashed = _probe_cogrouped(hashed_in, blooms)
     hashed = hashed.localCheckpoint()
     definitely_new = hashed.filter(~F.col("_maybe")).drop("_h1", "_h2", "_bucket", "_maybe")
     needs_verify = hashed.filter(F.col("_maybe")).drop("_h1", "_h2", "_bucket", "_maybe")
