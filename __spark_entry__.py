@@ -300,8 +300,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash hamming<=3 near-dup pairs (no SQL oracle: the 64-bit
-    signature depends on xxhash64 — rows-only check)."""
+    """SimHash hamming<=3 near-dup pairs. No DuckDB SQL oracle (the
+    64-bit signature depends on xxhash64, which DuckDB lacks) — instead
+    the exact oracle is a pytest cross-implementation check: signatures
+    recomputed in pure Python from the public XXH64 spec and ALL pairs
+    brute-forced at hamming<=3 on this same sf0.01 corpus must match
+    the operator's banded pair set exactly
+    (tests/test_training_ops.py::test_simhash_xxhash_exact_hamming_oracle,
+    tests/xxh64_ref.py)."""
     from walker_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)

@@ -230,6 +230,55 @@ def test_near_dup_clusters_pairs_reuse_and_singletons(spark, docs):
         dedup.near_dup_clusters()
 
 
+def test_simhash_xxhash_exact_hamming_oracle(spark):
+    """Exact-hamming oracle for the xxhash64 simhash variant (the one
+    driver query without a DuckDB SQL oracle — DuckDB has no xxhash64).
+    Signatures are recomputed from scratch in pure Python (independent
+    XXH64 per the public spec, tests/xxh64_ref.py; same tokenization:
+    lower, collapse Java \\s, trim, split) and all C(n,2) pairs are
+    brute-forced at hamming<=3 — the operator's banded pair set must
+    match exactly, pairs and distances both."""
+    import re as _re
+
+    from xxh64_ref import xxh64_signed
+
+    sf = "/root/testdata/sf0.01/documents.parquet"
+    docs = spark.read.parquet(sf).select("doc_id", "text")
+    rows = docs.collect()
+
+    def py_simhash(text: str) -> int:
+        toks = [
+            t
+            for t in _re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip().split(" ")
+            if t
+        ]
+        counts = [0] * 64
+        for t in toks:
+            h = xxh64_signed(t.encode("utf-8")) & ((1 << 64) - 1)
+            for i in range(64):
+                counts[i] += 1 if (h >> i) & 1 else -1
+        sig = 0
+        for i in range(64):
+            if counts[i] > 0:
+                sig |= 1 << i
+        return sig
+
+    sigs = {r["doc_id"]: py_simhash(r["text"]) for r in rows}
+    ids = sorted(sigs)
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0  # the corpus genuinely exercises the check
+
+
 def test_connected_components_nonconvergence_raises(spark):
     import pytest as _pytest
 

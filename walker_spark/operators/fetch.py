@@ -676,14 +676,23 @@ def run_fetch(
         handler(handleable)
 
     # ---- segments cleanup + unclaim (datastore.go:276-291) -----------------
-    remaining = store.read("segments").join(
-        processed.select("dom", "subdom", "path", "proto"),
-        ["dom", "subdom", "path", "proto"],
-        "left_anti",
+    # checkpoint the remaining set once: the overwrite consumes it and
+    # the finished-domain calculation reuses it in memory instead of
+    # re-reading the freshly written table (one fewer snapshot read +
+    # anti-join recompute per superstep)
+    remaining = (
+        store.read("segments")
+        .join(
+            processed.select("dom", "subdom", "path", "proto"),
+            ["dom", "subdom", "path", "proto"],
+            "left_anti",
+        )
+        .select(*[f.name for f in schemas.SEGMENTS.fields])
+        .localCheckpoint()
     )
-    store.overwrite("segments", remaining.select(*[f.name for f in schemas.SEGMENTS.fields]))
+    store.overwrite("segments", remaining)
     finished = claimed.select("dom").join(
-        store.read("segments").select("dom").dropDuplicates(), "dom", "left_anti"
+        remaining.select("dom").dropDuplicates(), "dom", "left_anti"
     )
     # ONE domain_info commit per superstep: unclaim bookkeeping applied
     # to the in-memory post-claim state, new domains unioned in
