@@ -537,14 +537,24 @@ def run_fetch(
     # The count job only runs when the static bound cannot certify the
     # broadcast (normal configs skip it — no extra superstep action).
     pages = store.read("pages").select("url", "warc_ts", "html")
+    # Broadcast only the columns the fetch/parse path consumes (the
+    # hash relation serializes once per executor), and gate on BYTES,
+    # not rows: 4 short key strings + the reassembled url + a
+    # timestamp ≈ 200 B/row conservatively, so the 256 MB relation
+    # ceiling ≈ 1.3M rows — a mis-set claim_limit can no longer pass a
+    # row guard yet still hand the driver a multi-GB build.
+    work_slim = fetchable.select("dom", "subdom", "path", "proto", "url", "time")
+    est_row_bytes = 200
+    max_broadcast_rows = (256 << 20) // est_row_bytes
     static_bound = cfg.frontier.claim_limit * cfg.dispatcher.max_links_per_segment
-    if static_bound <= 2_000_000:
+    if static_bound <= max_broadcast_rows:
         small_work = True
     else:
         small_work = (
-            work.filter(F.col("in_budget") & F.col("allowed")).count() <= 2_000_000
+            work.filter(F.col("in_budget") & F.col("allowed")).count()
+            <= max_broadcast_rows
         )
-    work_join_side = F.broadcast(fetchable) if small_work else fetchable
+    work_join_side = F.broadcast(work_slim) if small_work else work_slim
     # Materialize the found set once: pages is the 100 TB side and this
     # is the superstep's ONLY scan of it. The checkpoint holds the
     # claimed working set (bounded by claim_limit x segment cap — the
