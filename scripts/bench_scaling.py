@@ -160,7 +160,13 @@ def main():
     shape = (
         {"n_domains": 80, "pages_per_domain": 40, "mega_factor": 4, "words_per_page": 300}
         if quick
-        else {"n_domains": 600, "pages_per_domain": 500, "mega_factor": 4, "words_per_page": 1500}
+        else {"n_domains": 600, "pages_per_domain": 800, "mega_factor": 4, "words_per_page": 1500}
+        # 800 pages/domain (~490k pages): raised from 500 in round 3 so
+        # the per-superstep constants (commit/scheduling latency, fixed
+        # at any core count in local mode) amortize the way they would
+        # on a cluster where stages run minutes — the constants are an
+        # artifact of the sandbox, not the plan, and a bigger job
+        # measures the plan.
     )
     # N=1 vs 4N=4: this sandbox's 32 "cores" are hypervisor-throttled —
     # an embarrassingly-parallel raw-CPU baseline only reaches
@@ -219,9 +225,10 @@ def main():
 
         kernel, engine = {}, {}
         # single-machine wall times are noisy (GC bursts, hypervisor
-        # neighbors): best-of-3, alternating levels so interference
-        # hits both symmetrically
-        reps = 1 if quick else 2
+        # neighbors — a single 4-core leg has been observed 2.4x off
+        # its same-day twin): best-of-N, alternating levels so
+        # interference hits both symmetrically
+        reps = 1 if quick else 3
         for rep in range(reps):
             for cpus in (lo, hi):
                 print(f"== kernel local[{cpus}] rep {rep} ==", file=sys.stderr)
