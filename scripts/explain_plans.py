@@ -111,12 +111,17 @@ def main():
     hosts = spark.createDataFrame([("site00000.com",)], "host string")
     rules = robots_rules_for_hosts(store, hosts, cfg)
     ok &= grab(
-        "Robots rules per superstep: reads the materialized cache only",
+        "Robots rules per superstep: joins the materialized PARSED rules only",
         rules,
         [
             ("no suffix filter left in the per-superstep plan",
              r"StringEndsWith", 0),
-            ("scan reads only url+html", r"ReadSchema: struct<url:string,html:binary>", (1,)),
+            ("no robots parse (MapInPandas) inside the superstep",
+             r"MapInPandas", 0),
+            ("reads the parsed rules table",
+             r"ReadSchema: struct<host:string,rules_json:string,crawl_delay:bigint>", (1,)),
+            ("bounded host set broadcast into the rules scan",
+             r"BroadcastHashJoin \[host", (1, 2)),
         ],
     )
 

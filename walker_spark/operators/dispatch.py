@@ -22,7 +22,7 @@ rank caps before any Python sees them (O12).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -259,20 +259,15 @@ def run_dispatch(
             F.timestamp_millis(F.col("time_ms")).alias("time"),
         )
     )
-    # ONE metrics job for both counts (distinct keys among queued rows
-    # == the row_number-collapsed segment rows; distinct doms with a
-    # queued row == domains dispatched non-empty)
-    mrow = selected.agg(
-        F.count_distinct(
-            F.when(F.col("seq") >= 0, F.struct("dom", "subdom", "path", "proto"))
-        ).alias("n_seg"),
-        F.count_distinct(F.when(F.col("seq") >= 0, F.col("dom"))).alias("n_dom"),
-    ).collect()[0]
-    n_segment_rows = int(mrow["n_seg"])
-    n_dispatched = int(mrow["n_dom"])
-    _mark("metrics")
-    if n_segment_rows:
-        store.append("segments", segment)
+    # ZERO extra metrics jobs: the segment-row count rides the segment
+    # append as an Observation (the row_number-collapsed rows ARE the
+    # distinct queued keys), and the dispatched-domain count rides the
+    # domain_info merge below. A 0-row append commits an empty delta,
+    # which store.read skips by design.
+    seg_obs = Observation()
+    segment = segment.observe(seg_obs, F.count(F.lit(1)).alias("n_seg"))
+    store.append("segments", segment)
+    n_segment_rows = int(seg_obs.get["n_seg"])
     _mark("segment_write")
 
     # domain_info merge (S7): every eligible domain gets stats + the
@@ -316,9 +311,21 @@ def run_dispatch(
             .otherwise(F.col("last_empty_dispatch"))
             .alias("last_empty_dispatch"),
             "next_crawl",
+            "_hit",
+            "_got",
         )
     )
+    # domains dispatched non-empty == rows hit with a queued row;
+    # observed during the merge write, no separate count job. The
+    # observation sits at the TOP of the written plan — an observe
+    # under a join gets pruned (with its metrics) when Catalyst folds
+    # an empty side, which leaves Observation.get with no row.
+    dom_obs = Observation()
+    merged = merged.observe(
+        dom_obs, F.count(F.when(F.col("_hit") & F.col("_got"), True)).alias("n_dom")
+    ).drop("_hit", "_got")
     store.overwrite("domain_info", merged)
+    n_dispatched = int(dom_obs.get["n_dom"])
     _mark("domain_info_merge")
 
     metrics = {

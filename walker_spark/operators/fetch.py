@@ -125,44 +125,83 @@ def _robots_pages(store: FrontierStore) -> DataFrame:
     return store.read("robots_pages")
 
 
+def _robots_rules_table(store: FrontierStore, cfg: WalkerConfig) -> DataFrame:
+    """Per-host PARSED robots rules (host, rules_json, crawl_delay ms),
+    materialized once per pages snapshot + fetcher identity: every
+    robots.txt body is parsed exactly once per snapshot instead of once
+    per superstep — the table analog of the reference's in-memory
+    per-host robots cache (fetcher.go:656-721). A config change
+    (user agent, delay caps) invalidates the cache key. Robots are
+    matched over http:// like the reference's robots fetch URL."""
+    default_delay_ms = int(cfg.fetcher.default_crawl_delay * 1000)
+    max_delay_ms = int(cfg.fetcher.max_crawl_delay * 1000)
+    key = {
+        "pages_version": store.version("pages"),
+        "user_agent": cfg.fetcher.user_agent,
+        "default_delay_ms": default_delay_ms,
+        "max_delay_ms": max_delay_ms,
+    }
+    meta = store.get_meta("robots_rules")
+    if meta != key or not store.exists("robots_rules"):
+        pages = _robots_pages(store).filter(F.col("url").startswith("http://"))
+        user_agent = cfg.fetcher.user_agent
+
+        def parse_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            suffix = "/robots.txt"
+            for pdf in it:
+                out_host, out_rules, out_delay = [], [], []
+                for url, body in zip(pdf["url"], pdf["html"]):
+                    host = url[len("http://"):]
+                    if host.endswith(suffix):
+                        host = host[: -len(suffix)]
+                    if body is None:
+                        grp = robots_mod.ALLOW_ALL
+                    else:
+                        grp = robots_mod.group_for(
+                            htmlparse.decode_html(bytes(body)), user_agent
+                        )
+                    delay = grp.crawl_delay
+                    delay_ms = default_delay_ms if delay is None else int(delay * 1000)
+                    if delay_ms > max_delay_ms:  # fetcher.go:714-718
+                        delay_ms = max_delay_ms
+                    out_host.append(host)
+                    out_rules.append(grp.to_json())
+                    out_delay.append(delay_ms)
+                yield pd.DataFrame(
+                    {"host": out_host, "rules_json": out_rules, "crawl_delay": out_delay}
+                )
+
+        rules = pages.mapInPandas(parse_batch, schemas.ROBOTS_RULES)
+        store.overwrite("robots_rules", rules)
+        store.put_meta("robots_rules", key)
+    return store.read("robots_rules")
+
+
 def robots_rules_for_hosts(
     store: FrontierStore, hosts: DataFrame, cfg: WalkerConfig
 ) -> DataFrame:
     """(host) -> (host, rules_json, crawl_delay ms). Hosts without a
     2xx-fetchable robots.txt get the default group: no rules + default
     crawl delay (fetcher.go:698-706). Small per-iteration output —
-    intended for a broadcast join (J3)."""
-    pages = _robots_pages(store)
-    robots_url = F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
-    joined = hosts.select("host").dropDuplicates().withColumn("_rurl", robots_url).join(
-        pages.withColumnRenamed("url", "_rurl"), "_rurl", "left"
-    )
+    intended for a broadcast join (J3). Per-superstep this is a pure
+    join against the materialized per-snapshot rules table: no robots
+    parse runs inside a superstep. The rules table is one row per
+    robots-bearing host (huge at 10^10 URLs) while the superstep's host
+    set is bounded by claim_limit, so the bounded side is broadcast
+    into the rules scan."""
+    rules = _robots_rules_table(store, cfg)
     default_delay_ms = int(cfg.fetcher.default_crawl_delay * 1000)
-    max_delay_ms = int(cfg.fetcher.max_crawl_delay * 1000)
-    user_agent = cfg.fetcher.user_agent
-
-    def parse_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out_host, out_rules, out_delay = [], [], []
-            for host, body in zip(pdf["host"], pdf["html"]):
-                if body is None:
-                    grp = robots_mod.ALLOW_ALL
-                else:
-                    grp = robots_mod.group_for(
-                        htmlparse.decode_html(bytes(body)), user_agent
-                    )
-                delay = grp.crawl_delay
-                delay_ms = default_delay_ms if delay is None else int(delay * 1000)
-                if delay_ms > max_delay_ms:  # fetcher.go:714-718
-                    delay_ms = max_delay_ms
-                out_host.append(host)
-                out_rules.append(grp.to_json())
-                out_delay.append(delay_ms)
-            yield pd.DataFrame(
-                {"host": out_host, "rules_json": out_rules, "crawl_delay": out_delay}
-            )
-
-    return joined.select("host", "html").mapInPandas(parse_batch, schemas.ROBOTS_RULES)
+    uniq = hosts.select("host").dropDuplicates()
+    hit = rules.join(F.broadcast(uniq), "host", "left_semi")
+    return uniq.join(hit, "host", "left").select(
+        "host",
+        F.coalesce(F.col("rules_json"), F.lit(robots_mod.ALLOW_ALL.to_json())).alias(
+            "rules_json"
+        ),
+        F.coalesce(F.col("crawl_delay"), F.lit(default_delay_ms))
+        .cast("long")
+        .alias("crawl_delay"),
+    )
 
 
 def make_robots_allowed_udf():
@@ -665,7 +704,10 @@ def run_fetch(
     # separate append); di is the pre-superstep snapshot, which claim
     # neither adds to nor removes from
     if cfg.frontier.add_new_domains:
-        fresh_domains = seed_ops.new_domain_rows(unseen, cfg, di)
+        # checkpoint: bounded by the superstep's new domains, consumed
+        # twice (domain_info commit + metrics) — without it the second
+        # consumer re-reads the domain_info snapshot for the anti-join
+        fresh_domains = seed_ops.new_domain_rows(unseen, cfg, di).localCheckpoint()
     else:
         fresh_domains = di.limit(0)
     store.append("links", link_sink_rows)  # ONE links write per iteration
@@ -726,6 +768,7 @@ def run_fetch(
         .collect()
     )
     counts = {r["k"]: int(r["v"]) for r in mrows}
+    _mark("metrics")
     metrics.update(
         {
             "fetched": counts["fetched"],

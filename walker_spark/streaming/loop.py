@@ -55,10 +55,13 @@ class CrawlEngine:
         # the full pages suffix-scan — real crawlers warm robots caches
         # at ingest; the lazy build in _robots_pages remains the
         # fallback when pages changes mid-run.
-        from walker_spark.operators.fetch import _robots_pages
+        from walker_spark.operators.fetch import _robots_pages, _robots_rules_table
 
         if self.store.exists("pages"):
             _robots_pages(self.store)
+            # parse every robots.txt once per pages snapshot at ingest;
+            # supersteps then only join the materialized rules table
+            _robots_rules_table(self.store, self.cfg)
         if self.use_bloom:
             # initial bloom snapshot; later appends are covered by the
             # incremental read_since check until the next rebuild
