@@ -214,3 +214,48 @@ def test_resume_from_checkpoint(crawled, spark):
     assert [m["iteration"] for m in metrics] == [0, 1, 2]
     runs = engine.store.runs()
     assert all("table_versions" in r for r in runs)
+
+
+def test_robots_rules_cache_invalidation(spark, tmp_path):
+    """The per-host PARSED rules table is built once per (pages
+    snapshot, fetcher identity) and only rebuilt when either changes —
+    the table analog of the reference's per-host robots cache
+    (fetcher.go:656-721). A superstep never re-parses robots bodies."""
+    import datetime as _dt
+
+    from walker_spark.operators.fetch import _robots_rules_table
+    from walker_spark.sources.store import FrontierStore
+
+    store = FrontierStore(spark, str(tmp_path / "rb"), num_buckets=2)
+    body = (
+        b"User-agent: walker\nDisallow: /w/\nCrawl-delay: 2\n\n"
+        b"User-agent: *\nDisallow: /a/\n"
+    )
+    ts = _dt.datetime(2023, 7, 1, tzinfo=_dt.timezone.utc)
+    pages = spark.createDataFrame(
+        [("http://cache.com/robots.txt", ts, bytearray(body), None, "en")],
+        schemas.PAGES,
+    )
+    store.overwrite("pages", pages)
+
+    cfg = WalkerConfig(fetcher=FetcherConfig(user_agent="walker"))
+    r1 = {r["host"]: r for r in _robots_rules_table(store, cfg).collect()}
+    v1 = store.version("robots_rules")
+    assert r1["cache.com"]["crawl_delay"] == 2000
+    assert "/w/" in r1["cache.com"]["rules_json"]
+
+    # same snapshot + same identity: reused, no rebuild
+    _robots_rules_table(store, cfg)
+    assert store.version("robots_rules") == v1
+
+    # different user agent: rebuilt, different group selected
+    other = WalkerConfig(fetcher=FetcherConfig(user_agent="someone-else"))
+    r2 = {r["host"]: r for r in _robots_rules_table(store, other).collect()}
+    assert store.version("robots_rules") > v1
+    assert "/a/" in r2["cache.com"]["rules_json"]
+
+    # pages snapshot bump: rebuilt even under the original identity
+    v2 = store.version("robots_rules")
+    store.overwrite("pages", pages)
+    _robots_rules_table(store, cfg)
+    assert store.version("robots_rules") > v2
