@@ -95,6 +95,11 @@ def build_bloom(store: FrontierStore, fpp: float = 0.01) -> dict:
         "url_seen_bloom",
         {"links_version": store.version("links"), "bits": m, "hashes": k},
     )
+    # warm the executor-side broadcast now (when the size-adaptive
+    # probe would use it) so the first superstep's probe does not pay
+    # the bitmap-collect job — same amortization as the robots cache
+    if num_buckets * (m // 8) <= _BLOOM_BROADCAST_MAX:
+        _bloom_broadcast(store, store.version("links"))
     return {"n_keys": n_keys, "bits_per_bucket": m, "num_hashes": k}
 
 
@@ -304,11 +309,17 @@ def filter_unseen(
     hashed_in = _with_hashes(candidates, store.num_buckets)
     if probe_strategy == "broadcast":
         bc = _bloom_broadcast(store, int(meta["links_version"]))
+        # no checkpoint: the probe is a zero-exchange map over the
+        # dropDuplicates shuffle, which the two consumer branches share
+        # via ReusedExchange — evaluating the cheap probe twice inside
+        # the one consuming job beats paying a separate checkpoint job
+        # every superstep
         hashed = _probe_broadcast(hashed_in, bc)
     else:
         blooms = store.read("url_seen_bloom")
-        hashed = _probe_cogrouped(hashed_in, blooms)
-    hashed = hashed.localCheckpoint()
+        # the cogrouped probe carries its own exchanges — materialize
+        # once rather than duplicating shuffles into both branches
+        hashed = _probe_cogrouped(hashed_in, blooms).localCheckpoint()
     definitely_new = hashed.filter(~F.col("_maybe")).drop("_h1", "_h2", "_bucket", "_maybe")
     needs_verify = hashed.filter(F.col("_maybe")).drop("_h1", "_h2", "_bucket", "_maybe")
     # The bloom covers links up to meta["links_version"] (its build
