@@ -81,6 +81,17 @@ def build_spark(cpus: int):
         .config("spark.default.parallelism", str(2 * cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE's coalescing floor (default 1 MB) binds on the engine's
+        # small compressed shuffles in the sandbox: a ~3 MB map output
+        # coalesces to 3 partitions and starves the window/Arrow stages
+        # on 4+ cores (measured: the dispatch select stage ran 3 tasks
+        # at local[4]). 64 KB keeps parallelismFirst actually
+        # parallelism-first here; at cluster scale size/parallelism
+        # dwarfs the floor, so the setting is inert at 100 TB.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION", "65536"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # fat rows (html bodies): cap Arrow batches so 32 concurrent
         # python workers don't each pin ~160MB batches (default 10k

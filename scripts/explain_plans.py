@@ -77,16 +77,32 @@ def main():
         F.coalesce(F.col("getnow"), F.lit(False)).alias("getnow"),
         F.col("fnv_txt"),
     )
+    from pyspark.sql import Window
+
+    w_dom = Window.partitionBy("dom").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    latest = latest.withColumn(
+        "_tot", F.count(F.lit(1)).over(w_dom).cast("int")
+    ).withColumn(
+        "_unc", F.sum((F.col("time_ms") == 0).cast("int")).over(w_dom).cast("int")
+    )
     sel = latest.groupBy("dom").applyInPandas(
         D._make_select_fn(cfg, NOW_MS), D._SELECT_OUT
     )
     ok &= grab(
-        "Dispatcher: latest-row window + rank caps + applyInPandas",
+        "Dispatcher: latest-row window + exact stats + rank caps + applyInPandas "
+        "(ONE pass — the pre-cap tot/uncrawled stats are window columns in the "
+        "same dom distribution, not a second aggregate branch + join)",
         sel,
         [
             ("exactly one Exchange hashpartitioning(dom) on the links path",
              r"Exchange hashpartitioning\(dom", 1),
             ("FlatMapGroupsInPandas present", r"FlatMapGroupsInPandas", 1),
+            ("no aggregate branch for the stats (they ride the window pass)",
+             r"HashAggregate", 0),
+            ("the only join is the eligible-domain semi-join (no stats stitch)",
+             r"SortMergeJoin|BroadcastHashJoin", 1),
         ],
     )
 
@@ -147,20 +163,45 @@ def main():
     # plan touches pages exactly once (the fetch join above); the
     # missing plan must contain NO pages scan and NO exchange of a
     # corpus url column.
-    found_ck = joined.withColumn("found", F.lit(True)).localCheckpoint()
-    missing_plan = work.join(F.broadcast(found_ck.select("url")), "url", "left_anti")
+    parsed_ck = joined.select("dom", "subdom", "path", "proto").localCheckpoint()
+    missing_plan = work.join(
+        F.broadcast(parsed_ck), ["dom", "subdom", "path", "proto"], "left_anti"
+    )
     ok &= grab(
-        "Fetch missing set: anti-join against broadcast found urls (no pages access)",
+        "Fetch missing set: anti-join against the broadcast parsed-key set "
+        "(no pages access — the html bytes are never materialized either; the "
+        "only checkpoint on the fetch path holds the SLIM parse output)",
         missing_plan,
         [
-            ("broadcast anti-join on the bounded found set",
-             r"BroadcastHashJoin \[url[^\]]*\], \[url[^\]]*\], LeftAnti", (1,)),
+            ("broadcast anti-join on the bounded parsed keys",
+             r"BroadcastHashJoin \[dom[^\]]*\], \[dom[^\]]*\], LeftAnti", (1,)),
             ("no pages scan in the missing plan: the only parquet scan is the "
-             "work/links side; found urls come from the checkpointed RDD",
+             "work/links side; parsed keys come from the checkpointed RDD",
              r"Scan parquet", 1),
             ("no parquet read of html (pages columns only appear in the "
              "checkpointed RDD schema)", r"ReadSchema:[^\n]*html", 0),
-            ("no exchange of a url column", r"Exchange hashpartitioning\(url", 0),
+            ("no exchange of a url or key column", r"Exchange hashpartitioning", 0),
+        ],
+    )
+
+    # 3c. URL-seen maybe-side verify under a bounded superstep: the links
+    # table is scanned IN PLACE — confirmed keys come from a left-semi
+    # against the broadcast candidate set, new keys from a left-anti
+    # against the broadcast confirmed set. The full seen table is never
+    # exchanged (the default SMJ anti-join would shuffle all of it — the
+    # wrong plan at 10^10 rows).
+    maybe = store.read("links").select("dom", "subdom", "path", "proto").limit(100)
+    seen_tbl = store.read("links").select("dom", "subdom", "path", "proto")
+    KEY = ["dom", "subdom", "path", "proto"]
+    confirmed = seen_tbl.join(F.broadcast(maybe), KEY, "left_semi")
+    verify_plan = maybe.join(F.broadcast(confirmed), KEY, "left_anti")
+    ok &= grab(
+        "URL-seen bounded verify: links scanned in place, no seen-side exchange",
+        verify_plan,
+        [
+            ("broadcast semi+anti pair", r"BroadcastHashJoin", 2),
+            ("no exchange of the seen table key columns",
+             r"Exchange hashpartitioning\(dom", 0),
         ],
     )
 

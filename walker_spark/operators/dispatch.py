@@ -107,6 +107,12 @@ def _make_select_fn(cfg: WalkerConfig, now_ms: int):
         selection, tot, uncrawled = dispatch_core.select_segment(
             dom, rows, limit, refresh, min_refresh_ms, now_ms
         )
+        # exact pre-cap stats ride in as window columns when present
+        # (the single-pass pipeline in run_dispatch); the per-group
+        # counts above are the fallback for direct callers/fixtures
+        if "_tot" in pdf.columns:
+            tot = int(pdf["_tot"].iloc[0])
+            uncrawled = int(pdf["_unc"].iloc[0])
         if not selection:
             # marker row so empty dispatches still update domain_info
             return pd.DataFrame(
@@ -200,8 +206,20 @@ def run_dispatch(
     cls = (
         F.when(F.col("getnow"), F.lit(0)).when(is_uncrawled, F.lit(1)).otherwise(F.lit(2))
     )
+    # Exact per-domain stats (A2) computed pre-cap in the SAME window
+    # pass (unbounded frame over the dom partition — the rows already
+    # sit sorted by dom from the latest-row window, so this adds no
+    # exchange and no sort). They ride the capped rows into the
+    # selection as `_tot`/`_unc`; round 2 computed them in a separate
+    # groupBy branch, which re-ran the whole window pipeline a second
+    # time and then paid a join to stitch the results back.
+    w_dom = Window.partitionBy("dom").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     capped = (
         latest.withColumn("_cls", cls)
+        .withColumn("_tot", F.count(F.lit(1)).over(w_dom).cast("int"))
+        .withColumn("_unc", F.sum(is_uncrawled.cast("int")).over(w_dom).cast("int"))
         .withColumn(
             "_rk",
             F.when(
@@ -221,24 +239,9 @@ def run_dispatch(
         )
         .drop("_cls", "_rk")
     )
-    # Exact per-domain stats computed relationally (A2), pre-cap.
-    stats = latest.groupBy("dom").agg(
-        F.count(F.lit(1)).cast("int").alias("tot_links_exact"),
-        F.sum(is_uncrawled.cast("int")).cast("int").alias("uncrawled_links_exact"),
-    )
 
     selected = capped.groupBy("dom").applyInPandas(
         _make_select_fn(cfg, now_ms), _SELECT_OUT
-    )
-    selected = selected.join(stats, "dom", "left").select(
-        "dom",
-        "subdom",
-        "path",
-        "proto",
-        "time_ms",
-        "seq",
-        F.coalesce("tot_links_exact", "tot_links").alias("tot_links"),
-        F.coalesce("uncrawled_links_exact", "uncrawled_links").alias("uncrawled_links"),
     )
     selected = selected.localCheckpoint()  # one computation, two sinks
     _mark("select")

@@ -34,7 +34,7 @@ import time
 from typing import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -140,6 +140,7 @@ def _robots_rules_table(store: FrontierStore, cfg: WalkerConfig) -> DataFrame:
         "user_agent": cfg.fetcher.user_agent,
         "default_delay_ms": default_delay_ms,
         "max_delay_ms": max_delay_ms,
+        "schema": 2,  # v2: + dom column (claimed-domain rules pruning)
     }
     meta = store.get_meta("robots_rules")
     if meta != key or not store.exists("robots_rules"):
@@ -147,9 +148,11 @@ def _robots_rules_table(store: FrontierStore, cfg: WalkerConfig) -> DataFrame:
         user_agent = cfg.fetcher.user_agent
 
         def parse_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from walker_spark.functions import psl
+
             suffix = "/robots.txt"
             for pdf in it:
-                out_host, out_rules, out_delay = [], [], []
+                out_host, out_dom, out_rules, out_delay = [], [], [], []
                 for url, body in zip(pdf["url"], pdf["html"]):
                     host = url[len("http://"):]
                     if host.endswith(suffix):
@@ -165,10 +168,12 @@ def _robots_rules_table(store: FrontierStore, cfg: WalkerConfig) -> DataFrame:
                     if delay_ms > max_delay_ms:  # fetcher.go:714-718
                         delay_ms = max_delay_ms
                     out_host.append(host)
+                    out_dom.append(psl.tld_plus_one(host))
                     out_rules.append(grp.to_json())
                     out_delay.append(delay_ms)
                 yield pd.DataFrame(
-                    {"host": out_host, "rules_json": out_rules, "crawl_delay": out_delay}
+                    {"host": out_host, "dom": out_dom,
+                     "rules_json": out_rules, "crawl_delay": out_delay}
                 )
 
         rules = pages.mapInPandas(parse_batch, schemas.ROBOTS_RULES)
@@ -520,8 +525,18 @@ def run_fetch(
     segs = store.read("segments").join(claimed.select("dom"), "dom", "left_semi")
     work = segs.withColumn("host", host_col(F.col("subdom"), F.col("dom")))
 
-    # robots rules per host, broadcast (J3)
-    rules = robots_rules_for_hosts(store, work.select("host"), cfg)
+    # robots rules per host, broadcast (J3). The rules table carries the
+    # host's eTLD+1, so the superstep's rules are pruned by the BOUNDED
+    # claimed-domain set directly — no dedup pass over the work rows
+    # inside the broadcast build (hosts come from normalized keys, so a
+    # work host's dom always matches the build-time derivation). Hosts
+    # with no rules row fall back to allow-all + default crawl delay
+    # via the null-handling in the UDF and the politeness coalesce.
+    rules = (
+        _robots_rules_table(store, cfg)
+        .join(F.broadcast(claimed.select("dom")), "dom", "left_semi")
+        .select("host", "rules_json", "crawl_delay")
+    )
     work = work.join(F.broadcast(rules), "host", "left")
 
     robots_allowed = make_robots_allowed_udf()
@@ -594,41 +609,69 @@ def run_fetch(
             <= max_broadcast_rows
         )
     work_join_side = F.broadcast(work_slim) if small_work else work_slim
-    # Materialize the found set once: pages is the 100 TB side and this
-    # is the superstep's ONLY scan of it. The checkpoint holds the
-    # claimed working set (bounded by claim_limit x segment cap — the
-    # same volume the parse stage consumes anyway); the not-found
-    # complement then anti-joins the bounded found-url set broadcast
-    # executor-side, instead of re-scanning the url column of the
-    # entire corpus every iteration.
-    found = (
+    # ONE pages scan per superstep, html bytes NEVER materialized: the
+    # fetch join streams straight into the parse kernel, and the only
+    # checkpoint on this path holds the SLIM parse output (fingerprints,
+    # outlinks, status — no html, no text unless a handler consumes it).
+    # Round 3's earlier shape checkpointed the joined (url, html) rows
+    # first — a full materialization of the claimed pages' bytes every
+    # superstep, pure memory-bandwidth cost that scales worse than the
+    # parse itself. The not-found complement anti-joins the bounded
+    # parsed-key set broadcast executor-side (found ⊆ work, bounded by
+    # claim_limit x segment cap), so pages is still touched exactly once
+    # and no corpus-sized url column is ever exchanged.
+    found_src = (
         pages.join(work_join_side, "url", "inner")
-        .withColumn("found", F.lit(True))
-        .localCheckpoint()
-    )
-    missing = (
-        fetchable.join(F.broadcast(found.select("url")), "url", "left_anti")
-        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
-        .withColumn("html", F.lit(None).cast("binary"))
-        .withColumn("found", F.lit(False))
-    )
-    fetched = (
-        found.unionByName(missing.select(*found.columns))
         .withColumn("mime", mime_from_path(F.col("path")))
+        .withColumn("found", F.lit(True))
         .withColumn(
             "not_modified",
-            F.col("found")
-            & (F.unix_millis(F.col("time")) > 0)
+            (F.unix_millis(F.col("time")) > 0)
             & (F.unix_millis(F.col("warc_ts")) <= F.unix_millis(F.col("time"))),
         )
     )
-
-    results = fetched.select(
-        "dom", "subdom", "path", "proto", "url", "html", "mime", "found", "not_modified"
-    ).mapInPandas(
-        _make_parse_fn(cfg, now_ms, emit_text=handler is not None), _PARSE_OUT
+    parsed = (
+        found_src.select(
+            "dom", "subdom", "path", "proto", "url", "html", "mime", "found", "not_modified"
+        )
+        .mapInPandas(
+            _make_parse_fn(cfg, now_ms, emit_text=handler is not None), _PARSE_OUT
+        )
+        .localCheckpoint()
     )
-    results = results.localCheckpoint()
+    # not-found rows need no parse: their result row is a constant-
+    # column fetch-error record (fetcher.go:540-545), synthesized
+    # relationally on top of the checkpointed work set.
+    missing_rows = (
+        fetchable.join(
+            F.broadcast(parsed.select("dom", "subdom", "path", "proto")),
+            ["dom", "subdom", "path", "proto"],
+            "left_anti",
+        )
+        .select(
+            "dom",
+            "subdom",
+            "path",
+            "proto",
+            F.lit(now_ms).cast("long").alias("time_ms"),
+            F.lit(None).cast("int").alias("stat"),
+            F.lit("fetch error: host unreachable (not in pages table)").alias("err"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(0).cast("long").alias("fnv"),
+            F.lit(0).cast("long").alias("fnv_txt"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("array<string>").alias("links"),
+            F.lit(False).alias("meta_noindex"),
+            F.lit(False).alias("meta_nofollow"),
+            F.lit(None).cast("string").alias("body"),
+            F.lit(None).cast("string").alias("redirect_to"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+        )
+    )
+    # cheap second checkpoint: reads the slim parsed checkpoint + the
+    # checkpointed work set (one bounded broadcast build) — several
+    # consumers (links sink, outlink explode, handler) then share it
+    results = parsed.unionByName(missing_rows).localCheckpoint()
     _mark("fetch_parse")
 
     # ---- links sink (S5) --------------------------------------------------
@@ -690,7 +733,14 @@ def run_fetch(
     keys = seed_ops.normalize_to_keys(outlinks, cfg)
     keys = keys.filter(link_accept_condition(cfg))
 
-    unseen = urlseen.filter_unseen(store, keys, use_bloom=use_bloom).localCheckpoint()
+    # small_work certifies the superstep's work (and so its outlink
+    # candidate set) is claim-bounded: the maybe-seen verify then runs
+    # as broadcast joins against the links scan instead of exchanging
+    # the full seen table (see filter_unseen).
+    unseen = urlseen.filter_unseen(
+        store, keys, use_bloom=use_bloom, bounded_candidates=small_work
+    ).localCheckpoint()
+    _mark("outlinks_unseen")
     # same write_seq as the result rows is safe: an outlink row is
     # only written for keys with NO existing links row, so it can
     # never collide with a result/excluded row at the same (key, time)
@@ -701,17 +751,37 @@ def run_fetch(
         outlink_rows.select(*[f.name for f in schemas.LINKS.fields])
     )
     # new domains ride the end-of-superstep domain_info commit (no
-    # separate append); di is the pre-superstep snapshot, which claim
-    # neither adds to nor removes from
+    # separate append, no checkpoint: consumed exactly once there, with
+    # the count observed on that commit); di is the pre-superstep
+    # snapshot, which claim neither adds to nor removes from
     if cfg.frontier.add_new_domains:
-        # checkpoint: bounded by the superstep's new domains, consumed
-        # twice (domain_info commit + metrics) — without it the second
-        # consumer re-reads the domain_info snapshot for the anti-join
-        fresh_domains = seed_ops.new_domain_rows(unseen, cfg, di).localCheckpoint()
+        fresh_domains = seed_ops.new_domain_rows(unseen, cfg, di)
     else:
         fresh_domains = di.limit(0)
+    _mark("outlinks_domains")
+    # fetch/robots/outlink counters ride the links commit as an
+    # Observation (zero extra jobs; the row classes are disjoint by
+    # construction: result rows carry stat or err, robots-excluded rows
+    # carry robot_ex, frontier rows carry neither). The observe node
+    # sits at the TOP of the written plan — see the dispatch metrics
+    # note on Catalyst pruning CollectMetrics under folded joins.
+    links_obs = Observation()
+    link_sink_rows = link_sink_rows.observe(
+        links_obs,
+        F.count(
+            F.when(F.col("stat").isNotNull() | F.col("err").isNotNull(), True)
+        ).alias("fetched"),
+        F.count(F.when(F.col("robot_ex"), True)).alias("robots_excluded"),
+        F.count(
+            F.when(
+                F.col("stat").isNull() & F.col("err").isNull() & F.col("robot_ex").isNull(),
+                True,
+            )
+        ).alias("outlinks_new"),
+    )
     store.append("links", link_sink_rows)  # ONE links write per iteration
-    _mark("outlinks_dedup")
+    links_counts = links_obs.get
+    _mark("links_append")
 
     # ---- handler hook (S9) -------------------------------------------------
     if handler is not None:
@@ -728,10 +798,11 @@ def run_fetch(
         handler(handleable)
 
     # ---- segments cleanup + unclaim (datastore.go:276-291) -----------------
-    # checkpoint the remaining set once: the overwrite consumes it and
-    # the finished-domain calculation reuses it in memory instead of
-    # re-reading the freshly written table (one fewer snapshot read +
-    # anti-join recompute per superstep)
+    # remaining = segments ∖ processed is written lazily (the overwrite
+    # is its only consumer); the finished-domain set is derived from the
+    # already-checkpointed work table instead — a claimed domain is
+    # finished exactly when none of its segment rows fell outside the
+    # politeness budget, so no second segments read and no checkpoint.
     remaining = (
         store.read("segments")
         .join(
@@ -740,41 +811,35 @@ def run_fetch(
             "left_anti",
         )
         .select(*[f.name for f in schemas.SEGMENTS.fields])
-        .localCheckpoint()
     )
     store.overwrite("segments", remaining)
-    finished = claimed.select("dom").join(
-        remaining.select("dom").dropDuplicates(), "dom", "left_anti"
+    leftover_doms = (
+        work.filter(~F.col("in_budget")).select("dom").dropDuplicates()
     )
+    finished = claimed.select("dom").join(leftover_doms, "dom", "left_anti")
     # ONE domain_info commit per superstep: unclaim bookkeeping applied
-    # to the in-memory post-claim state, new domains unioned in
-    final_di = unclaim_plan(di_claimed, claim_tok, finished).unionByName(fresh_domains)
+    # to the in-memory post-claim state, new domains unioned in; the
+    # new-domain count rides the commit as an Observation (top of the
+    # written plan, above the union — see the dispatch metrics note)
+    final_di = (
+        unclaim_plan(di_claimed, claim_tok, finished)
+        .withColumn("_new", F.lit(False))
+        .unionByName(fresh_domains.withColumn("_new", F.lit(True)))
+    )
+    di_obs = Observation()
+    final_di = final_di.observe(
+        di_obs, F.count(F.when(F.col("_new"), True)).alias("new_domains")
+    ).drop("_new")
     store.overwrite("domain_info", final_di)
+    new_domain_count = int(di_obs.get["new_domains"])
     _mark("segments_unclaim")
 
-    # ONE fused metrics job over the checkpointed stage outputs (was
-    # four separate count/agg actions — the per-superstep constant the
-    # scaling report blames)
-    def _m(df, key):
-        return df.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
-            F.lit(key).alias("k"), "v"
-        )
-
-    mrows = (
-        _m(results, "fetched")
-        .unionByName(_m(work.filter(F.col("in_budget") & ~F.col("allowed")), "robots_excluded"))
-        .unionByName(_m(unseen, "outlinks_new"))
-        .unionByName(_m(fresh_domains, "new_domains"))
-        .collect()
-    )
-    counts = {r["k"]: int(r["v"]) for r in mrows}
-    _mark("metrics")
     metrics.update(
         {
-            "fetched": counts["fetched"],
-            "robots_excluded": counts["robots_excluded"],
-            "outlinks_new": counts["outlinks_new"],
-            "new_domains": counts["new_domains"],
+            "fetched": int(links_counts["fetched"]),
+            "robots_excluded": int(links_counts["robots_excluded"]),
+            "outlinks_new": int(links_counts["outlinks_new"]),
+            "new_domains": new_domain_count,
             "timings": timings,
         }
     )

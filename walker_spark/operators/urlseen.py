@@ -287,6 +287,7 @@ def filter_unseen(
     candidates: DataFrame,
     use_bloom: bool = False,
     probe_strategy: str | None = None,
+    bounded_candidates: bool = False,
 ) -> DataFrame:
     """Rows of ``candidates`` whose (dom, subdom, path, proto) is not in
     the links table. Exact regardless of ``use_bloom``.
@@ -294,7 +295,18 @@ def filter_unseen(
     ``probe_strategy``: None = size-adaptive (broadcast the bitmap map
     while the whole set fits SPARK_GRAFT_BLOOM_BROADCAST_MAX, cogrouped
     per-bucket delivery above — the 10^10-key plan); "broadcast" or
-    "cogroup" force a path (tests assert their parity)."""
+    "cogroup" force a path (tests assert their parity).
+
+    ``bounded_candidates``: the caller certifies the candidate set is
+    per-superstep-bounded (fetch outlinks under a claim budget). The
+    maybe-seen verify then runs as two broadcast joins against the
+    links scan — ``seen LEFT SEMI broadcast(maybe)`` to pull the
+    confirmed keys, ``maybe LEFT ANTI broadcast(confirmed)`` — so the
+    links table is scanned in place and its key columns are NEVER
+    exchanged. The default SMJ anti-join shuffles the full seen side,
+    which is the wrong plan against a 10^10-row table (the Iceberg
+    analog is a storage-partitioned join against bucket(dom)-clustered
+    links; the broadcast pair is the sandbox equivalent)."""
     candidates = candidates.dropDuplicates(LINK_KEY)
     seen = store.read("links").select(*LINK_KEY)
     meta = store.get_meta("url_seen_bloom")
@@ -331,5 +343,11 @@ def filter_unseen(
     # nothing is ever dropped on the bloom alone.
     recent = store.read_since("links", int(meta["links_version"])).select(*LINK_KEY)
     definitely_new = definitely_new.join(recent, LINK_KEY, "left_anti")
-    verified_new = needs_verify.join(seen, LINK_KEY, "left_anti")
+    if bounded_candidates:
+        confirmed = seen.join(
+            F.broadcast(needs_verify.select(*LINK_KEY)), LINK_KEY, "left_semi"
+        )
+        verified_new = needs_verify.join(F.broadcast(confirmed), LINK_KEY, "left_anti")
+    else:
+        verified_new = needs_verify.join(seen, LINK_KEY, "left_anti")
     return definitely_new.unionByName(verified_new)

@@ -140,6 +140,11 @@ ROBOTS_PAGES = StructType(
 ROBOTS_RULES = StructType(
     [
         StructField("host", StringType(), False),
+        # eTLD+1 of the host, derived once at build time: supersteps
+        # filter the rules table by the claimed-domain set (a bounded
+        # broadcast) instead of deduplicating the work table's hosts —
+        # no extra pass over the segment rows per superstep
+        StructField("dom", StringType(), True),
         StructField("rules_json", StringType(), False),
         StructField("crawl_delay", LongType(), False),  # milliseconds
     ]
