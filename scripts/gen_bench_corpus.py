@@ -68,6 +68,14 @@ def main():
         .saveAsTable("walker_pages_gen")
     )
     n = spark.read.parquet(pages_path).count()
+    import json
+
+    with open(os.path.join(base, "shape.json"), "w") as f:
+        json.dump(
+            {"n_domains": 600, "pages_per_domain": pages_per_domain,
+             "mega_factor": 4, "words_per_page": 1500},
+            f,
+        )
     print(f"GEN {n} pages ({pages_per_domain}/domain) in {time.time() - t0:.0f}s")
 
 
