@@ -323,6 +323,14 @@ with the checkpoint-inclusive timer).
 
 ## 2. Full engine superstep (dispatch + fetch through the snapshot store)
 
+The superstep runs a FULL politeness window (iteration_time_budget
+1800s: every non-robots page of the corpus fits the budget at its
+host's crawl delay), so the legs carry cluster-stage fetch volume —
+~2.7x the 500s-default volume through the identical plan, with the
+per-domain politeness rate unchanged. At the default volume the
+constant per-job scheduling/commit latency (identical at any core
+count in a single JVM) dominated the ratio.
+
 | run | parallelism | crawl wall (s) | URLs | URLs/sec |
 |---|---|---|---|---|
 | A | local[{lo}] | {engine[lo]["crawl_sec"]} | {engine[lo]["urls"]} | {engine[lo]["urls_per_sec"]} |
