@@ -633,7 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": """
             SELECT o_custkey,
                    count(*) AS tot_orders,
-                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
                    count(DISTINCT o_orderpriority) AS n_priorities,
                    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_spend_cents
             FROM orders GROUP BY o_custkey""",

@@ -19,6 +19,13 @@ def norm_cell(v):
     import datetime
     import math
 
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        # pandas/fetchdf rows carry numpy scalars; unwrap so int64/
+        # float64/bool_ normalize identically to the Python values a
+        # fetchall() row would hold.
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -34,6 +41,51 @@ def norm_cell(v):
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
+
+
+def _spark_kind(dt) -> str:
+    """Collapse a Spark type to a dtype kind comparable with pandas:
+    'i' integral, 'f' float, 'b' bool, 'M' date/time, 'd' decimal,
+    'o' other."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if s in ("float", "double"):
+        return "f"
+    if s == "boolean":
+        return "b"
+    if s in ("date", "timestamp", "timestamp_ntz"):
+        return "M"
+    if s.startswith("decimal"):
+        return "d"
+    return "o"
+
+
+def _pandas_kind(dtype) -> str:
+    k = dtype.kind
+    if k == "u":
+        return "i"
+    if k in ("i", "f", "b", "M"):
+        return k
+    return "o"
+
+
+def dtype_divergences(spark_df, duck_pdf) -> list[str]:
+    """The driver fetches the oracle via pandas, where DuckDB HUGEINT
+    (e.g. sum of integers) coerces to float64 while Spark emits int64 —
+    a guaranteed hash mismatch even on equal values (domain_stats
+    rounds 1-3). Flag any int-vs-float kind split between the Spark
+    schema and the oracle's fetchdf() dtypes."""
+    sk = {f.name: _spark_kind(f.dataType) for f in spark_df.schema.fields}
+    out = []
+    for col in duck_pdf.columns:
+        dk = _pandas_kind(duck_pdf[col].dtype)
+        s = sk.get(col)
+        if s is None:
+            continue
+        if {s, dk} == {"i", "f"}:
+            out.append(f"{col}: spark={s} duck_fetchdf={dk}")
+    return out
 
 
 def frame_signature(cols: list[str], rows: list[tuple]):
@@ -88,13 +140,19 @@ def main():
         cur = con.execute(oracles[name])
         cols = [d[0] for d in cur.description]
         sig_d = frame_signature(cols, cur.fetchall())
-        ok = sig_s == sig_d
+        # The driver fetches via pandas; re-run to check dtype parity
+        # (values were already consumed by fetchall above).
+        duck_pdf = con.execute(oracles[name]).fetchdf()
+        dtype_bad = dtype_divergences(df, duck_pdf)
+        ok = sig_s == sig_d and not dtype_bad
         status = "OK  " if ok else "FAIL"
         print(f"  {name:28s} rows={sig_s[1]:<7d} ({dt:5.1f}s) [{status}]")
         if not ok:
             failures += 1
             print(f"    spark: cols={sig_s[0]} n={sig_s[1]} h={sig_s[2][:12]}")
             print(f"    duck : cols={sig_d[0]} n={sig_d[1]} h={sig_d[2][:12]}")
+            for msg in dtype_bad:
+                print(f"    DTYPE DIVERGENCE (driver-fatal): {msg}")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

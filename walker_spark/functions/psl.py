@@ -64,6 +64,22 @@ class PublicSuffixList:
             else:
                 self._exact.add(r)
 
+    def fingerprint(self) -> str:
+        """Stable hash of the active rule set. eTLD+1 derivations are
+        only comparable when made under the same PSL: persisted
+        dom-keyed state (frontier keys, robots_rules dom pruning)
+        embeds this in its cache keys so a load_psl() swap between
+        seeding and a rebuild invalidates instead of silently
+        mismatching."""
+        import hashlib
+
+        payload = "\n".join(
+            sorted(self._exact)
+            + sorted("*." + w for w in self._wildcard)
+            + sorted("!" + e for e in self._exception)
+        )
+        return hashlib.md5(payload.encode()).hexdigest()
+
     def public_suffix(self, host: str) -> str:
         """Longest matching public suffix of ``host`` (never raises)."""
         host = host.lower().rstrip(".")
@@ -109,6 +125,11 @@ def load_psl(path: str) -> None:
 
 def tld_plus_one(host: str) -> str | None:
     return _DEFAULT.tld_plus_one(host)
+
+
+def fingerprint() -> str:
+    """Fingerprint of the ACTIVE PSL (see PublicSuffixList.fingerprint)."""
+    return _DEFAULT.fingerprint()
 
 
 def subdomain(host: str) -> str | None:

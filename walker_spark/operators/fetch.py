@@ -48,7 +48,7 @@ from pyspark.sql.types import (
 
 from walker_spark.config import WalkerConfig
 from walker_spark.functions import fnv as _fnv
-from walker_spark.functions import htmlparse, robots as robots_mod, urlkernel
+from walker_spark.functions import htmlparse, psl, robots as robots_mod, urlkernel
 from walker_spark.functions.udfs import host_col
 from walker_spark.operators import seed as seed_ops
 from walker_spark.operators import urlseen
@@ -141,6 +141,14 @@ def _robots_rules_table(store: FrontierStore, cfg: WalkerConfig) -> DataFrame:
         "default_delay_ms": default_delay_ms,
         "max_delay_ms": max_delay_ms,
         "schema": 2,  # v2: + dom column (claimed-domain rules pruning)
+        # The dom column is derived by the ACTIVE PSL at build time; the
+        # claimed-dom semi-join (prune_rules) is only sound when the
+        # frontier's dom keys were derived under the SAME PSL. A
+        # load_psl() swap between seeding and a rebuild changes eTLD+1
+        # for affected hosts — without this key their rules would be
+        # silently pruned away (allow-all robots bypass). Frontier keys
+        # and rules must be derived under one PSL snapshot.
+        "psl": psl.fingerprint(),
     }
     meta = store.get_meta("robots_rules")
     if meta != key or not store.exists("robots_rules"):
@@ -642,9 +650,14 @@ def run_fetch(
     # not-found rows need no parse: their result row is a constant-
     # column fetch-error record (fetcher.go:540-545), synthesized
     # relationally on top of the checkpointed work set.
+    # Broadcast hint only while small_work certifies the bound: on the
+    # oversized-claim fallback path, parsed ⊆ work also exceeded the
+    # 256 MB guard, and a forced broadcast would hand the driver exactly
+    # the build the guard exists to avoid — let Catalyst/AQE plan it.
+    parsed_keys = parsed.select("dom", "subdom", "path", "proto")
     missing_rows = (
         fetchable.join(
-            F.broadcast(parsed.select("dom", "subdom", "path", "proto")),
+            F.broadcast(parsed_keys) if small_work else parsed_keys,
             ["dom", "subdom", "path", "proto"],
             "left_anti",
         )
@@ -733,12 +746,26 @@ def run_fetch(
     keys = seed_ops.normalize_to_keys(outlinks, cfg)
     keys = keys.filter(link_accept_condition(cfg))
 
-    # small_work certifies the superstep's work (and so its outlink
-    # candidate set) is claim-bounded: the maybe-seen verify then runs
-    # as broadcast joins against the links scan instead of exchanging
-    # the full seen table (see filter_unseen).
+    # The broadcast maybe-seen verify (see filter_unseen) needs the
+    # OUTLINK set bounded, not just the work set: outlinks fan out to
+    # max_links_per_page x work rows, and in a converged crawl most are
+    # genuinely seen — so needs_verify approximates the whole candidate
+    # set and small_work alone cannot certify its broadcast. Gate on a
+    # static fan-out bound first (zero extra jobs for normal configs);
+    # past it, measure the candidate count over the checkpointed parse
+    # output (one bounded job); past THAT, filter_unseen falls back to
+    # the plain anti-join where AQE runtime-sizes the verify side.
+    est_key_bytes = 120  # 4 short strings / outlink key, conservatively
+    max_broadcast_keys = (256 << 20) // est_key_bytes
+    outlink_static = static_bound * max(1, cfg.fetcher.max_links_per_page)
+    if not small_work:
+        bounded_outlinks = False
+    elif outlink_static <= max_broadcast_keys:
+        bounded_outlinks = True
+    else:
+        bounded_outlinks = keys.count() <= max_broadcast_keys
     unseen = urlseen.filter_unseen(
-        store, keys, use_bloom=use_bloom, bounded_candidates=small_work
+        store, keys, use_bloom=use_bloom, bounded_candidates=bounded_outlinks
     ).localCheckpoint()
     _mark("outlinks_unseen")
     # same write_seq as the result rows is safe: an outlink row is

@@ -14,13 +14,23 @@ operator:
   nothing is ever dropped on the bloom alone, so results are exact.
 
 Hashes are JVM-side ``xxhash64`` with two seeds; the probe is a
-vectorized numpy double-hash over an Arrow batch. At 10^10 URLs with
-8192 buckets and 10 bits/key the bitmap set is ~12.5 GB cluster-wide /
-~1.5 MB per bucket — each probe task only needs its own bucket's
-bitmap, so the probe is a cogrouped ``applyInPandas``: candidates
-hash-partitioned by ``_bucket`` meet exactly their bucket's bloom row.
-No bitmap ever travels to the driver and no task reads a bitmap for a
-bucket it doesn't own.
+vectorized numpy double-hash over an Arrow batch, delivered by one of
+two size-gated paths:
+
+* **broadcast** (total bitmap set ≤ ``SPARK_GRAFT_BLOOM_BROADCAST_MAX``,
+  default 128 MB): the bucket→bitmap map is collected once per bloom
+  snapshot and Spark-broadcast, then probed in a ZERO-exchange
+  ``mapInPandas`` riding whatever distribution the candidates already
+  have. The driver does hold the bitmaps during the build — the same
+  bounded role it has in any broadcast-join build — gated by size and
+  cached per snapshot.
+* **cogrouped** (above the gate — the 10^10-key regime: ~12.5 GB of
+  bitmaps at 8192 buckets / 10 bits per key): a cogrouped
+  ``applyInPandas`` where candidates hash-partitioned by ``_bucket``
+  meet exactly their bucket's bloom row; no bitmap travels to the
+  driver and no task reads a bucket it doesn't own.
+
+Both paths are parity-asserted by pytest.
 """
 
 from __future__ import annotations
@@ -344,9 +354,13 @@ def filter_unseen(
     recent = store.read_since("links", int(meta["links_version"])).select(*LINK_KEY)
     definitely_new = definitely_new.join(recent, LINK_KEY, "left_anti")
     if bounded_candidates:
+        # seen holds one row per (key, time) crawl event, so the raw
+        # semi output repeats frequently-recrawled keys — dedup before
+        # broadcasting (a bounded exchange beats an inflated driver
+        # build; |confirmed| <= |needs_verify| after dedup).
         confirmed = seen.join(
             F.broadcast(needs_verify.select(*LINK_KEY)), LINK_KEY, "left_semi"
-        )
+        ).dropDuplicates(LINK_KEY)
         verified_new = needs_verify.join(F.broadcast(confirmed), LINK_KEY, "left_anti")
     else:
         verified_new = needs_verify.join(seen, LINK_KEY, "left_anti")
