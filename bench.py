@@ -103,7 +103,7 @@ def build_spark(cpus: int):
     )
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def _run_queries_once(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -131,6 +131,22 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         times[name] = round(time.time() - t0, 3)
         print(f"  {name:28s} rows={n:<8d} {times[name]:6.2f}s", file=sys.stderr)
     return times
+
+
+def run_queries(spark, sf_dir: str, reps: int) -> dict[str, float]:
+    """Per-query min over ``reps`` full passes. Single-shot walls on
+    this host swing ±30-50% with hypervisor neighbors (the crawl bench
+    learned this in round 3; BENCH_r03's untouched queries inflated
+    ~1.5× in lockstep) — min-of-reps makes the suite comparable
+    round-over-round, and also absorbs the first-query JVM/Arrow warmup
+    into rep 1."""
+    best: dict[str, float] = {}
+    for r in range(max(1, reps)):
+        print(f"-- query rep {r + 1}/{reps}", file=sys.stderr)
+        for name, t in _run_queries_once(spark, sf_dir).items():
+            if name not in best or t < best[name]:
+                best[name] = t
+    return best
 
 
 def run_crawl(spark, cpus: int, shape: dict, workdir: str) -> dict:
@@ -379,8 +395,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     t_all = time.time()
-    qtimes = run_queries(spark, sf_dir)
-    queries_wall = round(time.time() - t_all, 2)
+    query_reps = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")))
+    qtimes = run_queries(spark, sf_dir, query_reps)
+    # the comparable number is the sum of per-query mins, not the raw
+    # multi-rep wall (which includes every rep)
+    queries_wall = round(sum(qtimes.values()), 2)
 
     # best-of-N crawl: single-machine crawl walls swing ±30-50% with
     # hypervisor neighbors (BENCH/BASELINE.md preamble), so one rep is
@@ -400,12 +419,13 @@ def main():
     total = round(queries_wall + crawl["crawl_sec"], 2)
 
     out = {
-        "metric": "headline suite wall + best-of-N crawl-iterations wall (urls fetched+deduped/sec in crawl.urls_per_sec)",
+        "metric": "sum of per-query best-of-N + best-of-N crawl-iterations wall (urls fetched+deduped/sec in crawl.urls_per_sec)",
         "value": total,
         "unit": "sec",
         "queries": qtimes,
         "sf": sf,
         "cpus": cpus,
+        "query_reps": query_reps,
         "crawl": crawl,
         "total_wall_sec": round(time.time() - t_all, 2),
     }
