@@ -133,3 +133,47 @@ def test_cli_seed_and_console(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "cli.com" in out
+
+
+def test_read_link_report(spark, tmp_path):
+    """readlink rendering (cmd/cmd.go:163-267): crawled link -> full
+    meta report; not-yet-crawled -> the sentinel line; unknown -> None;
+    body_only/meta_only split."""
+    store = _store(spark, tmp_path)
+    rep = console.read_link(store, "http://a.com/p1.html")
+    assert rep is not None
+    assert "Url:                http://a.com/p1.html" in rep
+    assert "HttpStatus:         200" in rep
+    assert "HEADERS:        <none>" in rep
+    assert "BODY:           <none>" in rep
+    # latest row wins (days_ago(1), not days_ago(3))
+    import datetime
+    want = datetime.datetime.fromtimestamp(days_ago(1) / 1000, datetime.timezone.utc)
+    assert want.strftime("%Y-%m-%d %H:%M:%S") in rep
+    meta = console.read_link(store, "http://a.com/p1.html", meta_only=True)
+    assert "BODY" not in meta and "HttpStatus" in meta
+    body = console.read_link(store, "http://a.com/p1.html", body_only=True)
+    assert "HttpStatus" not in body
+    assert "not yet been fetched" in console.read_link(store, "http://a.com/p2.html")
+    assert console.read_link(store, "http://nowhere.com/x.html") is None
+
+
+def test_cli_schema_and_readlink(spark, tmp_path, capsys):
+    """cmd/cmd.go schema (440-468) + readlink (163-267) CLI parity."""
+    from walker_spark import cli
+
+    rc = cli.main(["schema", "--catalog", "prod", "--buckets", "64"])
+    assert rc == 0
+    ddl = capsys.readouterr().out
+    assert "CREATE TABLE" in ddl and "prod." in ddl and "MERGE INTO" in ddl
+    assert "64" in ddl
+    out_file = tmp_path / "schema.sql"
+    rc = cli.main(["schema", "--out", str(out_file)])
+    assert rc == 0 and "CREATE TABLE" in out_file.read_text()
+
+    store = _store(spark, tmp_path / "rl")
+    rc = cli.main(["readlink", "--root", store.root, "--url", "http://a.com/p1.html"])
+    assert rc == 0
+    assert "HttpStatus:         200" in capsys.readouterr().out
+    rc = cli.main(["readlink", "--root", store.root, "--url", "http://missing.com/"])
+    assert rc == 1

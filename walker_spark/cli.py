@@ -6,6 +6,8 @@
     python -m walker_spark.cli fetch    --root DIR [--iterations K]
     python -m walker_spark.cli run      --root DIR [--iterations K]   # dispatch+fetch supersteps
     python -m walker_spark.cli console  --root DIR [--dom D]          # list domains / links
+    python -m walker_spark.cli schema   [--out F] [--catalog C]       # rendered DDL (cmd.go:440-468)
+    python -m walker_spark.cli readlink --root DIR --url U [--body-only|--meta-only]
 
 Config comes from --config (JSON file shaped like walker.yaml sections,
 Go duration strings accepted). Designed for `spark-submit --py-files
@@ -44,8 +46,11 @@ def _load_cfg(path: str | None) -> WalkerConfig:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="walker-spark")
-    ap.add_argument("command", choices=["seed", "dispatch", "fetch", "run", "console"])
-    ap.add_argument("--root", required=True, help="frontier store directory")
+    ap.add_argument(
+        "command",
+        choices=["seed", "dispatch", "fetch", "run", "console", "schema", "readlink"],
+    )
+    ap.add_argument("--root", help="frontier store directory")
     ap.add_argument("--config", help="JSON config (walker.yaml-shaped sections)")
     ap.add_argument("--url", action="append", default=[], help="seed url (repeatable)")
     ap.add_argument("--iterations", type=int, default=1)
@@ -53,8 +58,35 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", default="*")
     ap.add_argument("--bloom", action="store_true", help="enable the URL-seen bloom")
     ap.add_argument("--resume", action="store_true", help="continue from the last checkpoint")
+    ap.add_argument("--out", help="schema: write the DDL to this file (default stdout)")
+    ap.add_argument("--catalog", default="crawl", help="schema: Iceberg catalog name")
+    ap.add_argument("--buckets", type=int, default=8192, help="schema: bucket count")
+    ap.add_argument("--body-only", action="store_true", help="readlink: body only")
+    ap.add_argument("--meta-only", action="store_true", help="readlink: metadata only")
     args = ap.parse_args(argv)
 
+    if args.command == "schema":
+        # pure config->DDL rendering (cmd/cmd.go:440-468) — no Spark
+        # session, no store; substitutes catalog + bucket count the way
+        # the reference substitutes keyspace/replication from walker.yaml
+        from walker_spark.plans.schemas import DOMAIN_INFO_MERGE_SQL, iceberg_ddl
+
+        ddl = iceberg_ddl(catalog=args.catalog, num_buckets=args.buckets)
+        text = (
+            "\n\n".join(stmt.strip() for stmt in ddl.values())
+            + "\n\n-- per-superstep domain_info commit (row-touch MERGE):\n"
+            + DOMAIN_INFO_MERGE_SQL.format(catalog=args.catalog).strip()
+            + "\n"
+        )
+        if args.out:
+            with open(args.out, "w", encoding="utf-8") as f:
+                f.write(text)
+        else:
+            print(text, end="")
+        return 0
+
+    if not args.root:
+        ap.error(f"{args.command} requires --root")
     spark = _build_spark(args.cpus)
     cfg = _load_cfg(args.config)
 
@@ -97,6 +129,22 @@ def main(argv: list[str] | None = None) -> int:
             console.list_links(engine.store, args.dom).show(50, truncate=False)
         else:
             console.list_domains(engine.store).show(50, truncate=False)
+        return 0
+    if args.command == "readlink":
+        from walker_spark.operators import console
+
+        if len(args.url) != 1:
+            ap.error("readlink requires exactly one --url")
+        if args.body_only and args.meta_only:
+            ap.error("can't specify both --body-only and --meta-only")
+        report = console.read_link(
+            engine.store, args.url[0],
+            body_only=args.body_only, meta_only=args.meta_only,
+        )
+        if report is None:
+            print(f"Failed to find link {args.url[0]} in datastore")
+            return 1
+        print(report, end="")
         return 0
     return 1
 

@@ -29,14 +29,29 @@ def claim_plan(
     cfg: WalkerConfig,
     now_ms: int,
     claim_tok: str,
-    max_priority: int,
+    max_priority: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Pure plan for one claim pass over an in-memory ``domain_info``
     state: returns ``(claimed, merged)`` where ``claimed`` is the
     (dom, priority) rows taken this pass and ``merged`` is the full
     post-claim domain_info. No I/O — the caller decides when to commit,
     so a superstep can fuse claim/unclaim bookkeeping into a single
-    table write instead of three."""
+    table write instead of three.
+
+    ``max_priority=None`` folds the A1 global max INTO the plan as a
+    broadcast single-row aggregate (scalar-subquery shape): the claim's
+    first action computes it, so no superstep pays a separate
+    ``agg().collect()`` round trip. An empty ``domain_info`` yields a
+    NULL max, the eligibility predicate is then never true, and the
+    claim set is empty — the same outcome the scalar path special-cased.
+    """
+    if max_priority is None:
+        di = di.crossJoin(
+            F.broadcast(di.agg(F.max("priority").alias("_maxp")))
+        )
+        maxp = F.col("_maxp")
+    else:
+        maxp = F.lit(max_priority)
     claimable = F.col("dispatched") & F.col("claim_tok").isNull() & ~F.col("excluded")
     advanced = di.withColumn(
         "next_crawl",
@@ -47,7 +62,7 @@ def claim_plan(
     # Deterministic claim order: highest accumulated credit first, then
     # priority, then domain name (the reference's token-ring order is
     # arbitrary; its tests only assert priority-proportional frequency).
-    eligible = advanced.filter(claimable & (F.col("next_crawl") >= F.lit(max_priority)))
+    eligible = advanced.filter(claimable & (F.col("next_crawl") >= maxp))
     chosen = (
         eligible.orderBy(
             F.col("next_crawl").desc(), F.col("priority").desc(), F.col("dom")
@@ -74,7 +89,7 @@ def claim_plan(
             "queued_links",
             "last_dispatch",
             "last_empty_dispatch",
-            F.when(F.col("_c"), F.col("next_crawl") - F.lit(max_priority))
+            F.when(F.col("_c"), F.col("next_crawl") - maxp)
             .otherwise(F.col("next_crawl"))
             .alias("next_crawl"),
         )
@@ -95,14 +110,15 @@ def claim_domains(
     domains; persists the updated domain_info and returns the claimed
     rows (dom, priority, crawl-order deterministic)."""
     di = store.read("domain_info")
-    max_priority = di.agg(F.max("priority")).collect()[0][0]  # A1
-    if max_priority is None:
-        return di.limit(0).select("dom", "priority")
-    claimed, merged = claim_plan(di, cfg, now_ms, claim_tok, max_priority)
+    # A1 max priority rides the claim plan as a broadcast scalar — no
+    # separate agg().collect() job.
+    claimed, merged = claim_plan(di, cfg, now_ms, claim_tok)
     # Freeze the claimed rows BEFORE the overwrite so no re-read of the
     # just-committed table is needed (old snapshot files stay on disk,
     # but the checkpoint removes even that dependency).
     claimed = claimed.localCheckpoint()
+    # commit unconditionally: the next_crawl credit advance is scheduler
+    # state and must persist even on a zero-claim pass
     store.overwrite("domain_info", merged)
     return claimed
 

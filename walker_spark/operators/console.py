@@ -129,3 +129,66 @@ def if_modified_since(time_col) -> "F.Column":
     """RFC1123 formatting of a last-crawl time for the If-Modified-Since
     header (X9; fetcher.go:731-735)."""
     return F.date_format(time_col, "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
+
+
+def read_link(
+    store: FrontierStore,
+    url: str,
+    body_only: bool = False,
+    meta_only: bool = False,
+) -> str | None:
+    """The reference's ``walker readlink`` report for one URL
+    (cmd/cmd.go:163-267): parse+normalize the URL, find its latest
+    links row, and render the link-info fields (or only the body /
+    only the meta, matching --body-only/--meta-only). Returns None when
+    the link is not in the datastore; the not-yet-crawled sentinel
+    (time == epoch) renders the reference's 'present, but has not yet
+    been fetched' line. Header multi-values are stored \\0-joined and
+    printed one per line under a sorted key order, exactly like the
+    reference's reproducible-printout sort."""
+    from walker_spark.functions import urlkernel
+
+    if body_only and meta_only:
+        raise ValueError("can't specify both body_only and meta_only")
+    norm = urlkernel.normalize_url(url)
+    key = urlkernel.primary_key(norm) if norm is not None else None
+    if key is None:
+        raise ValueError(f"failed to parse link {url!r}")
+    dom, subdom, path, proto = key
+    rows = link_history(store, dom, subdom, path, proto).limit(1).collect()
+    if not rows:
+        return None
+    r = rows[0]
+    if r["time"] is None or int(r["time"].timestamp()) == 0:
+        return f"Link {url} is present, but has not yet been fetched\n"
+
+    out: list[str] = []
+    if not body_only:
+        err = r["err"] or ""
+        estring = "\n" + "".join(f"    {l}\n" for l in err.split("\n")) if err else "\n"
+        full_url = urlkernel.url_from_key(dom, subdom, path, proto)
+        out.append(f"Url:                {full_url}\n")
+        out.append(f"HttpStatus:         {r['stat']}\n")
+        out.append(f"CrawlTime:          {r['time'].isoformat(sep=' ')}\n")
+        out.append(f"Error:              {estring}")
+        out.append(f"RobotsExcluded:     {bool(r['robot_ex'])}\n")
+        out.append(f"RedirectedTo:       {r['redto_url'] or ''}\n")
+        out.append(f"GetNow:             {bool(r['getnow'])}\n")
+        out.append(f"Mime:               {r['mime'] or ''}\n")
+        out.append(f"FnvFingerprint:     {r['fnv']}\n")
+        out.append(f"FnvTextFingerprint: {r['fnv_txt']}\n")
+        headers = r["headers"]
+        if not headers:
+            out.append("HEADERS:        <none>\n")
+        else:
+            out.append("HEADERS:\n")
+            for k in sorted(headers):
+                for v in headers[k].split("\x00"):
+                    out.append(f"    {k}: {v}\n")
+    if not meta_only:
+        body = r["body"]
+        if not body_only:
+            out.append(f"BODY:\n{body}\n" if body else "BODY:           <none>\n")
+        else:
+            out.append(f"{body or ''}\n")
+    return "".join(out)

@@ -513,12 +513,11 @@ def run_fetch(
     # three, and no read-after-write (the MERGE-INTO shape the Iceberg
     # DDL path uses at scale).
     di = store.read("domain_info")
-    max_priority = di.agg(F.max("priority")).collect()[0][0]  # A1
-    if max_priority is None:
-        metrics = {"claimed_domains": 0, "now_ms": now_ms}
-        store.record_run("fetch", iteration, {"metrics": metrics})
-        return {**metrics, "fetched": 0, "outlinks_new": 0}
-    claimed, di_claimed = claim_plan(di, cfg, now_ms, claim_tok, max_priority)
+    # A1 max priority rides the claim plan as a broadcast scalar agg —
+    # the claim checkpoint below is the superstep's FIRST job; no
+    # separate agg().collect() round trip (default-volume supersteps are
+    # per-job-constant-dominated, so every fused job is throughput).
+    claimed, di_claimed = claim_plan(di, cfg, now_ms, claim_tok)
     claimed = claimed.localCheckpoint()
     n_claimed = claimed.count()
     _mark("claim")
@@ -806,25 +805,7 @@ def run_fetch(
             )
         ).alias("outlinks_new"),
     )
-    store.append("links", link_sink_rows)  # ONE links write per iteration
-    links_counts = links_obs.get
-    _mark("links_append")
-
-    # ---- handler hook (S9) -------------------------------------------------
-    if handler is not None:
-        handleable = results.filter(
-            (F.col("stat") == 304)
-            | (
-                (F.col("stat") >= 200)
-                & (F.col("stat") < 300)
-                & F.col("err").isNull()
-                & mime_accept_condition(F.col("mime"), cfg.fetcher.accept_formats)
-                & ~(F.lit(cfg.fetcher.honor_meta_noindex) & F.col("meta_noindex"))
-            )
-        )
-        handler(handleable)
-
-    # ---- segments cleanup + unclaim (datastore.go:276-291) -----------------
+    # ---- segments cleanup + unclaim plans (datastore.go:276-291) -----------
     # remaining = segments ∖ processed is written lazily (the overwrite
     # is its only consumer); the finished-domain set is derived from the
     # already-checkpointed work table instead — a claimed domain is
@@ -839,7 +820,6 @@ def run_fetch(
         )
         .select(*[f.name for f in schemas.SEGMENTS.fields])
     )
-    store.overwrite("segments", remaining)
     leftover_doms = (
         work.filter(~F.col("in_budget")).select("dom").dropDuplicates()
     )
@@ -857,7 +837,44 @@ def run_fetch(
     final_di = final_di.observe(
         di_obs, F.count(F.when(F.col("_new"), True)).alias("new_domains")
     ).drop("_new")
-    store.overwrite("domain_info", final_di)
+
+    # ---- end-of-superstep commits, submitted CONCURRENTLY ------------------
+    # The three sink jobs touch disjoint tables and read only
+    # checkpointed inputs or pre-overwrite snapshots (the store is
+    # snapshot-versioned: an overwrite never deletes the delta files a
+    # built plan references), so they are independent — and each is a
+    # small fixed-latency job (scheduling + bucketed write + manifest
+    # swap) that dominates the superstep at default volume. Overlapping
+    # them pays max() instead of sum() of the three commit walls; on a
+    # real cluster the same three Iceberg commits would be issued
+    # concurrently by the driver.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_links = pool.submit(store.append, "links", link_sink_rows)
+        f_segments = pool.submit(store.overwrite, "segments", remaining)
+        f_di = pool.submit(store.overwrite, "domain_info", final_di)
+        f_links.result()
+        links_counts = links_obs.get
+        _mark("links_append")
+
+        # ---- handler hook (S9) ----------------------------------------
+        # runs once the links rows are durable, overlapping the two
+        # bookkeeping commits; it only reads the checkpointed results
+        if handler is not None:
+            handleable = results.filter(
+                (F.col("stat") == 304)
+                | (
+                    (F.col("stat") >= 200)
+                    & (F.col("stat") < 300)
+                    & F.col("err").isNull()
+                    & mime_accept_condition(F.col("mime"), cfg.fetcher.accept_formats)
+                    & ~(F.lit(cfg.fetcher.honor_meta_noindex) & F.col("meta_noindex"))
+                )
+            )
+            handler(handleable)
+        f_segments.result()
+        f_di.result()
     new_domain_count = int(di_obs.get["new_domains"])
     _mark("segments_unclaim")
 
