@@ -176,6 +176,13 @@ def run_crawl(spark, cpus: int, shape: dict, workdir: str) -> dict:
         parallelism=2 * cpus,
     )
     engine.store.overwrite("pages", pages)
+    # url-bucketed copy (Iceberg bucket(N, url) clustering at write
+    # time): the fetch superstep then joins storage-partitioned — pages
+    # scanned in place, no driver broadcast build. Counted in gen_sec
+    # (a per-snapshot write cost, never a superstep cost).
+    from walker_spark.operators.fetch import build_bucketed_pages
+
+    build_bucketed_pages(engine.store)
     n_pages = engine.store.read("pages").count()
     gen_s = time.time() - t0
 

@@ -106,6 +106,13 @@ cfg = WalkerConfig(frontier=FrontierConfig(num_domain_buckets=2 * cpus,
                    dispatcher=DispatcherConfig(max_links_per_segment=1000))
 engine = CrawlEngine(spark, workdir, cfg, use_bloom=True)
 engine.store.overwrite("pages", spark.read.parquet({pages_path!r}))
+# the corpus ships a url-bucketed copy (same rows, bucket(64, url)):
+# register it so the fetch join runs storage-partitioned in the engine
+from walker_spark.operators.fetch import register_bucketed_pages
+import os as _os
+if _os.path.isdir({pages_path!r} + "_bucketed"):
+    register_bucketed_pages(engine.store, {pages_path!r} + "_bucketed",
+                            bench.KERNEL_PAGE_BUCKETS)
 seeds = engine.store.read("pages").select("url").filter(
     ~F.col("url").endswith("robots.txt"))
 t0 = time.time(); engine.seed(seeds); seed_s = time.time() - t0

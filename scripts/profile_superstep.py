@@ -33,6 +33,11 @@ cfg = WalkerConfig(frontier=FrontierConfig(num_domain_buckets=2 * cpus,
                                            claim_limit=100000))
 engine = CrawlEngine(spark, workdir, cfg, use_bloom=True)
 engine.store.overwrite("pages", spark.read.parquet({pages!r}))
+from walker_spark.operators.fetch import register_bucketed_pages
+import os as _os
+if _os.path.isdir({pages!r} + "_bucketed"):
+    register_bucketed_pages(engine.store, {pages!r} + "_bucketed",
+                            bench.KERNEL_PAGE_BUCKETS)
 seeds = engine.store.read("pages").select("url").filter(
     ~F.col("url").endswith("robots.txt"))
 t0 = time.time(); engine.seed(seeds); seed_s = time.time() - t0

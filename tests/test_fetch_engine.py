@@ -259,3 +259,40 @@ def test_robots_rules_cache_invalidation(spark, tmp_path):
     store.overwrite("pages", pages)
     _robots_rules_table(store, cfg)
     assert store.version("robots_rules") > v2
+
+
+def test_bucketed_spj_parity(spark, tmp_path, monkeypatch):
+    """The storage-partitioned fetch join (url-bucketed pages, one
+    left-outer SMJ, missing rows through the parse fn) must produce a
+    links table identical to the broadcast path's — same crawl, same
+    seed, bucketed copy built via build_bucketed_pages."""
+    from walker_spark.operators import fetch as fetch_mod
+    from walker_spark.operators.fetch import build_bucketed_pages
+
+    # the size gate would route this tiny fixture to broadcast; force
+    # the SPJ path so parity is actually exercised
+    monkeypatch.setattr(fetch_mod, "_SPJ_MIN_BYTES", 0)
+
+    def crawl(root, bucketed: bool):
+        engine = CrawlEngine(spark, root, CFG)
+        engine.store.overwrite("pages", _pages(spark))
+        if bucketed:
+            build_bucketed_pages(engine.store, buckets=4)
+            meta = engine.store.get_meta("pages_bucketed")
+            assert meta and meta["pages_version"] == engine.store.version("pages")
+        engine.seed(["http://a.com/"])
+        engine.run(iterations=2, start_now_ms=NOW0)
+        rows = engine.store.read("links").collect()
+        key = lambda r: (r["dom"], r["subdom"], r["path"], r["proto"],
+                         r["time"], r["write_seq"])
+        return sorted(
+            (
+                key(r), r["stat"], r["err"], r["robot_ex"], r["mime"],
+                r["fnv"], r["fnv_txt"],
+            )
+            for r in rows
+        )
+
+    a = crawl(str(tmp_path / "broadcast"), bucketed=False)
+    b = crawl(str(tmp_path / "bucketed"), bucketed=True)
+    assert a == b and len(a) > 0

@@ -48,7 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="walker-spark")
     ap.add_argument(
         "command",
-        choices=["seed", "dispatch", "fetch", "run", "console", "schema", "readlink"],
+        choices=[
+            "seed", "dispatch", "fetch", "run", "console", "console-http",
+            "schema", "readlink",
+        ],
     )
     ap.add_argument("--root", help="frontier store directory")
     ap.add_argument("--config", help="JSON config (walker.yaml-shaped sections)")
@@ -61,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", help="schema: write the DDL to this file (default stdout)")
     ap.add_argument("--catalog", default="crawl", help="schema: Iceberg catalog name")
     ap.add_argument("--buckets", type=int, default=8192, help="schema: bucket count")
+    ap.add_argument("--port", type=int, default=3000, help="console-http: listen port")
     ap.add_argument("--body-only", action="store_true", help="readlink: body only")
     ap.add_argument("--meta-only", action="store_true", help="readlink: metadata only")
     args = ap.parse_args(argv)
@@ -129,6 +133,12 @@ def main(argv: list[str] | None = None) -> int:
             console.list_links(engine.store, args.dom).show(50, truncate=False)
         else:
             console.list_domains(engine.store).show(50, truncate=False)
+        return 0
+    if args.command == "console-http":
+        from walker_spark.operators import console_http
+
+        print(f"walker-spark console on http://127.0.0.1:{args.port}")
+        console_http.serve(engine.store, cfg, port=args.port)
         return 0
     if args.command == "readlink":
         from walker_spark.operators import console

@@ -125,6 +125,28 @@ def set_domain_excluded(
     store.overwrite("domain_info", merged)
 
 
+def set_domain_priority(store: FrontierStore, dom: str, priority: int) -> bool:
+    """Change a domain's dispatch priority (ChangePriorityController ->
+    UpdateDomain with DomainInfoUpdateConfig{Priority:true},
+    console/controllers.go:765-826). Returns False when the domain is
+    not in domain_info (no write happens)."""
+    di = store.read("domain_info")
+    if di.filter(F.col("dom") == dom).isEmpty():
+        return False
+    merged = di.select(
+        *[
+            F.when(F.col("dom") == dom, F.lit(priority).cast("int"))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c == "priority"
+            else F.col(c)
+            for c in di.columns
+        ]
+    )
+    store.overwrite("domain_info", merged)
+    return True
+
+
 def if_modified_since(time_col) -> "F.Column":
     """RFC1123 formatting of a last-crawl time for the If-Modified-Since
     header (X9; fetcher.go:731-735)."""

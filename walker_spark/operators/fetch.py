@@ -30,6 +30,7 @@ that value exactly as walker does on Content-Type.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Iterator
 
@@ -485,6 +486,110 @@ def redirect_link_rows(
 # ---------------------------------------------------------------------------
 
 
+PAGE_BUCKETS = 64
+
+
+def _bucketed_pages_name(path: str) -> str:
+    import hashlib
+
+    return "walker_pages_b_" + hashlib.md5(path.encode()).hexdigest()[:8]
+
+
+# Below this bucketed-copy size the broadcast join wins locally: the
+# SMJ's work-side sort + 64-bucket scan overhead exceeds the broadcast
+# build it saves (A/B at the 21.5k-page bench shape: broadcast 25.5s vs
+# SPJ 26.1s best-of-4; at the 489k-page/2.6GB scaling corpus the kernel
+# measured SPJ 62s vs broadcast 84s at local[4]). Inert at cluster
+# scale, where pages always clears it.
+_SPJ_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SPJ_MIN_BYTES", str(512 << 20)))
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for d, _sub, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(d, f))
+            except OSError:
+                pass
+    return total
+
+
+def register_bucketed_pages(store: FrontierStore, path: str, buckets: int = PAGE_BUCKETS) -> None:
+    """Point the store at an EXISTING url-bucketed copy of the current
+    pages snapshot (rows must match ``store.read('pages')``; the caller
+    certifies that). The fetch superstep then runs its join as a
+    storage-partitioned bucket join (Iceberg ``bucket(N, url)`` analog):
+    pages scanned in place, only the bounded work side shuffles, no
+    driver-built broadcast relation — the join shape whose 1->4-core
+    scaling measured 0.88-0.95 vs 0.74 for the broadcast build
+    (bench.run_fetch_kernel A/B)."""
+    path = os.path.abspath(path)
+    store.put_meta(
+        "pages_bucketed",
+        {"path": path, "buckets": buckets,
+         "pages_version": store.version("pages"),
+         "bytes": _dir_bytes(path)},
+    )
+
+
+def build_bucketed_pages(store: FrontierStore, buckets: int = PAGE_BUCKETS) -> str:
+    """Write/refresh the url-bucketed pages copy from the store's
+    current pages snapshot and register it. One full rewrite per pages
+    snapshot — the analog of an Iceberg table whose spec bucket(N, url)
+    clusters data at write time; supersteps never pay it."""
+    import shutil
+
+    path = os.path.join(store.root, "pages_bucketed")
+    meta = store.get_meta("pages_bucketed")
+    version = store.version("pages")
+    if (
+        meta
+        and meta.get("pages_version") == version
+        and meta.get("path") == os.path.abspath(path)
+        and os.path.isdir(path)
+    ):
+        return path
+    name = _bucketed_pages_name(os.path.abspath(path))
+    store.spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        store.read("pages")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "url")
+        .sortBy("url")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    register_bucketed_pages(store, path, buckets)
+    return path
+
+
+def _bucketed_pages_table(store: FrontierStore) -> DataFrame | None:
+    """The registered bucketed pages copy as a catalog table (bucket
+    metadata only flows through the catalog), or None when absent/stale
+    (pages version moved since registration)."""
+    meta = store.get_meta("pages_bucketed")
+    if not meta or meta.get("pages_version") != store.version("pages"):
+        return None
+    if meta.get("bytes", 0) < _SPJ_MIN_BYTES:
+        return None  # broadcast wins below the crossover (gate above)
+    path = meta["path"]
+    if not os.path.isdir(path):
+        return None
+    spark = store.spark
+    name = _bucketed_pages_name(path)
+    if not spark.catalog.tableExists(name):
+        schema = spark.read.parquet(path).schema
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY (url) SORTED BY (url) INTO {meta['buckets']} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return spark.table(name)
+
+
 def run_fetch(
     store: FrontierStore,
     cfg: WalkerConfig,
@@ -615,75 +720,118 @@ def run_fetch(
             work.filter(F.col("in_budget") & F.col("allowed")).count()
             <= max_broadcast_rows
         )
-    work_join_side = F.broadcast(work_slim) if small_work else work_slim
-    # ONE pages scan per superstep, html bytes NEVER materialized: the
-    # fetch join streams straight into the parse kernel, and the only
-    # checkpoint on this path holds the SLIM parse output (fingerprints,
-    # outlinks, status — no html, no text unless a handler consumes it).
-    # Round 3's earlier shape checkpointed the joined (url, html) rows
-    # first — a full materialization of the claimed pages' bytes every
-    # superstep, pure memory-bandwidth cost that scales worse than the
-    # parse itself. The not-found complement anti-joins the bounded
-    # parsed-key set broadcast executor-side (found ⊆ work, bounded by
-    # claim_limit x segment cap), so pages is still touched exactly once
-    # and no corpus-sized url column is ever exchanged.
-    found_src = (
-        pages.join(work_join_side, "url", "inner")
-        .withColumn("mime", mime_from_path(F.col("path")))
-        .withColumn("found", F.lit(True))
-        .withColumn(
-            "not_modified",
-            (F.unix_millis(F.col("time")) > 0)
-            & (F.unix_millis(F.col("warc_ts")) <= F.unix_millis(F.col("time"))),
+    # SPARK_GRAFT_ENGINE_JOIN: auto (bucketed when registered+fresh) |
+    # broadcast (force the classic path — A/B lever, same as the
+    # kernel's SPARK_GRAFT_KERNEL_JOIN)
+    if os.environ.get("SPARK_GRAFT_ENGINE_JOIN", "auto") == "broadcast":
+        pages_bucketed = None
+    else:
+        pages_bucketed = _bucketed_pages_table(store)
+    parse_fn = _make_parse_fn(cfg, now_ms, emit_text=handler is not None)
+    parse_cols = [
+        "dom", "subdom", "path", "proto", "url", "html", "mime", "found", "not_modified"
+    ]
+    if pages_bucketed is not None:
+        # Storage-partitioned bucket join (Iceberg bucket(N, url)): ONE
+        # left-outer SMJ — pages scanned IN PLACE (bucketed + sorted by
+        # url, zero exchange of html bytes), only the bounded work side
+        # shuffles, and there is NO driver-built broadcast relation (the
+        # serial term the kernel A/B measured: 1->4-core eff 0.88-0.95
+        # bucketed vs 0.74 broadcast). Missing rows fall out of the SAME
+        # join as found=false and take the parse fn's constant-column
+        # fetch-error path (fetcher.go:540-545) — no anti-join, and ONE
+        # checkpoint instead of parsed+union.
+        page_flagged = (
+            pages_bucketed.select("url", "warc_ts", "html")
+            .withColumn("found", F.lit(True))
+            .hint("merge")
         )
-    )
-    parsed = (
-        found_src.select(
-            "dom", "subdom", "path", "proto", "url", "html", "mime", "found", "not_modified"
+        found_src = (
+            work_slim.join(page_flagged, "url", "left")
+            .withColumn("found", F.coalesce(F.col("found"), F.lit(False)))
+            .withColumn("mime", mime_from_path(F.col("path")))
+            .withColumn(
+                "not_modified",
+                F.coalesce(
+                    (F.unix_millis(F.col("time")) > 0)
+                    & (F.unix_millis(F.col("warc_ts")) <= F.unix_millis(F.col("time"))),
+                    F.lit(False),
+                ),
+            )
         )
-        .mapInPandas(
-            _make_parse_fn(cfg, now_ms, emit_text=handler is not None), _PARSE_OUT
+        results = (
+            found_src.select(*parse_cols)
+            .mapInPandas(parse_fn, _PARSE_OUT)
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
-    # not-found rows need no parse: their result row is a constant-
-    # column fetch-error record (fetcher.go:540-545), synthesized
-    # relationally on top of the checkpointed work set.
-    # Broadcast hint only while small_work certifies the bound: on the
-    # oversized-claim fallback path, parsed ⊆ work also exceeded the
-    # 256 MB guard, and a forced broadcast would hand the driver exactly
-    # the build the guard exists to avoid — let Catalyst/AQE plan it.
-    parsed_keys = parsed.select("dom", "subdom", "path", "proto")
-    missing_rows = (
-        fetchable.join(
-            F.broadcast(parsed_keys) if small_work else parsed_keys,
-            ["dom", "subdom", "path", "proto"],
-            "left_anti",
+    else:
+        work_join_side = F.broadcast(work_slim) if small_work else work_slim
+        # ONE pages scan per superstep, html bytes NEVER materialized:
+        # the fetch join streams straight into the parse kernel, and the
+        # only checkpoint on this path holds the SLIM parse output
+        # (fingerprints, outlinks, status — no html, no text unless a
+        # handler consumes it). Round 3's earlier shape checkpointed the
+        # joined (url, html) rows first — a full materialization of the
+        # claimed pages' bytes every superstep, pure memory-bandwidth
+        # cost that scales worse than the parse itself. The not-found
+        # complement anti-joins the bounded parsed-key set broadcast
+        # executor-side (found ⊆ work, bounded by claim_limit x segment
+        # cap), so pages is still touched exactly once and no
+        # corpus-sized url column is ever exchanged.
+        found_src = (
+            pages.join(work_join_side, "url", "inner")
+            .withColumn("mime", mime_from_path(F.col("path")))
+            .withColumn("found", F.lit(True))
+            .withColumn(
+                "not_modified",
+                (F.unix_millis(F.col("time")) > 0)
+                & (F.unix_millis(F.col("warc_ts")) <= F.unix_millis(F.col("time"))),
+            )
         )
-        .select(
-            "dom",
-            "subdom",
-            "path",
-            "proto",
-            F.lit(now_ms).cast("long").alias("time_ms"),
-            F.lit(None).cast("int").alias("stat"),
-            F.lit("fetch error: host unreachable (not in pages table)").alias("err"),
-            F.lit(None).cast("string").alias("mime"),
-            F.lit(0).cast("long").alias("fnv"),
-            F.lit(0).cast("long").alias("fnv_txt"),
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("array<string>").alias("links"),
-            F.lit(False).alias("meta_noindex"),
-            F.lit(False).alias("meta_nofollow"),
-            F.lit(None).cast("string").alias("body"),
-            F.lit(None).cast("string").alias("redirect_to"),
-            F.lit(None).cast("map<string,string>").alias("headers"),
+        parsed = (
+            found_src.select(*parse_cols)
+            .mapInPandas(parse_fn, _PARSE_OUT)
+            .localCheckpoint()
         )
-    )
-    # cheap second checkpoint: reads the slim parsed checkpoint + the
-    # checkpointed work set (one bounded broadcast build) — several
-    # consumers (links sink, outlink explode, handler) then share it
-    results = parsed.unionByName(missing_rows).localCheckpoint()
+        # not-found rows need no parse: their result row is a constant-
+        # column fetch-error record (fetcher.go:540-545), synthesized
+        # relationally on top of the checkpointed work set.
+        # Broadcast hint only while small_work certifies the bound: on
+        # the oversized-claim fallback path, parsed ⊆ work also exceeded
+        # the 256 MB guard, and a forced broadcast would hand the driver
+        # exactly the build the guard exists to avoid — let Catalyst/AQE
+        # plan it.
+        parsed_keys = parsed.select("dom", "subdom", "path", "proto")
+        missing_rows = (
+            fetchable.join(
+                F.broadcast(parsed_keys) if small_work else parsed_keys,
+                ["dom", "subdom", "path", "proto"],
+                "left_anti",
+            )
+            .select(
+                "dom",
+                "subdom",
+                "path",
+                "proto",
+                F.lit(now_ms).cast("long").alias("time_ms"),
+                F.lit(None).cast("int").alias("stat"),
+                F.lit("fetch error: host unreachable (not in pages table)").alias("err"),
+                F.lit(None).cast("string").alias("mime"),
+                F.lit(0).cast("long").alias("fnv"),
+                F.lit(0).cast("long").alias("fnv_txt"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("array<string>").alias("links"),
+                F.lit(False).alias("meta_noindex"),
+                F.lit(False).alias("meta_nofollow"),
+                F.lit(None).cast("string").alias("body"),
+                F.lit(None).cast("string").alias("redirect_to"),
+                F.lit(None).cast("map<string,string>").alias("headers"),
+            )
+        )
+        # cheap second checkpoint: reads the slim parsed checkpoint + the
+        # checkpointed work set (one bounded broadcast build) — several
+        # consumers (links sink, outlink explode, handler) then share it
+        results = parsed.unionByName(missing_rows).localCheckpoint()
     _mark("fetch_parse")
 
     # ---- links sink (S5) --------------------------------------------------
@@ -750,10 +898,14 @@ def run_fetch(
     # max_links_per_page x work rows, and in a converged crawl most are
     # genuinely seen — so needs_verify approximates the whole candidate
     # set and small_work alone cannot certify its broadcast. Gate on a
-    # static fan-out bound first (zero extra jobs for normal configs);
-    # past it, measure the candidate count over the checkpointed parse
-    # output (one bounded job); past THAT, filter_unseen falls back to
-    # the plain anti-join where AQE runtime-sizes the verify side.
+    # static fan-out bound first (zero extra jobs for tight configs);
+    # past it, bound by the MEASURED link count: sum(size(links)) over
+    # the checkpointed slim parse output — a single cheap agg scan, an
+    # upper bound on the candidate set (normalize/dedup only shrink it),
+    # and crucially NOT a re-run of the explode+normalize UDF pipeline
+    # (counting `keys` itself would double the outlink stage's volume
+    # work). Past THAT, filter_unseen falls back to the plain anti-join
+    # where AQE runtime-sizes the verify side.
     est_key_bytes = 120  # 4 short strings / outlink key, conservatively
     max_broadcast_keys = (256 << 20) // est_key_bytes
     outlink_static = static_bound * max(1, cfg.fetcher.max_links_per_page)
@@ -762,7 +914,13 @@ def run_fetch(
     elif outlink_static <= max_broadcast_keys:
         bounded_outlinks = True
     else:
-        bounded_outlinks = keys.count() <= max_broadcast_keys
+        n_links = (
+            results.agg(
+                F.sum(F.coalesce(F.size("links"), F.lit(0))).alias("n")
+            ).collect()[0]["n"]
+            or 0
+        )
+        bounded_outlinks = n_links <= max_broadcast_keys
     unseen = urlseen.filter_unseen(
         store, keys, use_bloom=use_bloom, bounded_candidates=bounded_outlinks
     ).localCheckpoint()
