@@ -250,6 +250,42 @@ def main():
         ],
     )
 
+    # 5b. ENGINE fetch join on the same bucketed copy (run_fetch's SPJ
+    # branch, active when a registered bucketed copy clears the size
+    # gate): ONE left-outer merge join — found and missing rows come out
+    # of the same join (missing takes the parse fn's fetch-error path),
+    # so there is no anti-join, no broadcast build, and pages html is
+    # scanned in place.
+    from walker_spark.operators import fetch as FETCH
+
+    FETCH.register_bucketed_pages(store, bpath, buckets=8)
+    store.put_meta(
+        "pages_bucketed",
+        {**store.get_meta("pages_bucketed"), "bytes": FETCH._SPJ_MIN_BYTES + 1},
+    )
+    bp_engine = FETCH._bucketed_pages_table(store)
+    assert bp_engine is not None
+    engine_joined = work.join(
+        bp_engine.select("url", "warc_ts", "html")
+        .withColumn("found", F.lit(True))
+        .hint("merge"),
+        "url",
+        "left",
+    )
+    ok &= grab(
+        "Engine fetch join (SPJ branch): ONE left-outer merge join, pages in "
+        "place, missing rows from the same join (no anti-join, no broadcast "
+        "build)",
+        engine_joined,
+        [
+            ("left-outer SortMergeJoin on url", r"SortMergeJoin[^\n]*LeftOuter", (1,)),
+            ("bucketed pages scan in place", r"SelectedBucketsCount", (1,)),
+            ("exactly one Exchange (work side only)",
+             r"Exchange hashpartitioning\(url", 1),
+            ("no broadcast relation anywhere", r"BroadcastExchange", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"
