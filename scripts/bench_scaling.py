@@ -102,7 +102,7 @@ workdir = tempfile.mkdtemp(prefix="walker-scale-")
 # window is just longer).
 cfg = WalkerConfig(frontier=FrontierConfig(num_domain_buckets=2 * cpus,
                                            claim_limit=100000,
-                                           iteration_time_budget=1800.0),
+                                           iteration_time_budget={budget}),
                    dispatcher=DispatcherConfig(max_links_per_segment=1000))
 engine = CrawlEngine(spark, workdir, cfg, use_bloom=True)
 engine.store.overwrite("pages", spark.read.parquet({pages_path!r}))
@@ -268,10 +268,26 @@ def main():
             for cpus in (lo, hi):
                 print(f"== engine local[{cpus}] rep {rep} ==", file=sys.stderr)
                 res = run_py(ENGINE.format(repo=REPO, cpus=cpus,
-                                           pages_path=pages_path))
+                                           pages_path=pages_path,
+                                           budget=1800.0))
                 print(json.dumps(res), file=sys.stderr)
                 if cpus not in engine or res["crawl_sec"] < engine[cpus]["crawl_sec"]:
                     engine[cpus] = res
+        # second regime: the 500s CONFIG-DEFAULT politeness window (the
+        # volume a driver running defaults actually measures — ~40% of
+        # the full window; per-job constants weigh ~2.5x heavier).
+        # Disclosed alongside the full-window record since round 3.
+        engine_default = {}
+        dreps = 1 if quick else 2
+        for rep in range(dreps):
+            for cpus in (lo, hi):
+                print(f"== engine-default local[{cpus}] rep {rep} ==", file=sys.stderr)
+                res = run_py(ENGINE.format(repo=REPO, cpus=cpus,
+                                           pages_path=pages_path,
+                                           budget=500.0))
+                print(json.dumps(res), file=sys.stderr)
+                if cpus not in engine_default or res["crawl_sec"] < engine_default[cpus]["crawl_sec"]:
+                    engine_default[cpus] = res
     finally:
         if base:
             shutil.rmtree(base, ignore_errors=True)
@@ -280,6 +296,7 @@ def main():
     e_eff = engine[hi]["urls_per_sec"] / (4 * engine[lo]["urls_per_sec"])
     k_speed = kernel[hi]["urls_per_sec"] / kernel[lo]["urls_per_sec"]
     e_speed = engine[hi]["urls_per_sec"] / engine[lo]["urls_per_sec"]
+    d_eff = engine_default[hi]["urls_per_sec"] / (4 * engine_default[lo]["urls_per_sec"])
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
@@ -343,7 +360,17 @@ count in a single JVM) dominated the ratio.
 | A | local[{lo}] | {engine[lo]["crawl_sec"]} | {engine[lo]["urls"]} | {engine[lo]["urls_per_sec"]} |
 | B | local[{hi}] | {engine[hi]["crawl_sec"]} | {engine[hi]["urls"]} | {engine[hi]["urls_per_sec"]} |
 
-Engine speedup {e_speed:.2f}x; efficiency {e_eff:.2f}. The gap vs the
+Engine speedup {e_speed:.2f}x; efficiency {e_eff:.2f}.
+
+Same plan at the 500s CONFIG-DEFAULT window (~40% volume — what a
+driver running defaults measures; best-of-{dreps}):
+
+| run | parallelism | crawl wall (s) | URLs | URLs/sec |
+|---|---|---|---|---|
+| A | local[{lo}] | {engine_default[lo]["crawl_sec"]} | {engine_default[lo]["urls"]} | {engine_default[lo]["urls_per_sec"]} |
+| B | local[{hi}] | {engine_default[hi]["crawl_sec"]} | {engine_default[hi]["urls"]} | {engine_default[hi]["urls_per_sec"]} |
+
+Default-volume efficiency {d_eff:.2f}. The gap vs the
 kernel is the constant-latency Spark actions per superstep (commit,
 manifest, claim bookkeeping) — identical wall cost at any core count in
 a single-JVM sandbox, so they are charged fully against scaling here.
@@ -396,13 +423,16 @@ Raw results: BENCH/scaling_results.json
                 "pages": n_pages,
                 "kernel": {str(k): v for k, v in kernel.items()},
                 "engine": {str(k): v for k, v in engine.items()},
+                "engine_default_budget": {str(k): v for k, v in engine_default.items()},
                 "kernel_efficiency": round(k_eff, 3),
                 "engine_efficiency": round(e_eff, 3),
+                "engine_default_efficiency": round(d_eff, 3),
             },
             f,
             indent=2,
         )
-    print(json.dumps({"kernel_eff": round(k_eff, 2), "engine_eff": round(e_eff, 2)}))
+    print(json.dumps({"kernel_eff": round(k_eff, 2), "engine_eff": round(e_eff, 2),
+                      "engine_default_eff": round(d_eff, 2)}))
 
 
 if __name__ == "__main__":
