@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Re-measure ONLY the fetch-kernel legs (best-of-N, alternating
+levels) and fold min-wall results into BENCH/scaling_results.json +
+BENCH/BASELINE.md. Companion to rerun_default_regime.py for when a
+suite's kernel legs straddled a host throttle.
+
+Usage: python scripts/rerun_kernel.py [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import bench_scaling as BS  # noqa: E402
+
+REPO = BS.REPO
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    corpus = os.path.join(REPO, "fixtures", "bench-corpus")
+    pages_path = os.path.join(corpus, "pages")
+    frontier_path = os.path.join(corpus, "frontier")
+    assert os.path.isdir(pages_path), "shared corpus missing"
+    lo, hi = 1, 4
+    calib = BS.cpu_calibration(lo, hi)
+    print(f"raw-CPU calibration {lo}->{hi}: {calib:.2f}x (ideal 4)", file=sys.stderr)
+
+    res_path = os.path.join(REPO, "BENCH", "scaling_results.json")
+    with open(res_path) as f:
+        data = json.load(f)
+    # start from the existing best (min-wall merge: both samples are the
+    # same code on the same corpus; min is the least-interference pick)
+    kernel = {int(k): dict(v) for k, v in data["kernel"].items()}
+    prev_eff = data.get("kernel_efficiency")
+
+    for rep in range(reps):
+        for cpus in (lo, hi):
+            print(f"== kernel local[{cpus}] rep {rep} ==", file=sys.stderr)
+            res = BS.run_py(BS.KERNEL.format(repo=REPO, cpus=cpus,
+                                             pages_path=pages_path,
+                                             frontier_path=frontier_path))
+            print(json.dumps(res), file=sys.stderr)
+            if cpus not in kernel or res["kernel_sec"] < kernel[cpus]["kernel_sec"]:
+                kernel[cpus] = res
+
+    k_eff = kernel[hi]["urls_per_sec"] / (4 * kernel[lo]["urls_per_sec"])
+    data["kernel"] = {str(k): v for k, v in kernel.items()}
+    data["kernel_efficiency"] = round(k_eff, 3)
+    data["kernel_rerun"] = {
+        "cpu_calibration": round(calib, 3), "reps": reps,
+        "note": f"kernel legs re-measured standalone and min-merged (prior value {prev_eff})",
+    }
+    with open(res_path, "w") as f:
+        json.dump(data, f, indent=2)
+
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md_path) as f:
+        md = f.read()
+    tbl = (
+        f"| A | local[{lo}] (N) | {kernel[lo]['kernel_sec']} | "
+        f"{kernel[lo]['fetched'] + kernel[lo]['outlinks_unseen']} | {kernel[lo]['urls_per_sec']} |\n"
+        f"| B | local[{hi}] (4N) | {kernel[hi]['kernel_sec']} | "
+        f"{kernel[hi]['fetched'] + kernel[hi]['outlinks_unseen']} | {kernel[hi]['urls_per_sec']} |"
+    )
+    md = re.sub(
+        r"(kernel wall \(s\).*?\|---\|---\|---\|---\|---\|\n)\| A \|.*?\n\| B \|.*?\|",
+        lambda m: m.group(1) + tbl,
+        md, count=1, flags=re.S,
+    )
+    md = re.sub(
+        r"\*\*Kernel speedup \d+\.\d+x; scaling efficiency\n`throughput_4N / \(4 x throughput_N\)` = \d+\.\d+\*\*",
+        f"**Kernel speedup {kernel[hi]['urls_per_sec']/kernel[lo]['urls_per_sec']:.2f}x; scaling efficiency\n"
+        f"`throughput_4N / (4 x throughput_N)` = {k_eff:.2f}** (min-merged across the\n"
+        f"main suite and a standalone rerun at calibration {calib:.2f}x)",
+        md, count=1,
+    )
+    with open(md_path, "w") as f:
+        f.write(md)
+    print(json.dumps({"kernel_eff": round(k_eff, 3), "calibration": round(calib, 3)}))
+
+
+if __name__ == "__main__":
+    main()
