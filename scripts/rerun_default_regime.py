@@ -63,7 +63,7 @@ def main():
         f"{engine_default[hi]['urls']} | {engine_default[hi]['urls_per_sec']} |"
     )
     md = re.sub(
-        r"(CONFIG-DEFAULT window.*?\|---\|---\|---\|---\|---\|\n)\| A \|.*?\n\| B \|.*?\|",
+        r"(CONFIG-DEFAULT window.*?\|---\|---\|---\|---\|---\|\n)\| A \|[^\n]*\n\| B \|[^\n]*",
         lambda m: m.group(1) + tbl,
         md, count=1, flags=re.S,
     )

@@ -68,7 +68,7 @@ def main():
         f"{kernel[hi]['fetched'] + kernel[hi]['outlinks_unseen']} | {kernel[hi]['urls_per_sec']} |"
     )
     md = re.sub(
-        r"(kernel wall \(s\).*?\|---\|---\|---\|---\|---\|\n)\| A \|.*?\n\| B \|.*?\|",
+        r"(kernel wall \(s\).*?\|---\|---\|---\|---\|---\|\n)\| A \|[^\n]*\n\| B \|[^\n]*",
         lambda m: m.group(1) + tbl,
         md, count=1, flags=re.S,
     )
