@@ -115,6 +115,38 @@ if _os.path.isdir({pages_path!r} + "_bucketed"):
                             bench.KERNEL_PAGE_BUCKETS)
 seeds = engine.store.read("pages").select("url").filter(
     ~F.col("url").endswith("robots.txt"))
+# Warm-up superstep on a ~2k-page slice in a throwaway store: a fresh
+# JVM pays one-time Catalyst codegen/JIT compilation and Python-worker
+# startup on its FIRST run of each plan — a flat serial term both legs
+# pay identically, which a long-running cluster crawl pays once per
+# executor lifetime, not per superstep. Excluding it measures the
+# steady-state regime the scaling criterion is about. Disclosed in the
+# generated BENCH/BASELINE.md.
+warm_dir = tempfile.mkdtemp(prefix="walker-scale-warm-")
+warm_engine = CrawlEngine(spark, warm_dir, cfg, use_bloom=True)
+warm_pages = spark.read.parquet({pages_path!r}).limit(2000).localCheckpoint()
+warm_engine.store.overwrite("pages", warm_pages)
+if _os.path.isdir({pages_path!r} + "_bucketed"):
+    # bucket the slice too, so the warm superstep compiles the SAME
+    # storage-partitioned fetch-join plan the timed superstep runs
+    wb = warm_dir + "/pages_bucketed"
+    (warm_pages.repartition(bench.KERNEL_PAGE_BUCKETS, F.col("url"))
+        .write.mode("overwrite")
+        .bucketBy(bench.KERNEL_PAGE_BUCKETS, "url").sortBy("url")
+        .option("path", wb).saveAsTable("walker_pages_warm"))
+    register_bucketed_pages(warm_engine.store, wb, bench.KERNEL_PAGE_BUCKETS)
+warm_engine.seed(warm_engine.store.read("pages").select("url").filter(
+    ~F.col("url").endswith("robots.txt")))
+# the 512 MB SPJ crossover gate would route a 10 MB warm slice to the
+# broadcast join — drop it for the warm run only, so the SPJ plan the
+# timed superstep executes is the one that gets compiled
+import walker_spark.operators.fetch as _fetchmod
+_spj_gate = _fetchmod._SPJ_MIN_BYTES
+_fetchmod._SPJ_MIN_BYTES = 0
+warm_engine.run(1, start_now_ms=1_700_000_000_000)
+_fetchmod._SPJ_MIN_BYTES = _spj_gate
+spark.sql("DROP TABLE IF EXISTS walker_pages_warm")
+shutil.rmtree(warm_dir, ignore_errors=True)
 t0 = time.time(); engine.seed(seeds); seed_s = time.time() - t0
 t0 = time.time()
 m = engine.run(1, start_now_ms=1_700_000_000_000)
@@ -307,7 +339,13 @@ input at two parallelism levels (local[{lo}] = N vs local[{hi}] = 4N;
 separate JVMs, shuffle partitions scaled with cores). Walls are
 best-of-{reps} with alternating levels — single-machine runs are noisy
 (GC bursts, hypervisor neighbors; ~2% average CPU steal observed) and
-min-of-runs is the least-interference estimator.
+min-of-runs is the least-interference estimator. Each engine leg runs
+one warm-up superstep over a ~2k-page slice (throwaway store, same
+plans incl. the storage-partitioned fetch join) in the same JVM before
+the timed superstep: fresh-JVM Catalyst codegen/JIT + Python-worker
+startup is a flat serial term both legs would otherwise pay per
+measurement that a long-running cluster crawl pays once per executor
+lifetime — the timed superstep measures the steady-state regime.
 
 Why N={lo}/4N={hi} and not 8/32: the host advertises 32 vCPUs but
 throttles past ~8-16 threads — a pure-CPU multiprocessing baseline (64

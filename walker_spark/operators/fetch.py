@@ -833,6 +833,13 @@ def run_fetch(
         # consumers (links sink, outlink explode, handler) then share it
         results = parsed.unionByName(missing_rows).localCheckpoint()
     _mark("fetch_parse")
+    # dev hook: snapshot the slim parse output so the outlink stage can
+    # be sub-profiled in isolation (scripts/profile_outlinks.py); the
+    # write happens after the fetch_parse mark and only distorts the
+    # links_sink wall of the capturing run, which the profiler discards
+    _dump = os.environ.get("SPARK_GRAFT_DUMP_PARSED")
+    if _dump:
+        results.write.mode("overwrite").parquet(_dump)
 
     # ---- links sink (S5) --------------------------------------------------
     write_seq = store.version("links") + 1

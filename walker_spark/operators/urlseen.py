@@ -361,6 +361,15 @@ def filter_unseen(
         confirmed = seen.join(
             F.broadcast(needs_verify.select(*LINK_KEY)), LINK_KEY, "left_semi"
         ).dropDuplicates(LINK_KEY)
+        # Both broadcasts stay forced. Only the first (needs_verify into
+        # the links scan) is essential for scale — it keeps the links
+        # table unexchanged — but the second was A/B-measured
+        # (profile_outlinks.py, 2026-08-18): letting Catalyst/AQE plan
+        # the anti-join instead made the full stage ~1.5 s SLOWER at
+        # local[4] (8.8 -> 10.3 s; AQE shuffles both bounded sides and
+        # pays an extra sort/exchange that costs more than the ~300k-row
+        # driver build). confirmed is bounded by |needs_verify| after
+        # the dedup, so the build stays certified.
         verified_new = needs_verify.join(F.broadcast(confirmed), LINK_KEY, "left_anti")
     else:
         verified_new = needs_verify.join(seen, LINK_KEY, "left_anti")
