@@ -68,12 +68,34 @@ print("GEN", n)
 """
 
 KERNEL = r"""
-import json, sys, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 import bench
+from pyspark.sql import functions as F
+from walker_spark.config import WalkerConfig
+from walker_spark.operators import seed as seed_ops
 
 spark = bench.build_spark({cpus})
 spark.sparkContext.setLogLevel("ERROR")
+# warm-up kernel over a ~2k-page slice (same plan, incl. the bucketed
+# SPJ): excludes fresh-JVM codegen/JIT + Python-worker startup from the
+# timed run — the flat term a long-lived executor pays once, not per
+# superstep (see the engine legs / generated report preamble)
+warm = tempfile.mkdtemp(prefix="walker-kern-warm-")
+wp = os.path.join(warm, "pages"); wf = os.path.join(warm, "frontier")
+slice_df = spark.read.parquet({pages_path!r}).limit(2000).localCheckpoint()
+slice_df.write.mode("overwrite").parquet(wp)
+if os.path.isdir({pages_path!r} + "_bucketed"):
+    (slice_df.repartition(bench.KERNEL_PAGE_BUCKETS, F.col("url"))
+        .write.mode("overwrite")
+        .bucketBy(bench.KERNEL_PAGE_BUCKETS, "url").sortBy("url")
+        .option("path", wp + "_bucketed").saveAsTable("walker_pages_warmk"))
+(seed_ops.normalize_to_keys(slice_df.select("url"), WalkerConfig())
+    .select("dom", "subdom", "path", "proto")
+    .write.mode("overwrite").parquet(wf))
+bench.run_fetch_kernel(spark, wp, wf)
+spark.sql("DROP TABLE IF EXISTS walker_pages_warmk")
+shutil.rmtree(warm, ignore_errors=True)
 out = bench.run_fetch_kernel(spark, {pages_path!r}, {frontier_path!r})
 print("RESULT " + json.dumps(out))
 """
