@@ -361,13 +361,14 @@ input at two parallelism levels (local[{lo}] = N vs local[{hi}] = 4N;
 separate JVMs, shuffle partitions scaled with cores). Walls are
 best-of-{reps} with alternating levels — single-machine runs are noisy
 (GC bursts, hypervisor neighbors; ~2% average CPU steal observed) and
-min-of-runs is the least-interference estimator. Each engine leg runs
-one warm-up superstep over a ~2k-page slice (throwaway store, same
-plans incl. the storage-partitioned fetch join) in the same JVM before
-the timed superstep: fresh-JVM Catalyst codegen/JIT + Python-worker
-startup is a flat serial term both legs would otherwise pay per
-measurement that a long-running cluster crawl pays once per executor
-lifetime — the timed superstep measures the steady-state regime.
+min-of-runs is the least-interference estimator. Each leg (kernel and
+engine alike) first runs one warm-up pass over a ~2k-page slice
+(throwaway store/bucketed copy, same plans incl. the
+storage-partitioned fetch join) in the same JVM before the timed run:
+fresh-JVM Catalyst codegen/JIT + Python-worker startup is a flat
+serial term both legs would otherwise pay per measurement that a
+long-running cluster crawl pays once per executor lifetime — the timed
+run measures the steady-state regime.
 
 Why N={lo}/4N={hi} and not 8/32: the host advertises 32 vCPUs but
 throttles past ~8-16 threads — a pure-CPU multiprocessing baseline (64
