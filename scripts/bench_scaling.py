@@ -18,13 +18,23 @@ Measures two things on a SHARED pre-generated corpus:
 
 Writes BENCH/BASELINE.md + BENCH/scaling_results.json.
 
-Usage: python scripts/bench_scaling.py [--quick]
+Usage: python scripts/bench_scaling.py [--quick] [--resume LOGFILE]
+
+--resume LOGFILE: parse a prior (possibly interrupted) suite log and
+reuse every completed leg result verbatim — only the legs the prior run
+never finished are re-measured. The leg order is deterministic
+(alternating levels, fixed rep counts), so `(suite, cpus, rep)` keys
+the cache exactly; min-merge then behaves as if the one suite had run
+to completion. For when the host/tmux dies mid-suite: kernel legs are
+~4 min each and re-paying a clean window's worth of finished legs is
+pure waste.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -228,8 +238,37 @@ def _calib_work(n):
     return h[0]
 
 
+_LEG_HEADER = re.compile(
+    r"^== (kernel|engine|engine-default) local\[(\d+)\] rep (\d+) =="
+)
+
+
+def parse_suite_log(path: str) -> dict[tuple[str, int, int], dict]:
+    """Completed legs of a prior suite log: header line -> next JSON
+    line. A header with no JSON after it (the leg the crash landed on)
+    is simply absent from the result."""
+    legs: dict[tuple[str, int, int], dict] = {}
+    pending: tuple[str, int, int] | None = None
+    with open(path) as f:
+        for line in f:
+            m = _LEG_HEADER.match(line.strip())
+            if m:
+                pending = (m.group(1), int(m.group(2)), int(m.group(3)))
+                continue
+            if pending and line.startswith("{"):
+                legs[pending] = json.loads(line)
+                pending = None
+    return legs
+
+
 def main():
     quick = "--quick" in sys.argv
+    resumed: dict[tuple[str, int, int], dict] = {}
+    if "--resume" in sys.argv:
+        log_path = sys.argv[sys.argv.index("--resume") + 1]
+        resumed = parse_suite_log(log_path)
+        print(f"== resuming: {len(resumed)} completed legs from {log_path} ==",
+              file=sys.stderr)
     shape = (
         {"n_domains": 80, "pages_per_domain": 40, "mega_factor": 4, "words_per_page": 300}
         if quick
@@ -309,9 +348,12 @@ def main():
         for rep in range(reps):
             for cpus in (lo, hi):
                 print(f"== kernel local[{cpus}] rep {rep} ==", file=sys.stderr)
-                res = run_py(KERNEL.format(repo=REPO, cpus=cpus,
-                                           pages_path=pages_path,
-                                           frontier_path=frontier_path))
+                if ("kernel", cpus, rep) in resumed:
+                    res = resumed[("kernel", cpus, rep)]
+                else:
+                    res = run_py(KERNEL.format(repo=REPO, cpus=cpus,
+                                               pages_path=pages_path,
+                                               frontier_path=frontier_path))
                 print(json.dumps(res), file=sys.stderr)
                 if cpus not in kernel or res["kernel_sec"] < kernel[cpus]["kernel_sec"]:
                     kernel[cpus] = res
@@ -321,9 +363,12 @@ def main():
         for rep in range(reps):
             for cpus in (lo, hi):
                 print(f"== engine local[{cpus}] rep {rep} ==", file=sys.stderr)
-                res = run_py(ENGINE.format(repo=REPO, cpus=cpus,
-                                           pages_path=pages_path,
-                                           budget=1800.0))
+                if ("engine", cpus, rep) in resumed:
+                    res = resumed[("engine", cpus, rep)]
+                else:
+                    res = run_py(ENGINE.format(repo=REPO, cpus=cpus,
+                                               pages_path=pages_path,
+                                               budget=1800.0))
                 print(json.dumps(res), file=sys.stderr)
                 if cpus not in engine or res["crawl_sec"] < engine[cpus]["crawl_sec"]:
                     engine[cpus] = res
@@ -336,9 +381,12 @@ def main():
         for rep in range(dreps):
             for cpus in (lo, hi):
                 print(f"== engine-default local[{cpus}] rep {rep} ==", file=sys.stderr)
-                res = run_py(ENGINE.format(repo=REPO, cpus=cpus,
-                                           pages_path=pages_path,
-                                           budget=500.0))
+                if ("engine-default", cpus, rep) in resumed:
+                    res = resumed[("engine-default", cpus, rep)]
+                else:
+                    res = run_py(ENGINE.format(repo=REPO, cpus=cpus,
+                                               pages_path=pages_path,
+                                               budget=500.0))
                 print(json.dumps(res), file=sys.stderr)
                 if cpus not in engine_default or res["crawl_sec"] < engine_default[cpus]["crawl_sec"]:
                     engine_default[cpus] = res

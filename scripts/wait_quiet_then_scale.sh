@@ -7,6 +7,7 @@
 THRESH=${1:-3.8}
 DEADLINE=${2:-"15:30"}
 LOG=${3:-/tmp/scaling_gated.log}
+EXTRA_ARGS=${4:-}   # e.g. "--resume /tmp/prior_suite.log"
 cd /root/repo
 while true; do
   CAL=$(python - <<'EOF'
@@ -34,5 +35,5 @@ EOF
   fi
   sleep 240
 done
-python scripts/bench_scaling.py > "$LOG" 2>&1
+python scripts/bench_scaling.py $EXTRA_ARGS > "$LOG" 2>&1
 echo "SCALING_DONE_$?"
