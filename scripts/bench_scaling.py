@@ -401,6 +401,14 @@ def main():
     d_eff = engine_default[hi]["urls_per_sec"] / (4 * engine_default[lo]["urls_per_sec"])
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    provenance = ""
+    if resumed:
+        provenance = (
+            f"{len(resumed)} legs were reused verbatim from an interrupted\n"
+            "run of this same suite (same corpus, same code, its own\n"
+            "quiet-window gate); the remaining legs ran fresh and the\n"
+            "min-merge treats both sets identically.\n\n"
+        )
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 
 Sandbox evidencing of the north_rule scaling criterion (no real cluster
@@ -418,7 +426,7 @@ serial term both legs would otherwise pay per measurement that a
 long-running cluster crawl pays once per executor lifetime — the timed
 run measures the steady-state regime.
 
-Why N={lo}/4N={hi} and not 8/32: the host advertises 32 vCPUs but
+{provenance}Why N={lo}/4N={hi} and not 8/32: the host advertises 32 vCPUs but
 throttles past ~8-16 threads — a pure-CPU multiprocessing baseline (64
 md5-chain tasks) reaches only ~2.5-3.1x going 8->32 and ~3.5x going
 2->8 (measured this run: {calib:.2f}x for {lo}->{hi}, ideal 4.0 —
@@ -487,6 +495,38 @@ On a real N-vs-4N-executor cluster those driver-side constants are the
 same for both sizes and are amortized over stages that run minutes at
 100 TB, so the kernel number is the faithful predictor of cluster
 scaling; the engine number is its sandbox lower bound.
+
+### 2b. Job-level attribution of the default-volume regime (same-window pair)
+
+`scripts/profile_jobs.py` replays one default-budget superstep per
+level with the Spark UI REST API on, attributing the wall to jobs,
+inter-job gaps, and per-stage executorRunTime. One clean same-window
+pair (2026-08-18, calibration ~3.6x, single rep per level):
+
+| | local[1] | local[4] | ratio |
+|---|---|---|---|
+| crawl wall | 204.9 s | 71.4 s | 2.87x (eff 0.72) |
+| sum inter-job gaps | 4.7 s | 4.6 s | flat (driver constants) |
+| fetch_parse stage wall | 142.2 s | 41.9 s | 3.39x |
+| fetch_parse executorRunTime | 141.8 s | 164.2 s | +16% inflation |
+| outlink stage wall | 32.4 s | 10.3 s | 3.14x |
+| outlinks_unseen mark | 42.8 s | 16.0 s | 2.68x |
+| dispatch.select mark | 8.8 s | 4.6 s | 1.9x |
+
+The decisive cell is fetch_parse at local[4]: executorRunTime/4 =
+41.0 s vs a 41.9 s stage wall — the stage is **parallel-bound**; its
+efficiency loss vs 4.0x comes from the 16% executor-time inflation
+(memory-bandwidth/turbo contention when 4 cores run hot), not from
+plan shape or driver serialization. Total inter-job gap is ~4.6 s at
+either level. What remains non-scaling at the default volume is (a)
+that hardware inflation, (b) the ~4.6 s gap + small commit jobs
+(~8 s at local[4]: claim, robots budget, links append, segment
+write, domain_info merge — already overlapped where disjoint), and
+(c) ~3 s of per-job plan-compile/codegen inside dispatch.select
+(flat at any core count; amortizes across a cluster's long stages).
+An earlier suite-level inference of a large engine-side serial term
+inside outlinks_unseen was host noise — at stage level the outlink
+pipeline runs 3.14x.
 
 ## Versus the reference's single-node envelope
 
