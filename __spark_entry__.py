@@ -321,6 +321,15 @@ def q_dedup_simhash_md5(spark, sf_dir):
     return simhash_md5_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dup_ngram_spans(spark, sf_dir):
+    """Cross-document duplicated token spans at 8-gram resolution —
+    the distributed suffix-array-dedup stand-in (positional n-gram
+    hashes -> distinct-doc frequency -> per-doc island merge)."""
+    from walker_spark.operators.dedup import dup_ngram_spans
+
+    return dup_ngram_spans(_t(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction (emails / IPv4 / phone numbers -> placeholder
     tokens + per-doc match counts). The synthetic documents carry no
@@ -496,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_components": q_dedup_components,
+        "dup_ngram_spans": q_dup_ngram_spans,
         "redact_pii": q_redact_pii,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -747,6 +757,35 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone
             FROM injected""",
         "dedup_simhash_md5": _simhash_md5_sql(3),
+        "dup_ngram_spans": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(t[i+1:i+8], ' ')) AS gram_key
+              FROM toks, UNNEST(generate_series(0, len(t) - 8)) AS u(i)
+              WHERE len(t) >= 8
+            ), dup AS (
+              SELECT gram_key FROM grams
+              GROUP BY gram_key HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram_key)
+            ), marked AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(MAX(pos + 8) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS newi
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, pos,
+                     SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+              FROM marked
+            )
+            SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+                   CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, isl""",
         "embedding_topk": f"""
             SELECT vec_id AS id,
                    round(list_cosine_similarity(embedding::DOUBLE[], {_QUERY_VEC_SQL}), 3) AS score

@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_components",
+    "dup_ngram_spans",
     "embedding_topk",
     "embedding_dup_pairs",
     "language_id",

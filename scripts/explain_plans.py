@@ -286,6 +286,30 @@ def main():
         ],
     )
 
+    # 7. dup_ngram_spans: the substring-dedup stand-in must shuffle
+    # 32-byte md5 keys (never document text) and stay JVM-side
+    from walker_spark.operators.dedup import dup_ngram_spans
+
+    docs = spark.createDataFrame(
+        [(i, "tok%d a b c d e f g h i j" % (i % 3)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    ok &= grab(
+        "dup_ngram_spans: positional n-gram dup spans (gram-frequency "
+        "exchange keyed on md5, map-side partial count-distinct, window "
+        "island merge, zero Python)",
+        dup_ngram_spans(docs, n=3),
+        [
+            ("gram-frequency exchange keyed on the 32-byte gram_key (never text)",
+             r"hashpartitioning\(gram_key", (1,)),
+            ("map-side partial count-distinct before the exchange",
+             r"partial_count\(distinct", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+            ("island merge windows on the doc id", r"hashpartitioning\(_id", (1,)),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

@@ -302,3 +302,29 @@ def test_redact_pii(spark):
     assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
     assert out[2]["clean_text"] == "no pii here, just 1.2 numbers and an @ sign"
     assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
+
+
+def test_dup_ngram_spans_islands_and_within_doc_repeats(spark):
+    # 10<->11 share the 5-token run "a b c d e"; 13 shares two
+    # disjoint 3-gram runs with 10; 12 repeats a 3-gram only within
+    # itself (must NOT trigger: min_docs counts distinct documents).
+    df = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h"),
+            (11, "x1 x2 a b c d e y1"),
+            (12, "m n o m n o m n o"),
+            (13, "a b c z1 z2 z3 z4 c d e"),
+            (14, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.dup_ngram_spans(df, n=3, min_docs=2)
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out.collect()}
+    assert got == {
+        (10, 0, 5, 5),   # "a b c d e" (pos 0-2 merged)
+        (11, 2, 7, 5),
+        (13, 0, 3, 3),   # "a b c"
+        (13, 7, 10, 3),  # "c d e" — separate island
+    }
+    schema = dict(out.dtypes)
+    assert schema["span_start"] == "bigint" and schema["span_tokens"] == "bigint"

@@ -470,6 +470,91 @@ def simhash_md5_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate n-gram span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated token spans at n-gram resolution.
+
+    The distributed stand-in for suffix-array substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any token run of length >= ``n`` shared with another
+    document is covered by shared positional n-grams, so marking every
+    position whose n-gram occurs in >= ``min_docs`` *distinct*
+    documents and merging overlapping ``[pos, pos+n)`` windows per
+    document recovers the maximal cross-document duplicated spans at
+    n-token resolution (within-document repeats alone do not trigger).
+
+    All JVM-side, three exchanges, no Python:
+
+    1. tokenize + positional n-grams in one projection — ``transform``
+       over ``sequence(0, len-n)``; the shuffle key is ``md5`` of the
+       gram (32 bytes), never the text, so at 10^10 docs the
+       gram-frequency exchange moves hashes, not corpus bytes;
+    2. ``groupBy(gram_key)`` distinct-doc count — partial aggregation
+       map-side, boilerplate skew absorbed by AQE;
+    3. hash join hits back (same key as the groupBy — co-partitioned)
+       and one ``Window.partitionBy(doc)`` island merge.
+
+    Returns ``(doc_id, span_start, span_end, span_tokens)`` with
+    ``span_end`` exclusive, all counts BIGINT.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).filter(
+        F.size("_t") >= n
+    )
+    grams = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.encode(F.concat_ws(" ", F.slice("_t", i + 1, n)), "UTF-8")
+                    ).alias("gram_key"),
+                ),
+            )
+        ).alias("_g"),
+    ).select("_id", F.col("_g.pos").alias("pos"), F.col("_g.gram_key").alias("gram_key"))
+    dup_keys = (
+        grams.groupBy("gram_key")
+        .agg(F.countDistinct("_id").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("gram_key")
+    )
+    hits = grams.join(dup_keys, "gram_key").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "_new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    )
+    islands = marked.withColumn("_isl", F.sum("_new").over(w))
+    return (
+        islands.groupBy("_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering (connected components over a pair graph)
 # ---------------------------------------------------------------------------
 
