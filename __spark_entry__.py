@@ -321,6 +321,14 @@ def q_dedup_simhash_md5(spark, sf_dir):
     return simhash_md5_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Within-document repetition quality signals (Gopher-style
+    top-bigram / duplicated-trigram fractions, token-weighted)."""
+    from walker_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_dup_ngram_spans(spark, sf_dir):
     """Cross-document duplicated token spans at 8-gram resolution —
     the distributed suffix-array-dedup stand-in (positional n-gram
@@ -506,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_components": q_dedup_components,
         "dup_ngram_spans": q_dup_ngram_spans,
+        "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -757,6 +766,42 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone
             FROM injected""",
         "dedup_simhash_md5": _simhash_md5_sql(3),
+        "repetition_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), bi AS (
+              SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g
+              FROM toks, UNNEST(generate_series(0, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 2
+            ), bic AS (
+              SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g
+            ), bid AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     CAST(max(c) AS BIGINT) AS top_bigram_count
+              FROM bic GROUP BY doc_id
+            ), tri AS (
+              SELECT doc_id, array_to_string(t[i+1:i+3], ' ') AS g
+              FROM toks, UNNEST(generate_series(0, len(t) - 3)) AS u(i)
+              WHERE len(t) >= 3
+            ), tric AS (
+              SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g
+            ), trid AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                     CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                       AS dup_trigram_positions
+              FROM tric GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(top_bigram_count, 0) AS top_bigram_count,
+                   round(coalesce(top_bigram_count / n_bigrams, 0), 4)
+                     AS top_bigram_frac,
+                   coalesce(n_trigrams, 0) AS n_trigrams,
+                   coalesce(dup_trigram_positions, 0) AS dup_trigram_positions,
+                   round(coalesce(dup_trigram_positions / n_trigrams, 0), 4)
+                     AS dup_trigram_frac
+            FROM documents d
+            LEFT JOIN bid USING (doc_id) LEFT JOIN trid USING (doc_id)""",
         "dup_ngram_spans": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKS_SQL} AS t FROM documents

@@ -54,6 +54,7 @@ HEADLINE = [
     "language_id",
     "token_stats",
     "quality_scores",
+    "repetition_stats",
     "doc_fingerprints",
     "redact_pii",
     "multimodal_features",

@@ -328,3 +328,24 @@ def test_dup_ngram_spans_islands_and_within_doc_repeats(spark):
     }
     schema = dict(out.dtypes)
     assert schema["span_start"] == "bigint" and schema["span_tokens"] == "bigint"
+
+
+def test_repetition_stats_golden(spark):
+    from walker_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "go go go go go"),          # bigrams: "go go" x4 -> top 4/4
+            (2, "a b a b a b a"),           # "a b" x3 of 6; trigrams "a b a" x3 + "b a b" x2 -> 5/5 dup
+            (3, "all words differ here ok"),
+            (4, "x"),                       # too short: zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    assert (out[1].n_bigrams, out[1].top_bigram_count, out[1].top_bigram_frac) == (4, 4, 1.0)
+    assert (out[1].n_trigrams, out[1].dup_trigram_positions, out[1].dup_trigram_frac) == (3, 3, 1.0)
+    assert (out[2].n_bigrams, out[2].top_bigram_count, out[2].top_bigram_frac) == (6, 3, 0.5)
+    assert (out[2].n_trigrams, out[2].dup_trigram_positions, out[2].dup_trigram_frac) == (5, 5, 1.0)
+    assert out[3].top_bigram_frac == 0.25 and out[3].dup_trigram_frac == 0.0
+    assert (out[4].n_bigrams, out[4].top_bigram_frac, out[4].n_trigrams) == (0, 0.0, 0)

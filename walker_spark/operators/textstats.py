@@ -148,3 +148,86 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.col(id_col).alias("id"),
         F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition quality signals (Gopher-style
+    filters, Rae et al. 2021 Table A1): per document, the fraction of
+    bigram positions taken by the single most frequent bigram
+    (``top_bigram_frac`` — catches degenerate loops) and the fraction
+    of trigram positions whose trigram occurs more than once in the
+    same document (``dup_trigram_frac`` — catches boilerplate /
+    template text). Token-weighted variants of the paper's
+    character-weighted originals; deterministic and DuckDB-expressible.
+
+    Plumbing: positional n-grams per row (``transform`` over
+    ``sequence``), then two aggregations keyed on (doc, gram) — the
+    keys are per-document, so the shuffle distributes perfectly and no
+    single task ever sees more than one document's grams. All
+    JVM-side; fractions are ``try_divide`` (ANSI-safe) rounded to 4.
+    """
+    from walker_spark.operators.dedup import tokens
+
+    base = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
+
+    def grams(k: int):
+        return F.when(
+            F.size("_t") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - k),
+                lambda i: F.concat_ws(" ", F.slice("_t", i + 1, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def per_doc(k: int, agg_cols):
+        counts = (
+            base.select("_id", F.explode(grams(k)).alias("_g"))
+            .groupBy("_id", "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        return counts.groupBy("_id").agg(*agg_cols)
+
+    bi = per_doc(
+        2,
+        [
+            F.sum("_c").cast("long").alias("n_bigrams"),
+            F.max("_c").cast("long").alias("top_bigram_count"),
+        ],
+    )
+    tri = per_doc(
+        3,
+        [
+            F.sum("_c").cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("dup_trigram_positions"),
+        ],
+    )
+    return (
+        base.select("_id")
+        .join(bi, "_id", "left")
+        .join(tri, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.round(
+                F.coalesce(
+                    F.try_divide("top_bigram_count", "n_bigrams"), F.lit(0.0)
+                ),
+                4,
+            ).alias("top_bigram_frac"),
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("dup_trigram_positions", F.lit(0)).alias(
+                "dup_trigram_positions"
+            ),
+            F.round(
+                F.coalesce(
+                    F.try_divide("dup_trigram_positions", "n_trigrams"), F.lit(0.0)
+                ),
+                4,
+            ).alias("dup_trigram_frac"),
+        )
+    )
