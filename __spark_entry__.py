@@ -321,6 +321,23 @@ def q_dedup_simhash_md5(spark, sf_dir):
     return simhash_md5_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup: a new batch (odd doc_ids) deduped against
+    a persisted corpus LSH index (even doc_ids) — corpus text is read
+    once to BUILD the index; the query side joins index tables only.
+    Banding r=4 b=16 at threshold 0.95: P(miss | s>=0.95) =
+    (1-0.95^4)^16 < 3e-12, so the brute-force SQL oracle applies."""
+    from walker_spark.operators.dedup import incremental_near_dups, minhash_index
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_index(corpus, num_perm=64, bands=16, shingle_n=1)
+    return incremental_near_dups(
+        batch, index, threshold=0.95, num_perm=64, bands=16, shingle_n=1
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Within-document repetition quality signals (Gopher-style
     top-bigram / duplicated-trigram fractions, token-weighted)."""
@@ -515,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dup_ngram_spans": q_dup_ngram_spans,
         "repetition_stats": q_repetition_stats,
+        "dedup_incremental": q_dedup_incremental,
         "redact_pii": q_redact_pii,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -766,6 +784,25 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone
             FROM injected""",
         "dedup_simhash_md5": _simhash_md5_sql(3),
+        "dedup_incremental": f"""
+            WITH sh AS (
+              SELECT DISTINCT doc_id AS id, unnest({_TOKS_SQL}) AS s
+              FROM documents
+              WHERE length({_NORM_TEXT_SQL}) > 0
+            ), sz AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), inter AS (
+              SELECT a.id AS id_new, b.id AS id_corpus, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s
+                AND a.id % 2 = 1 AND b.id % 2 = 0
+              GROUP BY 1, 2
+            )
+            SELECT id_new, id_corpus,
+                   round(i * 1.0 / (x.sz + y.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sz x ON x.id = id_new
+            JOIN sz y ON y.id = id_corpus
+            WHERE round(i * 1.0 / (x.sz + y.sz - i), 4) >= 0.95""",
         "repetition_stats": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKS_SQL} AS t FROM documents

@@ -349,3 +349,35 @@ def test_repetition_stats_golden(spark):
     assert (out[2].n_trigrams, out[2].dup_trigram_positions, out[2].dup_trigram_frac) == (5, 5, 1.0)
     assert out[3].top_bigram_frac == 0.25 and out[3].dup_trigram_frac == 0.0
     assert (out[4].n_bigrams, out[4].top_bigram_frac, out[4].n_trigrams) == (0, 0.0, 0)
+
+
+def test_incremental_near_dups_against_index(spark, docs):
+    # corpus = docs 0-3 indexed once; batch = docs 4-6. Cross near-dups
+    # must match brute-force jaccard restricted to (batch, corpus)
+    # pairs; corpus-internal and batch-internal pairs must NOT appear.
+    corpus = docs.filter(F.col("doc_id") <= 3)
+    batch = docs.filter(F.col("doc_id") >= 4)
+    index = dedup.minhash_index(corpus, num_perm=64, bands=16, shingle_n=1)
+    # the index is persistable: round-trip through parquet like a real
+    # pipeline would (schema survives, arrays intact)
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(prefix="lshidx-"), "index")
+    index.write.parquet(path)
+    index = spark.read.parquet(path)
+    got = {
+        (r.id_new, r.id_corpus, r.jaccard)
+        for r in dedup.incremental_near_dups(
+            batch, index, threshold=0.5, num_perm=64, bands=16, shingle_n=1
+        ).collect()
+    }
+    brute = {
+        (b, a, j)
+        for (a, b, j) in (
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.jaccard_pairs(docs, threshold=0.5, shingle_n=1).collect()
+        )
+        if a <= 3 and b >= 4
+    }
+    assert got == brute and len(got) > 0
+    # doc 6 normalizes identically to doc 0 -> exact dup, jaccard 1.0
+    assert (6, 0, 1.0) in got

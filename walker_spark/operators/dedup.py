@@ -341,6 +341,128 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# incremental near-dup (new batch vs a persisted corpus LSH index)
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persistable per-document LSH index over a corpus: one row per
+    document — ``(id, set_key, sz, band_hashes array<long>, shingles
+    array<string>)``. Built ONCE and written as a table; incremental
+    batches (:func:`incremental_near_dups`) join against it without
+    ever touching corpus text again — the distinct shingle set rides
+    the index so even the exact verify is index-only. At 10^10 docs
+    the index holds the distinct-token/shingle sets (a small fraction
+    of corpus bytes); band fan-out happens at query time in-plan, so
+    storage is one row per doc, not per band. ``set_key`` uses the
+    same md5-over-sorted-set identity as :func:`_set_groups`."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    per_doc = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("shingles"), *aggs
+    )
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        for b in range(bands)
+    ]
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.md5(F.concat_ws("\x00", "shingles")).alias("set_key"),
+        F.size("shingles").cast("long").alias("sz"),
+        F.array(*band_cols).alias("band_hashes"),
+        "shingles",
+    )
+
+
+def incremental_near_dups(
+    batch: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dups of a NEW document batch against an existing corpus
+    index (:func:`minhash_index`) — the daily-increment pipeline shape:
+    the corpus is never re-read, only its index table is joined.
+    Returns ``(id_new, id_corpus, jaccard)``, exact at the threshold
+    (banding prunes, ``array_intersect`` over the carried shingle sets
+    verifies). ``num_perm``/``bands``/``shingle_n`` must match the
+    index build.
+
+    Both sides collapse to distinct shingle sets before the band join
+    (boilerplate-heavy corpora cost output expansion, not join size);
+    the size-compatibility condition ``t*max(sz) <= min(sz)`` prunes
+    inside the join; candidate dedup shuffles only the two 128-bit set
+    keys, with the shingle arrays joined back for the verify."""
+    bidx = minhash_index(batch, id_col, text_col, num_perm, bands, shingle_n)
+    b_sets = bidx.dropDuplicates(["set_key"]).select(
+        F.col("set_key").alias("k_new"),
+        F.col("sz").alias("sz_new"),
+        "band_hashes",
+        F.col("shingles").alias("sh_new"),
+    )
+    c_sets = index.dropDuplicates(["set_key"]).select(
+        F.col("set_key").alias("k_corp"),
+        F.col("sz").alias("sz_corp"),
+        "band_hashes",
+        F.col("shingles").alias("sh_corp"),
+    )
+    xb = b_sets.select("k_new", "sz_new", F.explode("band_hashes").alias("bh"))
+    xc = c_sets.select("k_corp", "sz_corp", F.explode("band_hashes").alias("bh"))
+    cand = (
+        xb.join(
+            xc,
+            (xb["bh"] == xc["bh"])
+            & (
+                F.lit(threshold) * F.greatest("sz_new", "sz_corp")
+                <= F.least("sz_new", "sz_corp")
+            ),
+        )
+        .select("k_new", "k_corp")
+        .dropDuplicates()
+    )
+    inter = F.size(F.array_intersect("sh_new", "sh_corp"))
+    jac = F.round(
+        F.try_divide(inter, F.col("sz_new") + F.col("sz_corp") - inter), 4
+    )
+    set_pairs = (
+        cand.join(b_sets.select("k_new", "sz_new", "sh_new"), "k_new")
+        .join(c_sets.select("k_corp", "sz_corp", "sh_corp"), "k_corp")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("k_new", "k_corp", "jaccard")
+    )
+    return (
+        set_pairs.join(
+            bidx.select(F.col(id_col).alias("id_new"), F.col("set_key").alias("k_new")),
+            "k_new",
+        )
+        .join(
+            index.select(
+                F.col(id_col).alias("id_corpus"), F.col("set_key").alias("k_corp")
+            ),
+            "k_corp",
+        )
+        .select("id_new", "id_corpus", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -497,7 +619,10 @@ def dup_ngram_spans(
     1. tokenize + positional n-grams in one projection — ``transform``
        over ``sequence(0, len-n)``; the shuffle key is ``md5`` of the
        gram (32 bytes), never the text, so at 10^10 docs the
-       gram-frequency exchange moves hashes, not corpus bytes;
+       gram-frequency exchange moves hashes, not corpus bytes (md5 is
+       kept so the DuckDB oracle shares the key bit-for-bit; a
+       production deployment would swap in ``xxhash64`` — one line —
+       for a cheaper hash and an 8-byte key);
     2. ``groupBy(gram_key)`` distinct-doc count — partial aggregation
        map-side, boilerplate skew absorbed by AQE;
     3. hash join hits back (same key as the groupBy — co-partitioned)
