@@ -381,3 +381,69 @@ def test_incremental_near_dups_against_index(spark, docs):
     assert got == brute and len(got) > 0
     # doc 6 normalizes identically to doc 0 -> exact dup, jaccard 1.0
     assert (6, 0, 1.0) in got
+
+
+def test_dup_ngram_spans_randomized_reference(spark):
+    """300 seeded random docs over a 5-word alphabet vs a pure-Python
+    reference: island merging (touching windows merge), len<n docs,
+    within-doc-only repeats — the golden case only samples these."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(42)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    toks = {i: [rng.choice(words) for _ in range(rng.randint(0, 20))] for i in range(300)}
+    n = 3
+    gram_docs = defaultdict(set)
+    for i, t in toks.items():
+        for p in range(len(t) - n + 1):
+            gram_docs[tuple(t[p:p + n])].add(i)
+    expect = set()
+    for i, t in toks.items():
+        spans = []
+        for p in range(len(t) - n + 1):
+            if len(gram_docs[tuple(t[p:p + n])]) < 2:
+                continue
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + n)
+            else:
+                spans.append([p, p + n])
+        expect |= {(i, s, e, e - s) for s, e in spans}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in toks.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.dup_ngram_spans(df, n=n, min_docs=2).collect()
+    }
+    assert got == expect and len(expect) > 50
+
+
+def test_repetition_stats_randomized_reference(spark):
+    from collections import Counter
+    import random
+
+    from walker_spark.operators import textstats
+
+    rng = random.Random(7)
+    words = ["x", "y", "z"]
+    toks = {i: [rng.choice(words) for _ in range(rng.randint(1, 15))] for i in range(200)}
+
+    def ref(t):
+        bi = Counter(tuple(t[i:i + 2]) for i in range(len(t) - 1))
+        tri = Counter(tuple(t[i:i + 3]) for i in range(len(t) - 2))
+        nb, nt = sum(bi.values()), sum(tri.values())
+        top = max(bi.values()) if bi else 0
+        dup = sum(c for c in tri.values() if c >= 2)
+        return (nb, top, top / nb if nb else 0.0, nt, dup, dup / nt if nt else 0.0)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in toks.items()], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    assert len(out) == 200
+    for i, t in toks.items():
+        nb, top, tf, nt, dup, df_ = ref(t)
+        r = out[i]
+        assert (r.n_bigrams, r.top_bigram_count, r.n_trigrams, r.dup_trigram_positions) == (nb, top, nt, dup), i
+        assert abs(r.top_bigram_frac - tf) < 1e-3 and abs(r.dup_trigram_frac - df_) < 1e-3, i
