@@ -55,7 +55,11 @@ def main():
     sections = []
 
     def grab(title, df, checks):
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        # literal control chars (e.g. the \x00 set-key separator) would
+        # make PLANS.md a "binary" file for grep/diff tooling
+        plan = df._jdf.queryExecution().executedPlan().toString().replace(
+            "\x00", "\\x00"
+        )
         lines = []
         for label, pattern, expect in checks:
             found = len(re.findall(pattern, plan))
@@ -307,6 +311,29 @@ def main():
             ("no Python stage anywhere",
              r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
             ("island merge windows on the doc id", r"hashpartitioning\(_id", (1,)),
+        ],
+    )
+
+    # 8. incremental near-dup: batch vs persisted index — verify must be
+    # index-only (no shingle-row join), everything JVM-side
+    from walker_spark.operators.dedup import incremental_near_dups, minhash_index
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = minhash_index(corpus, num_perm=8, bands=4, shingle_n=1)
+    ok &= grab(
+        "incremental_near_dups: batch vs persisted corpus LSH index "
+        "(band join + size-compat prune inside the join, array_intersect "
+        "verify over index-carried sets, zero Python)",
+        incremental_near_dups(batch, idx, threshold=0.5, num_perm=8, bands=4,
+                              shingle_n=1),
+        [
+            ("size-compatibility prune INSIDE the band join (join condition, "
+             "not post-filter)", r"greatest|GREATEST", (1,)),
+            ("exact verify via array_intersect on carried sets (no shingle-row "
+             "join)", r"array_intersect", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
         ],
     )
 
