@@ -155,3 +155,78 @@ def test_filter_links_redirect(served):
     assert st == 400
     st, _ = _post(base, "/filterLinks", {"domain": "zzz.com", "regex": "x"})
     assert st == 404
+
+
+def _get_html(base: str, path: str):
+    req = urllib.request.Request(base + path, headers={"Accept": "text/html"})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.headers.get("Content-Type", ""), resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type", ""), e.read().decode()
+
+
+def test_html_pages(served):
+    base, _ = served
+    # home: nav + table versions
+    status, ctype, html = _get_html(base, "/")
+    assert status == 200 and ctype.startswith("text/html")
+    assert "Walker Console" in html and "Table versions" in html
+    # list: domains table, links anchors, exclude/priority forms, paging
+    status, _, html = _get_html(base, "/list?limit=2")
+    assert status == 200
+    assert '<a href="/links/a.com">a.com</a>' in html
+    assert 'action="/excludeToggle/a.com/ex"' in html
+    assert 'action="/changePriority"' in html
+    assert '/list/' in html  # next-page anchor (3 domains, limit 2)
+    # links page: filter form + keyset next anchor via the rebuilt URL
+    status, _, html = _get_html(base, "/links/a.com?limit=1")
+    assert status == 200 and 'action="/filterLinks"' in html and "seed=" in html
+    # find/findLinks/add/filterLinks render input forms on plain GET
+    for path, marker in [
+        ("/find", 'name="domain"'),
+        ("/findLinks", 'name="url"'),
+        ("/add", "<textarea"),
+        ("/filterLinks", 'name="regex"'),
+    ]:
+        status, _, html = _get_html(base, path)
+        assert status == 200 and marker in html, path
+    # the JSON surface is untouched by negotiation
+    status, payload = _get(base, "/list?limit=2")
+    assert status == 200 and "domains" in payload
+
+
+def test_html_form_post_add_and_redirect(served):
+    base, store = served
+    # classic form-encoded add (the /add page's textarea)
+    data = urllib.parse.urlencode(
+        {"links": "http://formadd.com/one.html\nhttp://formadd.com/two.html"}
+    ).encode()
+    req = urllib.request.Request(
+        base + "/add",
+        data=data,
+        headers={
+            "Content-Type": "application/x-www-form-urlencoded",
+            "Accept": "text/html",
+        },
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert "text/html" in resp.headers.get("Content-Type", "")
+    status, payload = _get(base, "/links/formadd.com")
+    assert status == 200 and len(payload["links"]) == 2
+    # form-encoded filterLinks 303s to the links page like the JSON path
+    data = urllib.parse.urlencode({"domain": "a.com", "regex": "p[0-9]"}).encode()
+    req = urllib.request.Request(
+        base + "/filterLinks",
+        data=data,
+        headers={
+            "Content-Type": "application/x-www-form-urlencoded",
+            "Accept": "text/html",
+        },
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:  # urllib follows the 303
+        assert resp.status == 200
+        assert "Links for a.com" in resp.read().decode()

@@ -3,11 +3,15 @@ console/controllers.go:32-50 route table, console/rest.go:23-28,
 console/lifecycle.go:111-229 Start/Stop).
 
 The reference's console is an HTML-template web app; this analog serves
-the SAME route surface as JSON (the accessors in
-:mod:`walker_spark.operators.console` are the controllers' data layer —
-datastore.go:538-1078). It is a driver-side convenience view and stays
-OUT of the superstep path: every handler is a bounded, partition-pruned
-read (or a tiny seed-path write), never a frontier-scale job.
+the SAME route surface, content-negotiated: ``Accept: text/html``
+(a browser) gets the web pages (:mod:`console_html`, the
+console/templates/*.tmpl analog, incl. classic-form POSTs in
+``application/x-www-form-urlencoded``), anything else gets JSON. The
+accessors in :mod:`walker_spark.operators.console` are the controllers'
+data layer (datastore.go:538-1078). It is a driver-side convenience
+view and stays OUT of the superstep path: every handler is a bounded,
+partition-pruned read (or a tiny seed-path write), never a
+frontier-scale job.
 
 Routes (GET unless noted):
 
@@ -127,10 +131,21 @@ class ConsoleApp:
                 )
             rows = _rows_json(df)
         nxt = None
+        nxt_url = None
         if rows:
             last = rows[-1]
             nxt = {"subdom": last["subdom"], "path": last["path"], "proto": last["proto"]}
-        return 200, {"dom": dom, "links": rows, "next_seek": nxt}
+            from walker_spark.functions import urlkernel
+
+            nxt_url = urlkernel.url_from_key(
+                dom, last["subdom"], last["path"], last["proto"]
+            )
+        return 200, {
+            "dom": dom,
+            "links": rows,
+            "next_seek": nxt,
+            "next_seed_url": nxt_url,
+        }
 
     def historical(self, url: str):
         key = _url_key(url)
@@ -222,6 +237,8 @@ class ConsoleApp:
                 seed = urllib.parse.unquote(parts[1]) if len(parts) > 1 else ""
                 return self.list_domains(seed=seed, limit=limit)
             if parts[0] == "find":
+                if "domain" not in query:
+                    return 200, {"form": "find"}
                 return self.find_domain(q1("domain", ""))
             if parts[0] == "links" and len(parts) >= 2:
                 seed_url = (
@@ -236,7 +253,13 @@ class ConsoleApp:
             if parts[0] == "historical" and len(parts) >= 2:
                 return self.historical(urllib.parse.unquote("/".join(parts[1:])))
             if parts[0] == "findLinks":
+                if "url" not in query:
+                    return 200, {"form": "findLinks"}
                 return self.find_links(q1("url", ""))
+            if parts[0] in ("add", "filterLinks"):
+                # form pages (the HTML surface renders an input form; a
+                # JSON caller gets this stub — the mutation is POST-only)
+                return 200, {"form": parts[0]}
         elif method == "POST":
             if parts and parts[0] in ("add", "rest"):
                 return self.add_links(body)
@@ -258,6 +281,18 @@ def _url_key(url: str):
     return urlkernel.primary_key(norm) if norm is not None else None
 
 
+def _form_body(path: str, raw: bytes) -> dict:
+    """HTML-form POST body -> the same dict shape the JSON routes take
+    (the web pages in :mod:`console_html` submit classic forms)."""
+    fields = {
+        k: v[0] for k, v in urllib.parse.parse_qs(raw.decode(errors="replace")).items()
+    }
+    if path.lstrip("/").split("/")[0] in ("add", "rest"):
+        urls = [u.strip() for u in fields.get("links", "").splitlines() if u.strip()]
+        return {"links": [{"url": u} for u in urls]}
+    return fields
+
+
 def make_server(
     store: FrontierStore,
     cfg: WalkerConfig | None = None,
@@ -270,6 +305,11 @@ def make_server(
     app = ConsoleApp(store, cfg)
 
     class Handler(BaseHTTPRequestHandler):
+        def _wants_html(self) -> bool:
+            # browsers lead with text/html; API callers send */* or
+            # application/json and keep the JSON surface
+            return "text/html" in (self.headers.get("Accept") or "")
+
         def _reply(self):
             parsed = urllib.parse.urlparse(self.path)
             query = urllib.parse.parse_qs(parsed.query)
@@ -277,25 +317,42 @@ def make_server(
             if self.command == "POST":
                 n = int(self.headers.get("Content-Length") or 0)
                 raw = self.rfile.read(n) if n else b""
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 if raw:
+                    # JSON first regardless of Content-Type (urllib and
+                    # curl default form-encoded on raw JSON posts);
+                    # genuine form submissions from the HTML pages never
+                    # parse as JSON
                     try:
                         body = json.loads(raw)
                     except json.JSONDecodeError as e:
-                        self._send(400, {"version": 1, "tag": "bad-json-decode",
-                                         "message": str(e)})
-                        return
+                        if ctype == "application/x-www-form-urlencoded":
+                            body = _form_body(parsed.path, raw)
+                        else:
+                            self._send(400, {"version": 1, "tag": "bad-json-decode",
+                                             "message": str(e)}, parsed.path)
+                            return
             try:
                 status, payload = app.dispatch(self.command, parsed.path, query, body)
             except Exception as e:  # replyServerError analog
                 status, payload = 500, {"error": str(e)}
-            self._send(status, payload)
+            self._send(status, payload, parsed.path)
 
-        def _send(self, status: int, payload: dict):
-            data = json.dumps(payload).encode()
+        def _send(self, status: int, payload: dict, path: str = "/"):
+            if self._wants_html() and status != 303:
+                from walker_spark.operators import console_html
+
+                data = console_html.render(
+                    self.command, path, status, payload
+                ).encode()
+                ctype = "text/html; charset=utf-8"
+            else:
+                data = json.dumps(payload).encode()
+                ctype = "application/json"
             self.send_response(status)
             if status == 303:
                 self.send_header("Location", payload.get("location", "/"))
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
