@@ -709,8 +709,12 @@ def connected_components(
 
     Iterative-by-nature (like Spark's own GraphFrames CC): each round
     localCheckpoints the label table (lineage would otherwise grow
-    exponentially) and stops when a fixpoint is reached (0 changes,
-    checked with one count per round)."""
+    exponentially) and stops when a fixpoint is reached. The
+    changed-label count rides the checkpoint materialization as an
+    Observation — one Spark job per round, not two (the separate
+    fixpoint-count job was ~half the per-round fixed cost in local
+    benches; on a cluster it saves a scheduling round-trip per
+    iteration)."""
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -745,9 +749,14 @@ def connected_components(
                     F.coalesce(F.col("j_lbl"), F.col("lbl")),
                 )).alias("_changed"),
             )
-            .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs, F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0)).alias("changed")
+        ).localCheckpoint()
+        changed = obs.get["changed"]
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
