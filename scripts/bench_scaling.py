@@ -559,7 +559,9 @@ cross-domain concurrency is the whole machine instead of 10 goroutines.
   same wall window, independent of cluster size: adding executors adds
   domains per iteration, never per-domain rate.
 
-Raw results: BENCH/scaling_results.json
+Raw results: BENCH/scaling_results.json. Training-data operator
+scaling (dup_ngram_spans, minhash_index, incremental_near_dups, same
+N-vs-4N treatment): BENCH/OPS_SCALING.md (scripts/bench_ops_scaling.py).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
