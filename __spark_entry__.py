@@ -321,6 +321,18 @@ def q_dedup_simhash_md5(spark, sf_dir):
     return simhash_md5_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_lm_quality_scores(spark, sf_dir):
+    """CCNet-style LM quality scoring: Laplace-smoothed bigram LM
+    trained on the even-doc_id half, scoring the odd half by average
+    per-token log-probability (round 3)."""
+    from walker_spark.operators.textstats import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(
+        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dup: a new batch (odd doc_ids) deduped against
     a persisted corpus LSH index (even doc_ids) — corpus text is read
@@ -533,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": q_dup_ngram_spans,
         "repetition_stats": q_repetition_stats,
         "dedup_incremental": q_dedup_incremental,
+        "lm_quality_scores": q_lm_quality_scores,
         "redact_pii": q_redact_pii,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -784,6 +797,41 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone
             FROM injected""",
         "dedup_simhash_md5": _simhash_md5_sql(3),
+        "lm_quality_scores": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+            ref_uni AS (
+              SELECT w, count(*) AS c1 FROM (
+                SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0)
+              WHERE length(w) > 0 GROUP BY w
+            ),
+            v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM ref_uni),
+            ref_bi AS (
+              SELECT t[i+1] AS w1, t[i+2] AS w2, count(*) AS c2
+              FROM toks, UNNEST(generate_series(0, len(t)-2)) AS u(i)
+              WHERE doc_id % 2 = 0 AND len(t) >= 2 GROUP BY 1, 2
+            ),
+            doc_bi AS (
+              SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+              FROM toks, UNNEST(generate_series(0, len(t)-2)) AS u(i)
+              WHERE doc_id % 2 = 1 AND len(t) >= 2
+            ),
+            scored AS (
+              SELECT d.doc_id,
+                     ln((coalesce(c2, 0) + 1) / (coalesce(c1, 0) + V)) AS lp
+              FROM doc_bi d
+              LEFT JOIN ref_uni u ON d.w1 = u.w
+              LEFT JOIN ref_bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+              CROSS JOIN v
+            ),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(avg(lp), 3) AS avg_logprob
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id AS id, coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(avg_logprob, 0) AS avg_logprob
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN agg USING (doc_id)""",
         "dedup_incremental": f"""
             WITH sh AS (
               SELECT DISTINCT doc_id AS id, unnest({_TOKS_SQL}) AS s

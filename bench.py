@@ -55,6 +55,7 @@ HEADLINE = [
     "token_stats",
     "quality_scores",
     "repetition_stats",
+    "lm_quality_scores",
     "doc_fingerprints",
     "redact_pii",
     "multimodal_features",

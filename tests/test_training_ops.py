@@ -447,3 +447,23 @@ def test_repetition_stats_randomized_reference(spark):
         r = out[i]
         assert (r.n_bigrams, r.top_bigram_count, r.n_trigrams, r.dup_trigram_positions) == (nb, top, nt, dup), i
         assert abs(r.top_bigram_frac - tf) < 1e-3 and abs(r.dup_trigram_frac - df_) < 1e-3, i
+
+
+def test_bigram_lm_scores_golden(spark):
+    from walker_spark.operators import textstats
+
+    ref = spark.createDataFrame(
+        [(100, "a b a c"), (101, "a b")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),   # (a,b): ln(3/6); (b,c) unseen: ln(1/5) -> avg -1.151
+            (2, "z z"),     # fully OOV: ln(1/V) = ln(1/3) = -1.099
+            (3, "solo"),    # <2 tokens: 0 bigrams, 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in textstats.bigram_lm_scores(docs, ref).collect()}
+    assert (out[1].n_bigrams, out[1].avg_logprob) == (2, -1.151)
+    assert (out[2].n_bigrams, out[2].avg_logprob) == (1, -1.099)
+    assert (out[3].n_bigrams, out[3].avg_logprob) == (0, 0.0)

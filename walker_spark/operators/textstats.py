@@ -231,3 +231,89 @@ def repetition_stats(
             ).alias("dup_trigram_frac"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020
+    filter corpora by LM perplexity against a clean reference): train a
+    Laplace-smoothed bigram LM on ``reference`` (two groupBy count
+    passes), then score every document by its average per-token
+    log-probability:
+
+        avg_logprob = (1/(n-1)) * sum ln((C(w_{i-1},w_i)+1)/(C(w_{i-1})+V))
+
+    with V = reference vocabulary size (Laplace over V; OOV history
+    backs off to the uniform 1/V mass). Deterministic stand-in for the
+    paper's KenLM 5-gram — the point is the distributed plumbing:
+    counts tables join against exploded document bigrams (shuffle keys
+    are single tokens / token pairs, AQE absorbs stopword skew), the
+    vocabulary size rides the plan as a broadcast scalar, and no
+    Python runs anywhere.
+
+    Returns ``(id, n_bigrams BIGINT, avg_logprob DOUBLE round 3)``;
+    documents with <2 tokens score 0.0 over 0 bigrams.
+    """
+    from walker_spark.operators.dedup import tokens
+
+    ref_uni = (
+        reference.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = ref_uni.agg(F.count(F.lit(1)).cast("double").alias("_V"))
+
+    def bigrams(df, with_id: bool):
+        t = tokens(F.col(text_col))
+        base = df.select(
+            *([F.col(id_col).alias("_id")] if with_id else []),
+            t.alias("_t"),
+        ).filter(F.size("_t") >= 2)
+        return base.select(
+            *(["_id"] if with_id else []),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_t", i + 1).alias("w1"),
+                        F.element_at("_t", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("_b"),
+        ).select(*(["_id"] if with_id else []), "_b.w1", "_b.w2")
+
+    ref_bi = bigrams(reference, with_id=False).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    doc_bi = bigrams(docs, with_id=True)
+    scored = (
+        doc_bi.join(ref_uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .join(ref_bi, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_id",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("_V"))
+            ).alias("_lp"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("_lp"), 3).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(scored, "_id", "left")
+        .select(
+            F.col("_id").alias("id"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
