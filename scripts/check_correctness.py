@@ -137,12 +137,13 @@ def main():
             if sig_s[1] == 0:
                 print(f"    WARN {name}: empty result")
             continue
-        cur = con.execute(oracles[name])
-        cols = [d[0] for d in cur.description]
-        sig_d = frame_signature(cols, cur.fetchall())
-        # The driver fetches via pandas; re-run to check dtype parity
-        # (values were already consumed by fetchall above).
+        # Single execution via fetchdf (how the driver fetches): the
+        # same frame feeds both the value signature and the dtype check.
         duck_pdf = con.execute(oracles[name]).fetchdf()
+        cols = list(duck_pdf.columns)
+        sig_d = frame_signature(
+            cols, list(duck_pdf.itertuples(index=False, name=None))
+        )
         dtype_bad = dtype_divergences(df, duck_pdf)
         ok = sig_s == sig_d and not dtype_bad
         status = "OK  " if ok else "FAIL"

@@ -110,6 +110,31 @@ def test_rest_add_and_errors(served):
     assert st == 400 and body["tag"] == "bad-link-element"
 
 
+def test_request_validation(served):
+    """Malformed-but-parseable inputs get 400/404, never a 500
+    (ADVICE r4: non-dict JSON bodies, non-integer limit, /rest/*)."""
+    base, _ = served
+    # non-dict JSON body parses fine but isn't an object
+    req = urllib.request.Request(
+        base + "/rest/add",
+        data=b"[1]",
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            st, body = resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        st, body = e.code, json.loads(e.read())
+    assert st == 400 and "object" in body["error"]
+    # only /rest/add exists under /rest (reference rest.go)
+    st, _ = _post(base, "/rest/somethingelse", {"links": [{"url": "http://x.com/"}]})
+    assert st == 404
+    # non-integer ?limit= is a 400, not an int() 500
+    st, body = _get(base, "/list?limit=abc")
+    assert st == 400 and "limit" in body["error"]
+
+
 def test_exclude_toggle_and_priority(served):
     base, store = served
     st, body = _post(base, "/excludeToggle/c.com/ex", {})

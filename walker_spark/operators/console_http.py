@@ -229,7 +229,10 @@ class ConsoleApp:
     def dispatch(self, method: str, path: str, query: dict, body: dict):
         parts = [p for p in path.split("/") if p]
         q1 = lambda k, d=None: query.get(k, [d])[0]  # noqa: E731
-        limit = int(q1("limit", DEFAULT_LIMIT))
+        try:
+            limit = int(q1("limit", DEFAULT_LIMIT))
+        except (TypeError, ValueError):
+            return 400, {"error": f"limit must be an integer, not {q1('limit')!r}"}
         if method == "GET":
             if not parts:
                 return self.home()
@@ -261,7 +264,13 @@ class ConsoleApp:
                 # JSON caller gets this stub — the mutation is POST-only)
                 return 200, {"form": parts[0]}
         elif method == "POST":
-            if parts and parts[0] in ("add", "rest"):
+            if not isinstance(body, dict):
+                # json.loads accepts '[1]' or '"x"'; the routes all take
+                # an object — reject instead of AttributeError-ing to 500
+                return 400, {"error": "POST body must be a JSON object"}
+            if parts == ["add"] or parts == ["rest", "add"]:
+                # the reference exposes exactly /rest/add (routes.go), not
+                # arbitrary /rest/* paths
                 return self.add_links(body)
             if parts and parts[0] == "excludeToggle" and len(parts) == 3:
                 return self.exclude_toggle(
