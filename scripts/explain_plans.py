@@ -299,15 +299,19 @@ def main():
         "doc_id long, text string",
     )
     ok &= grab(
-        "dup_ngram_spans: positional n-gram dup spans (gram-frequency "
-        "exchange keyed on md5, map-side partial count-distinct, window "
-        "island merge, zero Python)",
+        "dup_ngram_spans: positional n-gram dup spans (ONE gram scan, "
+        "ONE gram exchange keyed on md5, windowed distinct-doc count — "
+        "no self-join back — window island merge, zero Python)",
         dup_ngram_spans(docs, n=3),
         [
-            ("gram-frequency exchange keyed on the 32-byte gram_key (never text)",
-             r"hashpartitioning\(gram_key", (1,)),
-            ("map-side partial count-distinct before the exchange",
-             r"partial_count\(distinct", (1,)),
+            ("exactly ONE gram projection (r4 recomputed it on two branches)",
+             r"Generate explode", 1),
+            ("exactly ONE exchange keyed on the 32-byte gram_key (never text)",
+             r"Exchange hashpartitioning\(gram_key", 1),
+            ("distinct-doc count is a window (dense_rank), not a groupBy+join",
+             r"dense_rank", (1,)),
+            ("no join anywhere (the r4 probe join is gone)",
+             r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", 0),
             ("no Python stage anywhere",
              r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
             ("island merge windows on the doc id", r"hashpartitioning\(_id", (1,)),

@@ -614,19 +614,27 @@ def dup_ngram_spans(
     document recovers the maximal cross-document duplicated spans at
     n-token resolution (within-document repeats alone do not trigger).
 
-    All JVM-side, three exchanges, no Python:
+    All JVM-side, two exchanges, ONE gram scan, no Python:
 
     1. tokenize + positional n-grams in one projection — ``transform``
        over ``sequence(0, len-n)``; the shuffle key is ``md5`` of the
-       gram (32 bytes), never the text, so at 10^10 docs the
-       gram-frequency exchange moves hashes, not corpus bytes (md5 is
-       kept so the DuckDB oracle shares the key bit-for-bit; a
-       production deployment would swap in ``xxhash64`` — one line —
-       for a cheaper hash and an 8-byte key);
-    2. ``groupBy(gram_key)`` distinct-doc count — partial aggregation
-       map-side, boilerplate skew absorbed by AQE;
-    3. hash join hits back (same key as the groupBy — co-partitioned)
-       and one ``Window.partitionBy(doc)`` island merge.
+       gram (32 bytes), never the text, so at 10^10 docs the gram
+       exchange moves hashes, not corpus bytes (md5 is kept so the
+       DuckDB oracle shares the key bit-for-bit; a production
+       deployment would swap in ``xxhash64`` — one line — for a
+       cheaper hash and an 8-byte key);
+    2. the distinct-doc frequency test is a WINDOW over the single
+       gram exchange, not a groupBy + self-join back (the r4 shape —
+       it recomputed the whole gram projection on both branches and
+       cost a third exchange): per row, ``dense_rank`` over
+       ``(gram_key, _id)`` then ``max(rank)`` over the gram partition
+       IS the gram's distinct-doc count, so one sorted pass marks
+       every duplicated position. A pathological mega-gram (one exact
+       n-gram shared by ~all documents) lands in one window partition
+       — WindowExec buffers spill to disk rather than OOM, and the
+       md5 key otherwise spreads uniformly;
+    3. one ``Window.partitionBy(doc)`` island merge — the second and
+       last exchange.
 
     Returns ``(doc_id, span_start, span_end, span_tokens)`` with
     ``span_end`` exclusive, all counts BIGINT.
@@ -649,13 +657,14 @@ def dup_ngram_spans(
             )
         ).alias("_g"),
     ).select("_id", F.col("_g.pos").alias("pos"), F.col("_g.gram_key").alias("gram_key"))
-    dup_keys = (
-        grams.groupBy("gram_key")
-        .agg(F.countDistinct("_id").alias("_docs"))
+    wg_ord = Window.partitionBy("gram_key").orderBy("_id")
+    wg_all = Window.partitionBy("gram_key")
+    hits = (
+        grams.withColumn("_rk", F.dense_rank().over(wg_ord))
+        .withColumn("_docs", F.max("_rk").over(wg_all))
         .filter(F.col("_docs") >= min_docs)
-        .select("gram_key")
+        .select("_id", "pos")
     )
-    hits = grams.join(dup_keys, "gram_key").select("_id", "pos")
     w = Window.partitionBy("_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
