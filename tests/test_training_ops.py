@@ -194,6 +194,40 @@ def test_connected_components_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_algorithms_parity(spark):
+    """two_phase (large-star/small-star, default) and label_prop must
+    assign identical labels on a randomized graph mixing long chains
+    (worst case for propagation), dense cliques, stars, and isolated
+    pairs — and two_phase must record its round count."""
+    import random
+
+    rng = random.Random(77)
+    edges = []
+    base = 0
+    for _ in range(6):  # chains of length 12
+        edges += [(base + i, base + i + 1) for i in range(12)]
+        base += 13
+    for _ in range(4):  # 8-cliques
+        ids = [base + i for i in range(8)]
+        edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        base += 8
+    for _ in range(30):  # random cross links within a pool
+        edges.append((base + rng.randrange(40), base + rng.randrange(40)))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    lp = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs, algorithm="label_prop").collect()
+    }
+    tp = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs, algorithm="two_phase").collect()
+    }
+    assert tp == lp
+    assert dedup.connected_components.last_rounds >= 1
+
+
 def test_near_dup_clusters_keeper(docs):
     out = dedup.near_dup_clusters(
         docs, threshold=0.5, shingle_n=1, num_perm=64, bands=32

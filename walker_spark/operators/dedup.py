@@ -698,32 +698,44 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "two_phase",
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node of the near-dup pair graph;
     ``cluster_id`` is the minimum doc id in the node's connected
     component — the canonical "keeper" every dedup pipeline needs after
     pair generation (drop all rows where doc_id != cluster_id).
 
-    Algorithm: min-label propagation with pointer jumping — each round
-    a node takes the minimum label over {itself} ∪ neighbors ∪ its
-    label's own label. Neighbor propagation alone converges in
-    O(component diameter) rounds; the pointer-jump join compresses
-    chains so rounds are O(log diameter). Near-dup components are
-    shallow (dups of a page are dups of each other), so real corpora
-    converge in a handful of rounds; each round is two hash joins + a
-    groupBy on (node) — no driver-side graph state, edges never move to
-    the driver. For adversarially long chains the same loop structure
-    admits the large-star/small-star variant (Kiveris et al., MR
-    connected components); not needed at these diameters.
+    Default algorithm: alternating large-star/small-star (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond" — the
+    two-phase variant). Each round rewires the EDGE set toward a star
+    forest centered at component minimums:
 
-    Iterative-by-nature (like Spark's own GraphFrames CC): each round
-    localCheckpoints the label table (lineage would otherwise grow
-    exponentially) and stops when a fixpoint is reached. The
-    changed-label count rides the checkpoint materialization as an
-    Observation — one Spark job per round, not two (the separate
-    fixpoint-count job was ~half the per-round fixed cost in local
-    benches; on a cluster it saves a scheduling round-trip per
-    iteration)."""
+    * large-star — per node u over its bidirectional neighborhood,
+      connect every larger neighbor to ``m = min(N(u) ∪ {u})``;
+    * small-star — per node u over its smaller neighbors, connect them
+      (and u) to their minimum.
+
+    Both are a single window over one hash exchange (no joins, no
+    separate label table), one ``localCheckpoint`` per round with the
+    edge-set fingerprint (count + hash sum) riding it as an
+    Observation — one Spark job per round. Convergence = fingerprint
+    unchanged, then confirmed EXACTLY by the star-forest invariant
+    (every node appears on one side only, one center per leaf) before
+    returning, so a hash collision can never smuggle out wrong labels;
+    on confirmation the final edges ARE the labels (leaf → component
+    min). Rounds are O(log² n) worst-case and a small constant on
+    near-dup graphs; each round is a cluster-wide barrier at 10^10
+    edges, so round count — recorded per run in
+    ``connected_components.last_rounds`` — is the scale-relevant cost.
+
+    ``algorithm="label_prop"`` keeps the r3 min-label propagation +
+    pointer jumping loop (parity-tested); per-round it pays two hash
+    joins plus a groupBy and historically needed ~2x the rounds on the
+    bench graph."""
+    if algorithm == "two_phase":
+        return _cc_two_phase(pairs, id_a, id_b, max_iterations)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -735,7 +747,9 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u")
@@ -778,7 +792,109 @@ def connected_components(
             f"connected_components did not reach a fixpoint within "
             f"{max_iterations} iterations; raise max_iterations"
         )
+    connected_components.last_rounds = rounds
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def _cc_two_phase(
+    pairs: DataFrame, id_a: str, id_b: str, max_iterations: int
+) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set is a
+    star forest; see :func:`connected_components` for the contract."""
+    from pyspark.sql import Observation
+
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical orientation (u > v); self-pairs carry no information
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    fp = None  # (edge count, xxhash64 sum) fingerprint of the edge set
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # ---- large-star: every v > u links to min(N(u) ∪ {u}) -------
+        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        wl = Window.partitionBy("u")
+        large = (
+            bidir.withColumn("m", F.least(F.min("v").over(wl), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # large-star output is already (bigger, smaller): m <= u < v
+        # ---- small-star: smaller neighbors (and u) link to their min;
+        # the group row carrying (u, m) rides row_number()==1 so the
+        # large-star output is consumed exactly once (no self-union)
+        ws = Window.partitionBy("u")
+        wr = Window.partitionBy("u").orderBy("v")
+        small = (
+            large.select(
+                "u",
+                "v",
+                F.min("v").over(ws).alias("m"),
+                F.row_number().over(wr).alias("_rn"),
+            )
+            .select(
+                F.explode(
+                    F.when(
+                        F.col("_rn") == 1,
+                        F.array(
+                            F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                            F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        ),
+                    ).otherwise(
+                        F.array(F.struct(F.col("v").alias("a"), F.col("m").alias("b")))
+                    )
+                ).alias("_e")
+            )
+            .select(F.col("_e.a").alias("u"), F.col("_e.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        obs = Observation()
+        edges = small.observe(
+            obs,
+            F.count(F.lit(1)).alias("cnt"),
+            # decimal sum: ANSI mode long-overflows on summed hashes
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("hs"),
+        ).localCheckpoint()
+        new_fp = (obs.get["cnt"], obs.get["hs"])
+        if new_fp == fp:
+            # exact star-forest confirmation (a 64-bit fingerprint
+            # collision must never smuggle out partial labels): every
+            # leaf has exactly one center, and no center is a leaf
+            multi_center = edges.groupBy("u").count().filter(F.col("count") > 1)
+            if multi_center.isEmpty() and edges.select("u").intersect(
+                edges.select("v")
+            ).isEmpty():
+                break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within "
+            f"{max_iterations} iterations; raise max_iterations"
+        )
+    connected_components.last_rounds = rounds
+    # star forest: edges ARE the labels (leaf -> component minimum);
+    # centers and isolated nodes label themselves
+    leaves = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    selfs = nodes.join(
+        edges.select(F.col("u").alias("node")), "node", "left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("node").alias("cluster_id"))
+    return leaves.union(selfs)
 
 
 def near_dup_clusters(
