@@ -495,6 +495,17 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(docs.filter(F.col("doc_id") % 97 != 0), bench, ngram=4)
 
 
+def q_contamination_spans(spark, sf_dir):
+    """Sequence-level decontamination: the exact contaminated token
+    spans per corpus doc (benchmark 4-gram positions, island-merged),
+    so the pipeline cuts the leak and keeps the document."""
+    from walker_spark.operators.curation import contamination_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_spans(docs.filter(F.col("doc_id") % 97 != 0), bench, ngram=4)
+
+
 def q_frame_sampling(spark, sf_dir):
     """Video frame-sampling fan-out (fake durations are hash-derived —
     rows-only check)."""
@@ -561,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "contamination_spans": q_contamination_spans,
     }
 
 
@@ -1020,6 +1032,37 @@ def oracle_sql() -> dict[str, str]:
               WHERE length(s) > 0
             )
             SELECT DISTINCT doc_id AS id FROM cg WHERE s IN (SELECT s FROM bg)""",
+        "contamination_spans": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), cg AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(t[i+1:i+4], ' ')) AS gram_key
+              FROM toks, UNNEST(generate_series(0, len(t) - 4)) AS u(i)
+              WHERE len(t) >= 4 AND doc_id % 97 <> 0
+            ), bg AS (
+              SELECT DISTINCT md5(array_to_string(t[i+1:i+4], ' ')) AS gram_key
+              FROM toks, UNNEST(generate_series(0, len(t) - 4)) AS u(i)
+              WHERE len(t) >= 4 AND doc_id % 97 = 0
+            ), hits AS (
+              SELECT doc_id, pos FROM cg
+              WHERE gram_key IN (SELECT gram_key FROM bg)
+            ), marked AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(MAX(pos + 4) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS newi
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, pos,
+                     SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+              FROM marked
+            )
+            SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+                   CAST(MAX(pos) + 4 - MIN(pos) AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, isl""",
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
         # available in DuckDB). The md5-token variant dedup_simhash_md5

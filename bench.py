@@ -64,6 +64,7 @@ HEADLINE = [
     "cap_per_source",
     "pack_sequences",
     "decontaminate",
+    "contamination_spans",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from walker_spark.operators.curation import (
     cap_per_source,
     contaminated_docs,
+    contamination_spans,
+    cut_spans,
     deterministic_sample,
     pack_sequences,
 )
@@ -77,3 +79,36 @@ def test_contaminated_docs(spark):
     )
     hit = {r["id"] for r in contaminated_docs(corpus, bench, ngram=4).collect()}
     assert hit == {1, 3}  # both share the 4-gram "alpha beta gamma delta"
+
+
+def test_contamination_spans_and_cut(spark):
+    """Sequence-level decontamination: the planted benchmark leak is
+    located as an exact token span and cut, keeping the document."""
+    corpus = spark.createDataFrame(
+        [
+            # leak "one two three four" planted at positions 3-6
+            (1, "aa bb cc ONE two three FOUR dd ee"),
+            (2, "totally clean document with original content only"),
+            # back-to-back leaks merge into one span [0, 8)
+            (3, "one two three four one two three four tail"),
+            (4, ""),  # unshingleable doc passes through
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix one two three four suffix")], "doc_id long, text string"
+    )
+    spans = contamination_spans(corpus, bench, ngram=4)
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in spans.collect()}
+    assert got == {(1, 3, 7, 4), (3, 0, 8, 8)}
+
+    cut = {r.doc_id: (r.text, r.removed_tokens) for r in cut_spans(corpus, spans).collect()}
+    assert cut[1] == ("aa bb cc dd ee", 4)
+    assert cut[2] == ("totally clean document with original content only", 0)
+    assert cut[3] == ("tail", 8)
+    assert cut[4] == ("", 0)
+    # the cut output is genuinely decontaminated: zero spans remain
+    cleaned = spark.createDataFrame(
+        [(k, v[0]) for k, v in cut.items()], "doc_id long, text string"
+    )
+    assert contamination_spans(cleaned, bench, ngram=4).isEmpty()

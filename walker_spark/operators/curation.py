@@ -125,3 +125,80 @@ def contaminated_docs(
         .select(F.col("_id").alias("id"))
         .dropDuplicates()
     )
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Sequence-level decontamination: the exact contaminated token
+    SPANS per corpus doc, so the pipeline can cut the leaked benchmark
+    text and KEEP the rest of the document (``contaminated_docs`` drops
+    whole documents — wasteful when one boilerplate line leaks).
+
+    Marks every corpus position whose word ``ngram``-gram appears in
+    the benchmark, then merges overlapping ``[pos, pos+ngram)`` windows
+    per doc (the :func:`walker_spark.operators.dedup.dup_ngram_spans`
+    island merge, shared code). The benchmark gram-key set is broadcast
+    (eval sets are tiny next to the corpus), so corpus grams are
+    filtered map-side — the only exchange is the per-doc island-merge
+    window. Returns ``(doc_id, span_start, span_end, span_tokens)``,
+    span_end exclusive, BIGINT.
+    """
+    from walker_spark.operators.dedup import merge_islands, positional_ngrams
+
+    grams = positional_ngrams(corpus, id_col, text_col, ngram)
+    bench_keys = (
+        positional_ngrams(benchmark, id_col, text_col, ngram)
+        .select("gram_key")
+        .dropDuplicates()
+    )
+    if broadcast_benchmark:
+        bench_keys = F.broadcast(bench_keys)
+    hits = grams.join(bench_keys, "gram_key", "left_semi").select("_id", "pos")
+    return merge_islands(hits, ngram, id_col)
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply span-level cuts: remove the tokens covered by ``spans``
+    (``(id_col, span_start, span_end)`` — e.g. from
+    :func:`contamination_spans`) from each document's whitespace
+    tokenization and re-join the survivors: ``(id_col, text,
+    removed_tokens)``. Docs with no spans pass through with their
+    normalized token stream intact (``removed_tokens = 0``).
+
+    JVM-only: spans are grouped to one array per doc (bounded by doc
+    length), joined left, and the cut is a higher-order ``filter`` with
+    the token index tested against the span array — no Python, no
+    per-token shuffle; the only exchange is the span groupBy."""
+    from walker_spark.operators.dedup import tokens
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = tokens(F.col(text_col))
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.filter(toks, lambda t, i: ~F.coalesce(covered(i), F.lit(False)))
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("text"),
+            F.when(F.col("_spans").isNull(), F.lit(0))
+            .otherwise(F.size(toks) - F.size(kept))
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+    )

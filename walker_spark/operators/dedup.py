@@ -639,11 +639,30 @@ def dup_ngram_spans(
     Returns ``(doc_id, span_start, span_end, span_tokens)`` with
     ``span_end`` exclusive, all counts BIGINT.
     """
+    grams = positional_ngrams(df, id_col, text_col, n)
+    wg_ord = Window.partitionBy("gram_key").orderBy("_id")
+    wg_all = Window.partitionBy("gram_key")
+    hits = (
+        grams.withColumn("_rk", F.dense_rank().over(wg_ord))
+        .withColumn("_docs", F.max("_rk").over(wg_all))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_id", "pos")
+    )
+    return merge_islands(hits, n, id_col)
+
+
+def positional_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(_id, pos, gram_key): every positional word n-gram of every
+    document, keyed by md5 of the space-joined gram — one projection,
+    no shuffle (shared by :func:`dup_ngram_spans` and
+    :func:`walker_spark.operators.curation.contamination_spans`)."""
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).filter(
         F.size("_t") >= n
     )
-    grams = base.select(
+    return base.select(
         "_id",
         F.explode(
             F.transform(
@@ -657,14 +676,13 @@ def dup_ngram_spans(
             )
         ).alias("_g"),
     ).select("_id", F.col("_g.pos").alias("pos"), F.col("_g.gram_key").alias("gram_key"))
-    wg_ord = Window.partitionBy("gram_key").orderBy("_id")
-    wg_all = Window.partitionBy("gram_key")
-    hits = (
-        grams.withColumn("_rk", F.dense_rank().over(wg_ord))
-        .withColumn("_docs", F.max("_rk").over(wg_all))
-        .filter(F.col("_docs") >= min_docs)
-        .select("_id", "pos")
-    )
+
+
+def merge_islands(hits: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Merge marked positions ``(_id, pos)`` into maximal spans of
+    overlapping ``[pos, pos+n)`` windows per document — one window
+    exchange on the doc id. Returns ``(id_col, span_start, span_end,
+    span_tokens)``, span_end exclusive, BIGINT."""
     w = Window.partitionBy("_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
