@@ -15,6 +15,7 @@ column names).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -344,9 +345,17 @@ def q_dedup_incremental(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    index = minhash_index(corpus, num_perm=64, bands=16, shingle_n=1)
+    # SPARK_GRAFT_INDEX_MODE=signatures exercises the signatures-only
+    # index tier (verify re-shingles candidate corpus docs) against the
+    # same oracle; default is the full index (verify is index-only)
+    sig_only = os.environ.get("SPARK_GRAFT_INDEX_MODE", "full") == "signatures"
+    index = minhash_index(
+        corpus, num_perm=64, bands=16, shingle_n=1,
+        include_shingles=not sig_only,
+    )
     return incremental_near_dups(
-        batch, index, threshold=0.95, num_perm=64, bands=16, shingle_n=1
+        batch, index, threshold=0.95, num_perm=64, bands=16, shingle_n=1,
+        corpus=corpus if sig_only else None,
     )
 
 

@@ -416,6 +416,29 @@ def test_incremental_near_dups_against_index(spark, docs):
     # doc 6 normalizes identically to doc 0 -> exact dup, jaccard 1.0
     assert (6, 0, 1.0) in got
 
+    # signatures-only index tier (no shingles column, ~100 B/doc at
+    # 10^10 docs): the verify re-shingles candidate corpus docs from
+    # text — results must be identical to the full-index path
+    sig_index = dedup.minhash_index(
+        corpus, num_perm=64, bands=16, shingle_n=1, include_shingles=False
+    )
+    assert "shingles" not in sig_index.columns
+    sig_path = os.path.join(tempfile.mkdtemp(prefix="lshsig-"), "index")
+    sig_index.write.parquet(sig_path)
+    sig_index = spark.read.parquet(sig_path)
+    got_sig = {
+        (r.id_new, r.id_corpus, r.jaccard)
+        for r in dedup.incremental_near_dups(
+            batch, sig_index, threshold=0.5, num_perm=64, bands=16,
+            shingle_n=1, corpus=corpus,
+        ).collect()
+    }
+    assert got_sig == got
+    # omitting corpus= with a signatures-only index fails loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="corpus"):
+        dedup.incremental_near_dups(batch, sig_index, threshold=0.5)
+
 
 def test_dup_ngram_spans_randomized_reference(spark):
     """300 seeded random docs over a 5-word alphabet vs a pure-Python

@@ -352,17 +352,29 @@ def minhash_index(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    include_shingles: bool = True,
 ) -> DataFrame:
     """Persistable per-document LSH index over a corpus: one row per
-    document — ``(id, set_key, sz, band_hashes array<long>, shingles
-    array<string>)``. Built ONCE and written as a table; incremental
+    document — ``(id, set_key, sz, band_hashes array<long>[, shingles
+    array<string>])``. Built ONCE and written as a table; incremental
     batches (:func:`incremental_near_dups`) join against it without
-    ever touching corpus text again — the distinct shingle set rides
-    the index so even the exact verify is index-only. At 10^10 docs
-    the index holds the distinct-token/shingle sets (a small fraction
-    of corpus bytes); band fan-out happens at query time in-plan, so
-    storage is one row per doc, not per band. ``set_key`` uses the
-    same md5-over-sorted-set identity as :func:`_set_groups`."""
+    ever touching corpus text again. Band fan-out happens at query
+    time in-plan, so storage is one row per doc, not per band.
+    ``set_key`` uses the same md5-over-sorted-set identity as
+    :func:`_set_groups`.
+
+    Two storage tiers:
+
+    * ``include_shingles=True`` (default): the distinct shingle set
+      rides the index, so even the exact verify is index-only — right
+      when the index (a small fraction of corpus bytes) is cheap to
+      hold;
+    * ``include_shingles=False``: signatures only (~KB/doc ->
+      ~100 B/doc) — at 10^10 docs the full-shingle index is itself a
+      multi-TB table, so this tier keeps it signature-sized and
+      :func:`incremental_near_dups` re-reads corpus TEXT for exactly
+      the candidate documents that survive the band join + size prune
+      (pass ``corpus=``)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sh = _shingles(df, id_col, text_col, shingle_n)
@@ -377,13 +389,15 @@ def minhash_index(
         F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
         for b in range(bands)
     ]
-    return per_doc.select(
+    cols = [
         F.col("_id").alias(id_col),
         F.md5(F.concat_ws("\x00", "shingles")).alias("set_key"),
         F.size("shingles").cast("long").alias("sz"),
         F.array(*band_cols).alias("band_hashes"),
-        "shingles",
-    )
+    ]
+    if include_shingles:
+        cols.append(F.col("shingles"))
+    return per_doc.select(*cols)
 
 
 def incremental_near_dups(
@@ -395,20 +409,35 @@ def incremental_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW document batch against an existing corpus
-    index (:func:`minhash_index`) — the daily-increment pipeline shape:
-    the corpus is never re-read, only its index table is joined.
+    index (:func:`minhash_index`) — the daily-increment pipeline shape.
     Returns ``(id_new, id_corpus, jaccard)``, exact at the threshold
-    (banding prunes, ``array_intersect`` over the carried shingle sets
+    (banding prunes, ``array_intersect`` over the shingle sets
     verifies). ``num_perm``/``bands``/``shingle_n`` must match the
     index build.
+
+    With a full index (shingle sets carried) the corpus is never
+    re-read — only index tables are joined. With a signatures-only
+    index (``minhash_index(include_shingles=False)``) pass the corpus
+    table as ``corpus=``: the verify re-shingles exactly ONE
+    representative document per candidate set_key that survives the
+    band join + size prune — at 10^10 docs the index stays
+    signature-sized and the corpus rescan is bounded by the candidate
+    count, not the corpus.
 
     Both sides collapse to distinct shingle sets before the band join
     (boilerplate-heavy corpora cost output expansion, not join size);
     the size-compatibility condition ``t*max(sz) <= min(sz)`` prunes
     inside the join; candidate dedup shuffles only the two 128-bit set
     keys, with the shingle arrays joined back for the verify."""
+    has_shingles = "shingles" in index.columns
+    if not has_shingles and corpus is None:
+        raise ValueError(
+            "signatures-only index (no shingles column) requires corpus= "
+            "for the verify join-back"
+        )
     bidx = minhash_index(batch, id_col, text_col, num_perm, bands, shingle_n)
     b_sets = bidx.dropDuplicates(["set_key"]).select(
         F.col("set_key").alias("k_new"),
@@ -416,11 +445,12 @@ def incremental_near_dups(
         "band_hashes",
         F.col("shingles").alias("sh_new"),
     )
-    c_sets = index.dropDuplicates(["set_key"]).select(
+    c_rep = index.dropDuplicates(["set_key"])
+    c_sets = c_rep.select(
         F.col("set_key").alias("k_corp"),
         F.col("sz").alias("sz_corp"),
         "band_hashes",
-        F.col("shingles").alias("sh_corp"),
+        *([F.col("shingles").alias("sh_corp")] if has_shingles else []),
     )
     xb = b_sets.select("k_new", "sz_new", F.explode("band_hashes").alias("bh"))
     xc = c_sets.select("k_corp", "sz_corp", F.explode("band_hashes").alias("bh"))
@@ -436,13 +466,36 @@ def incremental_near_dups(
         .select("k_new", "k_corp")
         .dropDuplicates()
     )
+    if has_shingles:
+        corp_side = c_sets.select("k_corp", "sz_corp", "sh_corp")
+    else:
+        # one representative doc per surviving candidate set_key is
+        # re-shingled from corpus text (identical normalization to the
+        # index build, so set identity is preserved)
+        rep = (
+            c_rep.select(
+                F.col("set_key").alias("k_corp"), F.col(id_col).alias("_rid")
+            )
+            .join(cand.select("k_corp").dropDuplicates(), "k_corp")
+        )
+        rep_docs = corpus.join(
+            rep.select(F.col("_rid").alias(id_col)).dropDuplicates(), id_col
+        )
+        sh_rep = _shingles(rep_docs, id_col, text_col, shingle_n).groupBy("_id").agg(
+            F.sort_array(F.collect_set("shingle")).alias("sh_corp")
+        )
+        corp_side = (
+            rep.join(sh_rep, rep["_rid"] == sh_rep["_id"])
+            .select("k_corp", "sh_corp")
+            .join(c_sets.select("k_corp", "sz_corp"), "k_corp")
+        )
     inter = F.size(F.array_intersect("sh_new", "sh_corp"))
     jac = F.round(
         F.try_divide(inter, F.col("sz_new") + F.col("sz_corp") - inter), 4
     )
     set_pairs = (
         cand.join(b_sets.select("k_new", "sz_new", "sh_new"), "k_new")
-        .join(c_sets.select("k_corp", "sz_corp", "sh_corp"), "k_corp")
+        .join(corp_side, "k_corp")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("k_new", "k_corp", "jaccard")
