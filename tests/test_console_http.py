@@ -197,6 +197,12 @@ def test_html_pages(served):
     status, ctype, html = _get_html(base, "/")
     assert status == 200 and ctype.startswith("text/html")
     assert "Walker Console" in html and "Table versions" in html
+    # styled UI: pages <link> the static stylesheet, and the asset
+    # serves with the right type (reference console/public/css)
+    assert '<link rel="stylesheet" href="/public/css/console.css">' in html
+    status, ctype, css = _get_html(base, "/public/css/console.css")
+    assert status == 200 and ctype.startswith("text/css")
+    assert "border-collapse" in css
     # list: domains table, links anchors, exclude/priority forms, paging
     status, _, html = _get_html(base, "/list?limit=2")
     assert status == 200

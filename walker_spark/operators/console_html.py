@@ -23,7 +23,9 @@ NAV = [
     ("/add", "Add Links"),
 ]
 
-_STYLE = """
+# served as a static asset at /public/css/console.css (reference
+# console/public/css), <link>ed by every page
+STYLESHEET = """
 body { font-family: sans-serif; margin: 0; background: #fafafa; color: #222; }
 nav { background: #222; padding: 0.6em 1em; }
 nav a { color: #eee; margin-right: 1.2em; text-decoration: none; }
@@ -32,9 +34,12 @@ main { padding: 1em 1.5em; }
 table { border-collapse: collapse; margin: 0.8em 0; background: #fff; }
 th, td { border: 1px solid #ccc; padding: 0.3em 0.7em; text-align: left; }
 th { background: #eee; }
+tr:nth-child(even) td { background: #f6f6f6; }
 .alert { background: #fdd; border: 1px solid #c99; padding: 0.6em 1em; }
 form.inline { display: inline; }
 textarea { width: 40em; height: 8em; }
+input[type=text] { padding: 0.25em 0.4em; }
+button, input[type=submit] { padding: 0.25em 0.9em; cursor: pointer; }
 """.strip()
 
 
@@ -45,7 +50,8 @@ def _page(title: str, body: str) -> str:
     return (
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"
         f"<title>{escape(title)} - Walker Console</title>"
-        f"<style>{_STYLE}</style></head><body>"
+        '<link rel="stylesheet" href="/public/css/console.css">'
+        "</head><body>"
         f"<nav>{nav}</nav><main><h2>{escape(title)}</h2>{body}</main>"
         "</body></html>"
     )

@@ -234,6 +234,13 @@ class ConsoleApp:
         except (TypeError, ValueError):
             return 400, {"error": f"limit must be an integer, not {q1('limit')!r}"}
         if method == "GET":
+            if parts == ["public", "css", "console.css"]:
+                # static stylesheet (reference console/public/css) —
+                # the HTML pages <link> it instead of inlining styles
+                from walker_spark.operators import console_html
+
+                return 200, {"_static": console_html.STYLESHEET,
+                             "_ctype": "text/css; charset=utf-8"}
             if not parts:
                 return self.home()
             if parts[0] == "list":
@@ -348,6 +355,14 @@ def make_server(
             self._send(status, payload, parsed.path)
 
         def _send(self, status: int, payload: dict, path: str = "/"):
+            if isinstance(payload, dict) and "_static" in payload:
+                data = payload["_static"].encode()
+                self.send_response(status)
+                self.send_header("Content-Type", payload["_ctype"])
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             if self._wants_html() and status != 303:
                 from walker_spark.operators import console_html
 
