@@ -75,6 +75,38 @@ CRAWL_SHAPE = {"n_domains": 300, "pages_per_domain": 60, "mega_factor": 6, "iter
 KERNEL_PAGE_BUCKETS = 64
 
 
+def _hash_chain(n: int) -> int:
+    import hashlib
+
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return h[0]
+
+
+def cpu_calibration(lo: int = 1, hi: int = 4) -> float:
+    """Raw-CPU scaling of the host right now: wall(lo procs) /
+    wall(hi procs) over md5 hash chains, no Spark — the same probe that
+    gates the scaling suite (scripts/wait_quiet_then_scale.sh). Ideal
+    is hi/lo (4.0); observed 2.8-4.4 across one day on this host.
+
+    Emitted in the bench JSON so the artifact can defend itself:
+    BENCH_r04's crawl number regressed 1.42x on unchanged code (same-run
+    gen_sec inflated 6x — host throttle) but carried no calibration
+    figure to prove it (VERDICT r4 #1)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")  # spawn would re-import pyspark per worker
+
+    def bench(np_: int) -> float:
+        t0 = time.time()
+        with ctx.Pool(np_) as p:
+            p.map(_hash_chain, [200_000] * 64)
+        return time.time() - t0
+
+    return round(bench(lo) / bench(hi), 2)
+
+
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -402,6 +434,12 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 
+    # host-throttle evidence rides the artifact: raw-CPU calibration
+    # before the suite and after the crawl (ideal 4.0; the scaling gate
+    # launches at >= 3.8). A poor window also buys the crawl an extra
+    # rep — best-of-N under throttle needs more samples.
+    cal_pre = cpu_calibration()
+
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -417,17 +455,23 @@ def main():
     # not a measurement. Each rep gets a fresh frontier; the reported
     # crawl dict is the rep with the lowest crawl wall.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "2")))
+    if cal_pre < 3.3:
+        reps += 1
     crawl = None
+    rep_walls = []
     for _ in range(reps):
         workdir = tempfile.mkdtemp(prefix="walker-bench-")
         try:
             c = run_crawl(spark, cpus, CRAWL_SHAPE, workdir)
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
+        rep_walls.append(c["crawl_sec"])
         if crawl is None or c["crawl_sec"] < crawl["crawl_sec"]:
             crawl = c
     crawl["reps"] = reps
+    crawl["rep_walls"] = rep_walls
     total = round(queries_wall + crawl["crawl_sec"], 2)
+    cal_post = cpu_calibration()
 
     out = {
         "metric": "sum of per-query best-of-N + best-of-N crawl-iterations wall (urls fetched+deduped/sec in crawl.urls_per_sec)",
@@ -438,6 +482,7 @@ def main():
         "cpus": cpus,
         "query_reps": query_reps,
         "crawl": crawl,
+        "calibration_1to4": {"pre": cal_pre, "post": cal_post, "ideal": 4.0},
         "total_wall_sec": round(time.time() - t_all, 2),
     }
     print(json.dumps(out))
