@@ -376,6 +376,20 @@ def q_dup_ngram_spans(spark, sf_dir):
     return dup_ngram_spans(_t(spark, sf_dir, "documents"), n=8, min_docs=2)
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document duplicated-line removal (CCNet/RefinedWeb
+    boilerplate pass). The driver corpus is single-line word soup, so
+    multi-line structure is synthesized deterministically INSIDE the
+    query: every literal ``" the "`` becomes a line break (identical
+    left-to-right non-overlapping replace in both engines)."""
+    from walker_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    return line_dedup(docs, min_docs=2)
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction (emails / IPv4 / phone numbers -> placeholder
     tokens + per-doc match counts). The synthetic documents carry no
@@ -563,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_components": q_dedup_components,
         "dup_ngram_spans": q_dup_ngram_spans,
+        "line_dedup": q_line_dedup,
         "repetition_stats": q_repetition_stats,
         "dedup_incremental": q_dedup_incremental,
         "lm_quality_scores": q_lm_quality_scores,
@@ -937,6 +952,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
                    CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
             FROM isl GROUP BY doc_id, isl""",
+        "line_dedup": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(replace(text, ' the ', chr(10)), chr(10)) AS ls
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, i - 1 AS pos, ls[i] AS line
+              FROM base, UNNEST(generate_series(1, len(ls))) AS u(i)
+            ), ne AS (
+              SELECT doc_id, pos, line,
+                     md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS line_key
+              FROM lines
+              WHERE trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) <> ''
+            ), cnt AS (
+              SELECT line_key, count(DISTINCT doc_id) AS nd
+              FROM ne GROUP BY line_key
+            ), flagged AS (
+              SELECT ne.doc_id, ne.pos, ne.line, (cnt.nd < 2) AS keep
+              FROM ne JOIN cnt USING (line_key)
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     coalesce(string_agg(CASE WHEN keep THEN line END,
+                                         chr(10) ORDER BY pos), '') AS clean_text
+              FROM flagged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "embedding_topk": f"""
             SELECT vec_id AS id,
                    round(list_cosine_similarity(embedding::DOUBLE[], {_QUERY_VEC_SQL}), 3) AS score

@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_components",
     "dup_ngram_spans",
+    "line_dedup",
     "embedding_topk",
     "embedding_dup_pairs",
     "language_id",

@@ -318,6 +318,31 @@ def main():
         ],
     )
 
+    # 7b. line_dedup: the boilerplate pass shuffles line text exactly
+    # twice (line-key window, doc reconstruction) and stays JVM-side
+    from walker_spark.operators.dedup import line_dedup
+
+    ldocs = spark.createDataFrame(
+        [(i, "banner line\nunique %d" % i) for i in range(6)],
+        "doc_id long, text string",
+    )
+    ok &= grab(
+        "line_dedup: cross-doc duplicated-line removal (ONE line-key "
+        "exchange with windowed distinct-doc count — no dup-key join "
+        "back — one doc-id reconstruction exchange, zero Python)",
+        line_dedup(ldocs, min_docs=2),
+        [
+            ("exactly ONE line explode", r"Generate posexplode", 1),
+            ("exactly ONE exchange keyed on the 32-byte line_key",
+             r"Exchange hashpartitioning\(line_key", 1),
+            ("distinct-doc count is a window (dense_rank), not groupBy+join",
+             r"dense_rank", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+            ("reconstruction groups on the doc id", r"hashpartitioning\(_id", (1,)),
+        ],
+    )
+
     # 8. incremental near-dup: batch vs persisted index — verify must be
     # index-only (no shingle-row join), everything JVM-side
     from walker_spark.operators.dedup import incremental_near_dups, minhash_index

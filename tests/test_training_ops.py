@@ -524,3 +524,32 @@ def test_bigram_lm_scores_golden(spark):
     assert (out[1].n_bigrams, out[1].avg_logprob) == (2, -1.151)
     assert (out[2].n_bigrams, out[2].avg_logprob) == (1, -1.099)
     assert (out[3].n_bigrams, out[3].avg_logprob) == (0, 0.0)
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    """CCNet-style duplicated-line removal: lines shared by >=2 distinct
+    docs are cut everywhere; within-doc repeats alone survive; blank
+    lines never count; order is preserved; all-cut docs emit ''."""
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nCookie  Banner\nunique beta"),
+            (2, "cookie banner\n\nmiddle text two"),     # normalizes to doc 1's banner
+            (3, "self repeat\nself repeat\nown line"),   # within-doc repeat only
+            (4, "cookie banner"),                        # everything is boilerplate
+            (5, ""),                                     # no non-empty lines at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, min_docs=2).collect()}
+    assert len(out) == 5
+    # the banner is cut from 1, 2 and 4 (case/whitespace-insensitive key)
+    assert out[1].clean_text == "unique alpha\nunique beta"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert out[2].clean_text == "middle text two"
+    assert (out[2].n_lines, out[2].n_kept) == (2, 1)  # blank line not counted
+    # within-document repetition does not trigger (distinct-doc contract)
+    assert out[3].clean_text == "self repeat\nself repeat\nown line"
+    assert (out[3].n_lines, out[3].n_kept) == (3, 3)
+    # a doc reduced to nothing still gets its row
+    assert (out[4].n_lines, out[4].n_kept, out[4].clean_text) == (1, 0, "")
+    assert (out[5].n_lines, out[5].n_kept, out[5].clean_text) == (0, 0, "")

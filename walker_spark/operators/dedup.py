@@ -759,6 +759,76 @@ def merge_islands(hits: DataFrame, n: int, id_col: str) -> DataFrame:
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-line removal (the CCNet / RefinedWeb
+    boilerplate pass): a line whose whitespace-normalized lower-cased
+    form occurs in >= ``min_docs`` DISTINCT documents is boilerplate
+    (nav bars, cookie banners, footers), and EVERY occurrence of it is
+    cut from every document; surviving lines are re-joined in original
+    order. Finer-grained than doc-level dedup (the rest of this module)
+    and coarser than token-span dedup (:func:`dup_ngram_spans`) — real
+    pipelines run all three.
+
+    Semantics: documents split on ``\\n``; lines that normalize to
+    empty are dropped unconditionally; within-document repeats alone do
+    not trigger (the count is distinct *documents*, same contract as
+    ``dup_ngram_spans``). Returns ONE row per input document:
+    ``(id_col, n_lines, n_kept, clean_text)`` — ``n_lines`` counts
+    non-empty lines, ``clean_text`` is '' when everything was cut.
+
+    Scale shape (10^10 docs): the line text crosses the wire exactly
+    twice — once hashpartitioned on the 32-byte md5 line key (the
+    distinct-doc test is dense_rank + max over that single exchange,
+    the r5 ``dup_ngram_spans`` pattern — no groupBy + join-back, which
+    would either re-shuffle the text or need an unbounded broadcast of
+    the dup-key set), and once on the doc id for reconstruction. A
+    pathological mega-line (one banner in ~every doc) lands in one
+    window partition: WindowExec buffers spill to disk rather than
+    OOM. The final left join is id-only (8-byte rows) and reuses the
+    reconstruction exchange's partitioning on the agg side.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("_norm", normalized_text(F.col("line")))
+        .filter(F.length("_norm") > 0)
+        .withColumn("line_key", F.md5(F.encode("_norm", "UTF-8")))
+        .drop("_norm")
+    )
+    wk_ord = Window.partitionBy("line_key").orderBy("_id")
+    wk_all = Window.partitionBy("line_key")
+    flagged = (
+        lines.withColumn("_rk", F.dense_rank().over(wk_ord))
+        .withColumn("_docs", F.max("_rk").over(wk_all))
+        .withColumn("keep", F.col("_docs") < min_docs)
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "line"))
+    aggs = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return base.join(aggs, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering (connected components over a pair graph)
 # ---------------------------------------------------------------------------
