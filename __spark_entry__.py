@@ -485,6 +485,18 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_semantic_dup_pairs(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs via
+    learned k-means-cell blocking (no label column needed) — the same
+    deterministic first-16 codebook as ivf_topk so the SQL oracle
+    replays the assignment exactly; within-cell cosine >= 0.3."""
+    from walker_spark.operators.dedup import semantic_dup_pairs
+
+    return semantic_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), n_centroids=16, threshold=0.3
+    )
+
+
 def q_sample_deterministic(spark, sf_dir):
     """Reproducible hash-based sampling (no RNG state — stable across
     retries/partitionings, unlike df.sample)."""
@@ -584,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "semantic_dup_pairs": q_semantic_dup_pairs,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "language_id": q_language_id,
@@ -1048,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "ann_topk": _ann_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "semantic_dup_pairs": _semantic_dup_pairs_sql(0.3),
         "frame_sampling": _frame_sampling_sql(),
         "sample_deterministic": f"""
             SELECT doc_id AS id FROM documents
@@ -1188,6 +1202,40 @@ def _ivf_topk_sql(k: int = 10, n_centroids: int = 16, nprobe: int = 4, dim: int 
         FROM embeddings e JOIN a USING (vec_id)
         WHERE a.cid IN (SELECT cid FROM probe)
         ORDER BY score DESC, id LIMIT {k}"""
+
+
+def _semantic_dup_pairs_sql(
+    threshold: float = 0.3, n_centroids: int = 16, dim: int = 64
+) -> str:
+    """SQL replica of dedup.semantic_dup_pairs (refine_iters=0):
+    the ivf_topk codebook/assignment CTEs, then within-cell pairwise
+    cosine at 3-decimal precision."""
+    sq = (
+        "list_aggregate(list_transform(range(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), 'sum')"
+    )
+    d_expr = sq.format(n=dim + 1, a="e.embedding", b="c.cv")
+    return f"""
+        WITH c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+        ), d AS (
+          SELECT e.vec_id, c.cid, {d_expr} AS dist
+          FROM embeddings e CROSS JOIN c0 c
+        ), a AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d)
+          WHERE rn = 1
+        ), v AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, a.cid
+          FROM embeddings e JOIN a USING (vec_id)
+        )
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               round(list_cosine_similarity(x.vec, y.vec), 3) AS cosine
+        FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.vec, y.vec), 3) >= {threshold}"""
 
 
 def _md5_hex_int_sql(expr: str, n_hex: int) -> str:

@@ -52,6 +52,7 @@ HEADLINE = [
     "line_dedup",
     "embedding_topk",
     "embedding_dup_pairs",
+    "semantic_dup_pairs",
     "language_id",
     "token_stats",
     "quality_scores",

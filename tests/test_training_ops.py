@@ -553,3 +553,28 @@ def test_line_dedup_boilerplate_removal(spark):
     # a doc reduced to nothing still gets its row
     assert (out[4].n_lines, out[4].n_kept, out[4].clean_text) == (1, 0, "")
     assert (out[5].n_lines, out[5].n_kept, out[5].clean_text) == (0, 0, "")
+
+
+def test_semantic_dup_pairs_cell_blocking(spark):
+    """SemDeDup: near-dups inside a learned cell are found; a
+    high-cosine pair split across the cell boundary is (by design)
+    missed — the documented approximation recall buys back via
+    refine_iters / more centroids."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # codebook[0]
+        (1, [0.0, 1.0, 0.0, 0.0]),    # codebook[1]
+        (2, [0.99, 0.10, 0.0, 0.0]),  # cell 0, near-dup of 0
+        (3, [0.0, 0.99, 0.10, 0.0]),  # cell 1, near-dup of 1
+        (6, [0.70, 0.72, 0.0, 0.0]),  # cell 1 (barely)
+        (7, [0.72, 0.70, 0.0, 0.0]),  # cell 0 (barely) — cos(6,7)≈1 but split
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.semantic_dup_pairs(df, n_centroids=2, threshold=0.9).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.9
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.9
+    assert (6, 7) not in pairs  # split across cells: the SemDeDup tradeoff
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) == 2  # nothing else clears 0.9 within a cell

@@ -1106,6 +1106,55 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def semantic_dup_pairs(
+    df: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pairs via k-means-cell blocking — partition the
+    corpus into inverted cells (deterministic codebook + optional
+    Lloyd refinement, shared with similarity.ivf_topk), then compute
+    pairwise cosine WITHIN cells only. Unlike
+    :func:`embedding_dup_pairs` this needs no pre-existing label
+    column: the blocking is learned from the embeddings themselves,
+    which is what makes the quadratic join tractable at 10^8+ vectors.
+
+    Scale shape: the codebook is KB-sized driver state by design (it
+    IS the index — same contract as ivf_topk); assignment is one
+    narrow map (no shuffle); the only exchange is the cell join, and
+    per-cell pair counts bound the quadratic term — size ``n_centroids
+    ~ sqrt(n)`` so cells stay ~constant. Pairs whose members land in
+    different cells are missed: that is SemDeDup's documented
+    approximation (recall is bought back with ``refine_iters`` making
+    cells tighter). ``refine_iters=0`` keeps every step deterministic
+    arithmetic over data + literals, so a SQL oracle replays it
+    exactly. Returns ``(id_a, id_b, cosine)`` rounded to 3 (the
+    cross-engine-stable precision). One survivor per semantic group =
+    ``near_dup_clusters(df, pairs=semantic_dup_pairs(df, ...))``.
+    """
+    from walker_spark.operators.similarity import (
+        ivf_assign,
+        ivf_refine_centroids,
+        ivf_sample_centroids,
+    )
+
+    centroids = ivf_sample_centroids(df, n_centroids, id_col, vec_col)
+    if refine_iters:
+        centroids = ivf_refine_centroids(df, centroids, refine_iters, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        F.col("id").alias(id_col), "cid"
+    )
+    cells = df.select(id_col, vec_col).join(assigned, id_col)
+    return embedding_dup_pairs(
+        cells, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        bucket_col_name="cid",
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
