@@ -541,6 +541,34 @@ def q_contamination_spans(spark, sf_dir):
     return contamination_spans(docs.filter(F.col("doc_id") % 97 != 0), bench, ngram=4)
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based data-mix sampling (GPT-3 / LLaMA rule): keep
+    probability per source ∝ n_source^0.5 targeting ~150 docs. The
+    synthetic sources are uniform, so the query plants a head domain
+    in-query (doc_id % 7 != 0 → 'web', identically in the oracle) to
+    exercise both the tail boost (p clamps to 1) and the head
+    down-weighting."""
+    from walker_spark.operators.curation import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.col("source")).otherwise(F.lit("web")),
+    )
+    return temperature_mix(docs, budget_docs=150, alpha=0.5)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Composite Gopher quality gate (Rae et al. 2021 Table A1): every
+    rule input + verdict per document. min_stop_hits=1 (Gopher: 2) —
+    the synthetic vocab rarely carries two of the eight required
+    stopwords, and 1 splits the verdict ~50/50 at sf0.01 so the oracle
+    exercises both branches; all other thresholds are Gopher
+    defaults."""
+    from walker_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"), min_stop_hits=1)
+
+
 def q_frame_sampling(spark, sf_dir):
     """Video frame-sampling fan-out (fake durations are hash-derived —
     rows-only check)."""
@@ -610,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "contamination_spans": q_contamination_spans,
+        "temperature_mix": q_temperature_mix,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -1133,6 +1163,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
                    CAST(MAX(pos) + 4 - MIN(pos) AS BIGINT) AS span_tokens
             FROM isl GROUP BY doc_id, isl""",
+        "temperature_mix": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN source ELSE 'web' END AS source
+              FROM documents
+            ), n AS (
+              SELECT source, count(*)::DOUBLE AS n FROM d GROUP BY source
+            ), z AS (
+              SELECT sum(power(n, 0.5)) AS z FROM n
+            ), p AS (
+              SELECT source,
+                     least(1.0, 150.0 * power(n, 0.5) / (SELECT z FROM z) / n) AS p
+              FROM n
+            )
+            SELECT d.doc_id AS id, d.source AS source
+            FROM d JOIN p USING (source)
+            WHERE ({_md5_hex_int_sql("CAST(d.doc_id AS VARCHAR)", 8)}) / 4294967296.0 < p.p""",
+        "gopher_rules": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> length(x) > 0) AS toks,
+                     list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines,
+                     (length(text) - length(replace(text, '#', ''))) AS n_hash,
+                     CAST(floor((length(text) - length(replace(text, '...', ''))) / 3.0) AS BIGINT) AS n_dots,
+                     (length(text) - length(replace(text, '…', ''))) AS n_uni
+              FROM documents
+            ), derived AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     round(CASE WHEN len(toks) > 0
+                           THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE / len(toks)
+                           ELSE 0 END, 4) AS mean_word_len,
+                     round(CASE WHEN len(toks) > 0
+                           THEN (n_hash + n_dots + n_uni)::DOUBLE / len(toks)
+                           ELSE 0 END, 4) AS symbol_ratio,
+                     round(CASE WHEN len(lines) > 0
+                           THEN len(list_filter(lines, x -> starts_with(trim(x), '-')
+                                OR starts_with(trim(x), '*')
+                                OR starts_with(trim(x), '•')))::DOUBLE / len(lines)
+                           ELSE 0 END, 4) AS bullet_frac,
+                     round(CASE WHEN len(lines) > 0
+                           THEN len(list_filter(lines, x -> ends_with(trim(x), '...')
+                                OR ends_with(trim(x), '…')))::DOUBLE / len(lines)
+                           ELSE 0 END, 4) AS ellipsis_frac,
+                     round(CASE WHEN len(toks) > 0
+                           THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks)
+                           ELSE 0 END, 4) AS alpha_frac,
+                     CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                          w -> list_contains(toks, w))) AS INT) AS stop_hits
+              FROM base
+            )
+            SELECT doc_id AS id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+                   ellipsis_frac, alpha_frac, stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                    AND stop_hits >= 1) AS gopher_pass
+            FROM derived""",
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
         # available in DuckDB). The md5-token variant dedup_simhash_md5

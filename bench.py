@@ -67,6 +67,8 @@ HEADLINE = [
     "pack_sequences",
     "decontaminate",
     "contamination_spans",
+    "temperature_mix",
+    "gopher_rules",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -112,3 +112,36 @@ def test_contamination_spans_and_cut(spark):
         [(k, v[0]) for k, v in cut.items()], "doc_id long, text string"
     )
     assert contamination_spans(cleaned, bench, ngram=4).isEmpty()
+
+
+def test_temperature_mix_reweights_and_clamps(spark):
+    """Head source down-weighted toward n^alpha, tail sources boosted
+    (keep probability clamps at 1 so tiny sources are kept whole);
+    membership is deterministic under repartitioning."""
+    from walker_spark.operators.curation import temperature_mix
+
+    rows = [(i, "text", "head" if i < 900 else f"tail{i % 4}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    kept = temperature_mix(df, budget_docs=300, alpha=0.5).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["id"])
+
+    # tail sources: n=25 each, p = 300 * 5 / (30 + 4*5) / 25 = 1.2 -> clamped
+    # to 1, so every tail row is kept
+    for s in ("tail0", "tail1", "tail2", "tail3"):
+        assert len(by_src[s]) == 25, s
+    # head: p = 300 * 30 / 50 / 900 = 0.2 -> ~180 of 900 kept, far below
+    # its 90% share of the corpus
+    assert 90 <= len(by_src["head"]) <= 290
+
+    kept2 = temperature_mix(df.repartition(13), budget_docs=300, alpha=0.5).collect()
+    assert {(r["id"], r["source"]) for r in kept} == {
+        (r["id"], r["source"]) for r in kept2
+    }
+
+    # alpha=1 degenerates to uniform keep probability across sources
+    uni = temperature_mix(df, budget_docs=300, alpha=1.0).collect()
+    ids = {r["id"] for r in uni}
+    assert 200 <= len(ids) <= 400

@@ -578,3 +578,35 @@ def test_semantic_dup_pairs_cell_blocking(spark):
     assert (6, 7) not in pairs  # split across cells: the SemDeDup tradeoff
     assert all(a < b for a, b in pairs)
     assert len(pairs) == 2  # nothing else clears 0.9 within a cell
+
+
+def test_gopher_rules_each_rule_trips(spark):
+    """One planted document per Gopher rule (Rae et al. 2021 Table A1):
+    the good doc passes; every other doc fails exactly through the rule
+    it was built to trip."""
+    from walker_spark.operators import textstats
+
+    good = ("the data be good to train with and that we have here . " * 6).strip()
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "the be of and that have with short"),   # < 50 words
+        (2, ("supercalifragilistic " * 60) + "the be"),  # mean word len > 10
+        (3, good + " " + "# " * 20),                 # symbol ratio > 0.1
+        (4, "\n".join(f"- {good}" for _ in range(10))),  # all lines bullets
+        (5, "\n".join(f"{good}..." for _ in range(10))),  # lines ellipsis-ended
+        (6, ("1234 5678 " * 30) + "the be of and"),  # alpha fraction < 0.8
+        (7, ("apple banana cherry date fig grape " * 10).strip()),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in textstats.gopher_rules(df).collect()}
+
+    assert out[0]["gopher_pass"] is True
+    assert out[1]["n_words"] < 50 and out[1]["gopher_pass"] is False
+    assert out[2]["mean_word_len"] > 10 and out[2]["gopher_pass"] is False
+    assert out[3]["symbol_ratio"] > 0.1 and out[3]["gopher_pass"] is False
+    assert out[4]["bullet_frac"] == 1.0 and out[4]["gopher_pass"] is False
+    assert out[5]["ellipsis_frac"] == 1.0 and out[5]["gopher_pass"] is False
+    assert out[6]["alpha_frac"] < 0.8 and out[6]["gopher_pass"] is False
+    assert out[7]["stop_hits"] < 2 and out[7]["gopher_pass"] is False
+    # rule inputs are emitted, not just the verdict
+    assert out[0]["stop_hits"] >= 2 and 3.0 <= out[0]["mean_word_len"] <= 10.0

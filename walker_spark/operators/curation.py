@@ -60,6 +60,48 @@ def cap_per_source(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    budget_docs: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based data-mix sampling (the GPT-3 / LLaMA mixture
+    rule): sample each source with probability proportional to
+    ``n_source ** alpha`` so head domains are down-weighted and tail
+    domains up-weighted, targeting ~``budget_docs`` kept rows total.
+
+    Per source s with n_s docs: weight w_s = n_s^alpha / sum_t n_t^alpha,
+    keep probability p_s = min(1, budget * w_s / n_s). Membership uses
+    the same deterministic md5 uniform as :func:`deterministic_sample`,
+    so retries/repartitions keep identical rows and the whole decision
+    is ANSI-SQL replayable: (id, source).
+
+    Scale shape: the per-source count is one map-side-combined groupBy
+    on the mix key (output rows = #sources, i.e. tiny), the weight
+    normalizer rides it as a one-row cross join, and the probability
+    table broadcasts back onto the corpus — the 100 TB scan is filtered
+    map-side with no corpus shuffle."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    z = counts.agg(F.sum(F.pow(F.col("_n").cast("double"), alpha)).alias("_z"))
+    probs = counts.crossJoin(F.broadcast(z)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_docs))
+            * F.pow(F.col("_n").cast("double"), alpha)
+            / F.col("_z")
+            / F.col("_n").cast("double"),
+        ).alias("_p"),
+    )
+    return (
+        df.join(F.broadcast(probs), source_col)
+        .filter(_unit_uniform(F.col(id_col)) < F.col("_p"))
+        .select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int,

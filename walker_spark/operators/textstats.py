@@ -317,3 +317,122 @@ def bigram_lm_scores(
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+# The eight stopwords Gopher (Rae et al. 2021, Table A1) requires at
+# least two of; documents missing them are overwhelmingly boilerplate.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Composite Gopher document-quality filter (Rae et al. 2021,
+    Table A1): the standard pre-training repetition/boilerplate gate,
+    emitting every rule input plus the final verdict so downstream
+    stages can re-threshold without recomputing:
+
+    (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, stop_hits, gopher_pass)
+
+    Rules (all must hold for ``gopher_pass``): word count in
+    [min_words, max_words]; mean word length in [3, 10]; '#'/ellipsis
+    symbol-to-word ratio <= 0.1; <= 90% of lines bullet-started;
+    <= 30% of lines ellipsis-ended; >= 80% of words containing a
+    letter; >= ``min_stop_hits`` (Gopher: 2) of the eight required
+    stopwords present as tokens.
+
+    Pure narrow projection — higher-order array functions over the
+    whitespace tokenization and the line split, zero Python, zero
+    shuffle: at 100 TB this fuses into the same whole-stage-codegen
+    scan as the rest of the cleaning pass. Ratios round(4) on both
+    engines (oracle `gopher_rules`)."""
+    t = F.col(text_col)
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " "),
+        lambda s: F.length(s) > 0,
+    )
+    n_words = F.size(toks).cast("long")
+    mean_word_len = F.round(
+        F.when(
+            n_words > 0,
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s))
+            .cast("double")
+            / n_words,
+        ).otherwise(0.0),
+        4,
+    )
+    # non-overlapping leftmost counts, identical in Spark and DuckDB
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_dots = F.floor((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3)
+    n_uni = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    symbol_ratio = F.round(
+        F.when(n_words > 0, (n_hash + n_dots + n_uni).cast("double") / n_words).otherwise(
+            0.0
+        ),
+        4,
+    )
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    is_bullet = lambda x: (  # noqa: E731
+        F.startswith(F.trim(x), F.lit("-"))
+        | F.startswith(F.trim(x), F.lit("*"))
+        | F.startswith(F.trim(x), F.lit("•"))
+    )
+    is_ellipsis = lambda x: F.endswith(F.trim(x), F.lit("...")) | F.endswith(  # noqa: E731
+        F.trim(x), F.lit("…")
+    )
+    bullet_frac = F.round(
+        F.when(
+            n_lines > 0,
+            F.size(F.filter(lines, is_bullet)).cast("double") / n_lines,
+        ).otherwise(0.0),
+        4,
+    )
+    ellipsis_frac = F.round(
+        F.when(
+            n_lines > 0,
+            F.size(F.filter(lines, is_ellipsis)).cast("double") / n_lines,
+        ).otherwise(0.0),
+        4,
+    )
+    alpha_frac = F.round(
+        F.when(
+            n_words > 0,
+            F.size(F.filter(toks, lambda s: s.rlike("[a-z]"))).cast("double") / n_words,
+        ).otherwise(0.0),
+        4,
+    )
+    stop_hits = F.lit(0)
+    for w in GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.when(F.array_contains(toks, w), 1).otherwise(0)
+    stop_hits = stop_hits.cast("int")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("stop_hits") >= min_stop_hits),
+    )
