@@ -485,6 +485,20 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (Jegou et al. 2011, faiss-PQ
+    shape): 4 subquantizers x 16 codes (16 bits/vector vs 2048), query
+    scored as a fixed-order lookup-table sum over the codes — the
+    compression tier of the ANN family (IVF prunes which vectors are
+    scanned, PQ shrinks what is scanned). rerank=0 keeps every step
+    SQL-replayable."""
+    from walker_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10, m_subvectors=4, n_codes=16
+    )
+
+
 def q_semantic_dup_pairs(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic near-dup pairs via
     learned k-means-cell blocking (no label column needed) — the same
@@ -627,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_pairs": q_semantic_dup_pairs,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "language_id": q_language_id,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -1091,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "ann_topk": _ann_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "pq_topk": _pq_topk_sql(),
         "semantic_dup_pairs": _semantic_dup_pairs_sql(0.3),
         "frame_sampling": _frame_sampling_sql(),
         "sample_deterministic": f"""
@@ -1292,6 +1308,55 @@ def _ivf_topk_sql(k: int = 10, n_centroids: int = 16, nprobe: int = 4, dim: int 
         FROM embeddings e JOIN a USING (vec_id)
         WHERE a.cid IN (SELECT cid FROM probe)
         ORDER BY score DESC, id LIMIT {k}"""
+
+
+def _pq_topk_sql(k: int = 10, m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
+    """SQL replica of pq_topk (rerank=0): codebooks = subvectors of the
+    first n_codes vectors by id; per-subquantizer assignment = argmin
+    squared L2 with code tie-break; ADC = the query's per-(j, code)
+    LUT (computed in SQL with the same left-fold op order the Spark
+    driver uses for its literals) summed in fixed j order."""
+    sub = dim // m
+    sq = (
+        f"list_aggregate(list_transform(range(1, {sub + 1}), "
+        "i -> (CAST({a}[c.j*" + str(sub) + " + i] AS DOUBLE) - {b}[c.j*" + str(sub) + " + i])"
+        " * (CAST({a}[c.j*" + str(sub) + " + i] AS DOUBLE) - {b}[c.j*" + str(sub) + " + i])), 'sum')"
+    )
+    d_expr = sq.format(a="e.embedding", b="c.cv")
+    q_expr = sq.format(a="c.q", b="c.cv")
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN code END) AS k{j}" for j in range(m)
+    )
+    lut_joins = "\n        ".join(
+        f"JOIN lut l{j} ON l{j}.j = {j} AND l{j}.code = c.k{j}" for j in range(m)
+    )
+    adist = " + ".join(f"l{j}.qd" for j in range(m))
+    return f"""
+        WITH c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding::DOUBLE[] AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_codes})
+        ), cb AS (
+          SELECT j, code, cv FROM c0 CROSS JOIN (SELECT unnest(range(0, {m})) AS j)
+        ), d AS (
+          SELECT e.vec_id, c.j, c.code, {d_expr} AS dist
+          FROM embeddings e CROSS JOIN cb c
+        ), enc AS (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+            FROM d)
+          WHERE rn = 1
+        ), codes AS (
+          SELECT vec_id, {code_cols}
+          FROM enc GROUP BY vec_id
+        ), lut AS (
+          SELECT c.j, c.code, {q_expr} AS qd
+          FROM (SELECT j, code, cv, {_QUERY_VEC_SQL} AS q FROM cb) c
+        )
+        SELECT c.vec_id AS id, round({adist}, 4) AS approx_dist
+        FROM codes c
+        {lut_joins}
+        ORDER BY approx_dist, id LIMIT {k}"""
 
 
 def _semantic_dup_pairs_sql(

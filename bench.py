@@ -62,6 +62,7 @@ HEADLINE = [
     "redact_pii",
     "multimodal_features",
     "ivf_topk",
+    "pq_topk",
     "sample_deterministic",
     "cap_per_source",
     "pack_sequences",

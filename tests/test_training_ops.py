@@ -610,3 +610,53 @@ def test_gopher_rules_each_rule_trips(spark):
     assert out[7]["stop_hits"] < 2 and out[7]["gopher_pass"] is False
     # rule inputs are emitted, not just the verdict
     assert out[0]["stop_hits"] >= 2 and 3.0 <= out[0]["mean_word_len"] <= 10.0
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """Product quantization on the clustered corpus: codebook vectors
+    encode to themselves, ADC ranks the query's own cluster first, and
+    the exact-rerank path recovers the true top-k."""
+    import hashlib
+
+    def prand(*parts):
+        h = int.from_bytes(hashlib.md5(":".join(map(str, parts)).encode()).digest()[:8], "big")
+        return (h / 2**63) - 1.0
+
+    dim = 16
+    centers = [[prand("c", c, d) for d in range(dim)] for c in range(4)]
+    vecs = []
+    for i in range(200):
+        c = i % 4
+        vecs.append((i, [centers[c][d] + 0.05 * prand("n", i, d) for d in range(dim)], c))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    q = [centers[0][d] + 0.03 * prand("q", d) for d in range(dim)]
+
+    cbs = similarity.pq_codebooks(df, m_subvectors=4, n_codes=8)
+    assert len(cbs) == 4 and len(cbs[0]) == 8 and len(cbs[0][0]) == 4
+    enc = {r["id"]: r for r in similarity.pq_encode(df, cbs).collect()}
+    for i in range(200):
+        for j in range(4):
+            assert 0 <= enc[i][f"code_{j}"] < 8, (i, j)
+    # the n_codes smallest-id vectors ARE the codebook: each encodes to
+    # its own code in every subquantizer (zero self-distance)
+    for c in range(8):
+        assert all(enc[c][f"code_{j}"] == c for j in range(4)), enc[c]
+
+    # ADC tier: the top-k by approx distance is dominated by the
+    # query's own cluster (label 0 = ids % 4 == 0)
+    adc = similarity.pq_topk(df, q, k=10, m_subvectors=4, n_codes=8).collect()
+    assert [c for c in adc[0].__fields__] == ["id", "approx_dist"]
+    assert sum(1 for r in adc if r["id"] % 4 == 0) >= 8, adc
+    dists = [r["approx_dist"] for r in adc]
+    assert dists == sorted(dists)
+
+    # exact-rerank tier recovers the true top-k
+    exact = [r["id"] for r in similarity.cosine_topk(df, q, k=10).collect()]
+    rr = [
+        r["id"]
+        for r in similarity.pq_topk(
+            df, q, k=10, m_subvectors=4, n_codes=8, rerank=50
+        ).collect()
+    ]
+    recall = len(set(exact) & set(rr)) / 10
+    assert recall >= 0.7, (recall, exact, rr)

@@ -280,3 +280,115 @@ def pairwise_topk_per_label(
         .filter(F.col("rk") <= k)
         .select("id", "neighbor", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (faiss-PQ shape): the compression tier of the ANN
+# family. IVF prunes WHICH vectors are scanned; PQ shrinks WHAT is
+# scanned — each vector becomes m small codes (here 4 codes over 16
+# centroids = 16 bits/vector vs 64 float32 dims = 2048 bits), and query
+# scoring is a per-subvector lookup-table sum (ADC, Jegou et al. 2011)
+# that never touches the original embedding column.
+# ---------------------------------------------------------------------------
+
+
+def _py_sq_l2(a: list[float], b: list[float]) -> float:
+    """Driver-side squared L2 with the same left-fold op order as
+    :func:`_sq_l2` / the DuckDB oracle, so LUT literals are bit-equal
+    to what either engine would compute."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + (float(x) - float(y)) * (float(x) - float(y))
+    return s
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m_subvectors: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: subvector j of the ``n_codes``
+    smallest-id vectors (codebooks[j][c] = code c of subquantizer j).
+    Driver-side by design — m*n_codes*sub doubles, a few KB; production
+    trains per-subspace k-means offline (the Lloyd step in
+    :func:`ivf_refine_centroids` shows the distributed pattern)."""
+    rows = (
+        df.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    vecs = [list(r["v"]) for r in rows]
+    dim = len(vecs[0])
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
+    sub = dim // m_subvectors
+    return [[v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m_subvectors)]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}): per subvector, the argmin-squared-L2
+    code (ties to the smallest code, like :func:`ivf_assign`). One
+    narrow zero-shuffle map — this IS the 100 TB win: downstream
+    scans read m ints per vector instead of the embedding column."""
+    v = F.col(vec_col).cast("array<double>")
+    sub = len(codebooks[0][0])
+    cols = [F.col(id_col).alias("id")]
+    for j, cb in enumerate(codebooks):
+        subv = F.slice(v, j * sub + 1, sub)
+        dists = F.array(*[_sq_l2(subv, c) for c in cb])
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code_{j}")
+        )
+    return df.select(*cols)
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m_subvectors: int = 4,
+    n_codes: int = 16,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: encode the corpus
+    with :func:`pq_encode`, precompute the query's squared-L2 LUT per
+    (subquantizer, code) as driver-side literals, and score each vector
+    as the fixed-order sum of m lookups — (id, approx_dist round 4),
+    ascending, ties by id.
+
+    With ``rerank > 0``: take the top ``rerank`` by ADC first, then
+    exact cosine top-k over just those rows (the standard two-stage
+    IVF-PQ serve path; only ``rerank`` embeddings are ever re-read)."""
+    codebooks = pq_codebooks(df, m_subvectors, n_codes, id_col, vec_col)
+    sub = len(codebooks[0][0])
+    luts = [
+        [_py_sq_l2(query_vec[j * sub : (j + 1) * sub], c) for c in cb]
+        for j, cb in enumerate(codebooks)
+    ]
+    enc = pq_encode(df, codebooks, id_col, vec_col)
+    adist = None
+    for j in range(m_subvectors):
+        term = F.element_at(
+            F.array(*[F.lit(float(d)) for d in luts[j]]), F.col(f"code_{j}") + 1
+        )
+        adist = term if adist is None else adist + term
+    scored = enc.select("id", F.round(adist, 4).alias("approx_dist"))
+    if rerank:
+        cand = scored.orderBy("approx_dist", "id").limit(rerank)
+        keep = df.join(
+            cand.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
+        return cosine_topk(keep, query_vec, k, id_col, vec_col)
+    return scored.orderBy("approx_dist", "id").limit(k)
