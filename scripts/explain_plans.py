@@ -366,6 +366,63 @@ def main():
         ],
     )
 
+    # 9. curation/quality/PQ narrow passes: the cleaning-pipeline ops
+    # that must fuse into the corpus scan at 100 TB
+    from walker_spark.operators.curation import temperature_mix
+    from walker_spark.operators.similarity import pq_codebooks, pq_encode
+    from walker_spark.operators.textstats import gopher_rules
+
+    ok &= grab(
+        "gopher_rules: composite quality gate (zero-shuffle narrow "
+        "projection — fuses into the corpus scan)",
+        gopher_rules(docs),
+        [
+            ("zero exchanges", r"Exchange", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    ok &= grab(
+        "temperature_mix: n^alpha source reweighting (per-source count "
+        "agg is tiny and broadcasts back — the corpus scan filters "
+        "map-side, no corpus-wide exchange)",
+        temperature_mix(
+            docs.withColumn(
+                "source", F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string"))
+            ),
+            budget_docs=100,
+            alpha=0.5,
+        ),
+        [
+            ("corpus side joins the probability table by broadcast",
+             r"BroadcastHashJoin", (1,)),
+            ("hash exchanges are ONLY the #sources-sized count agg (the "
+             "subtree appears twice — probability numerator + normalizer — "
+             "both tiny; the corpus itself never exchanges)",
+             r"Exchange hashpartitioning\(source", 2),
+            ("no exchange keyed on anything but source (corpus stays in "
+             "place)", r"Exchange hashpartitioning\((?!source)", 0),
+            ("count agg is map-side partial (two-phase HashAggregate)",
+             r"HashAggregate", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ok &= grab(
+        "pq_encode: product-quantization encoding (zero-shuffle narrow "
+        "map — 64 float32 dims become 4 int codes before anything "
+        "downstream touches the table)",
+        pq_encode(emb, pq_codebooks(emb, m_subvectors=4, n_codes=16)),
+        [
+            ("zero exchanges", r"Exchange", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"
