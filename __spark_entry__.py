@@ -555,6 +555,20 @@ def q_contamination_spans(spark, sf_dir):
     return contamination_spans(docs.filter(F.col("doc_id") % 97 != 0), bench, ngram=4)
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): top-100 raw docs
+    whose hashed-bigram profile best matches the target slice
+    (doc_id % 10 == 0), Gumbel top-k over Laplace-smoothed log
+    importance weights — all md5-derived, so the oracle replays
+    feature hashing, both bag models and the noise exactly."""
+    from walker_spark.operators.curation import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    return dsir_select(raw, target, k=100, buckets=512)
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based data-mix sampling (GPT-3 / LLaMA rule): keep
     probability per source ∝ n_source^0.5 targeting ~150 docs. The
@@ -655,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_spans": q_contamination_spans,
         "temperature_mix": q_temperature_mix,
         "gopher_rules": q_gopher_rules,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -1179,6 +1194,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
                    CAST(MAX(pos) + 4 - MIN(pos) AS BIGINT) AS span_tokens
             FROM isl GROUP BY doc_id, isl""",
+        "dsir_select": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, doc_id % 10 = 0 AS is_target,
+                     CAST(({_md5_hex_int_sql("gram", 8)}) % 512 AS INT) AS bucket
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM toks)
+              WHERE length(gram) > 0
+            ), tc AS (
+              SELECT bucket, count(*) AS tc FROM grams WHERE is_target GROUP BY bucket
+            ), rc AS (
+              SELECT bucket, count(*) AS rc FROM grams WHERE NOT is_target GROUP BY bucket
+            ), tot AS (
+              SELECT (SELECT count(*) FROM grams WHERE is_target) AS T,
+                     (SELECT count(*) FROM grams WHERE NOT is_target) AS R
+            ), lr AS (
+              SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+                     (ln(coalesce(tc, 0)::DOUBLE + 1.0) - ln(T::DOUBLE + 512.0))
+                   - (ln(coalesce(rc, 0)::DOUBLE + 1.0) - ln(R::DOUBLE + 512.0)) AS lr
+              FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket CROSS JOIN tot
+            ), logw AS (
+              SELECT g.doc_id, sum(l.lr) AS logw
+              FROM grams g JOIN lr l USING (bucket)
+              WHERE NOT g.is_target
+              GROUP BY g.doc_id
+            )
+            SELECT doc_id AS id,
+                   round(logw - ln(-ln(
+                     (({_md5_hex_int_sql("CAST(doc_id AS VARCHAR)", 8)}) + 0.5)
+                       / 4294967296.0)), 3) AS dsir_score
+            FROM logw
+            ORDER BY dsir_score DESC, id LIMIT 100""",
         "temperature_mix": f"""
             WITH d AS (
               SELECT doc_id,

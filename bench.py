@@ -70,6 +70,7 @@ HEADLINE = [
     "contamination_spans",
     "temperature_mix",
     "gopher_rules",
+    "dsir_select",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -145,3 +145,36 @@ def test_temperature_mix_reweights_and_clamps(spark):
     uni = temperature_mix(df, budget_docs=300, alpha=1.0).collect()
     ids = {r["id"] for r in uni}
     assert 200 <= len(ids) <= 400
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR: raw docs written in the target's vocabulary out-score
+    docs from a disjoint vocabulary; selection is deterministic under
+    repartitioning (md5-derived features and Gumbel noise)."""
+    from walker_spark.operators.curation import dsir_select
+
+    a_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    b_words = ["zork", "quux", "grue", "frotz", "plugh", "xyzzy"]
+
+    def phrase(words, i, n=40):
+        return " ".join(words[(i * 7 + j) % len(words)] for j in range(n))
+
+    target = spark.createDataFrame(
+        [(1000 + i, phrase(a_words, i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, phrase(a_words, i)) for i in range(100)]
+        + [(100 + i, phrase(b_words, i)) for i in range(100)],
+        "doc_id long, text string",
+    )
+
+    picked = dsir_select(raw, target, k=30, buckets=256).collect()
+    assert len(picked) == 30
+    from_target_vocab = sum(1 for r in picked if r["id"] < 100)
+    assert from_target_vocab >= 27, picked
+
+    picked2 = dsir_select(raw.repartition(9), target, k=30, buckets=256).collect()
+    assert [(r["id"], r["dsir_score"]) for r in picked] == [
+        (r["id"], r["dsir_score"]) for r in picked2
+    ]

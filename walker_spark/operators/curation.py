@@ -244,3 +244,100 @@ def cut_spans(
             .alias("removed_tokens"),
         )
     )
+
+
+def _hashed_bigrams(df: DataFrame, buckets: int, id_col: str, text_col: str) -> DataFrame:
+    """(_id, bucket): one row per token-bigram position, hashed into
+    ``buckets`` via the first 8 hex digits of md5 (cross-engine
+    replayable, unlike xxhash64). The DSIR feature space."""
+    from walker_spark.operators.dedup import tokens
+
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .select(
+            "_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"),
+                F.lit(buckets),
+            ).cast("int")
+            .alias("bucket"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): pick the ``k`` raw documents whose hashed-bigram profile
+    looks most like the ``target`` corpus, via Gumbel top-k over
+    importance weights — the standard pretraining-data selection step
+    when a small high-quality target set defines "what good looks
+    like".
+
+    Per bucket b, Laplace-smoothed log-probabilities under the target
+    (p) and raw (q) bag-of-bigrams models; per raw doc, log importance
+    weight = sum over its bigram positions of (log p_b - log q_b);
+    selection key = round(log w + Gumbel(md5(id)), 3) — the Gumbel
+    noise is deterministic (md5-uniform, shifted off 0 so ln never
+    sees it), so the sample is reproducible across retries and
+    replayable in ANSI SQL. Returns (id, dsir_score) — the top ``k``
+    by (key desc, id).
+
+    Scale shape: bucket-count tables are at most ``buckets`` rows and
+    broadcast back onto the exploded bigram stream (map-side join);
+    the only corpus-sized exchange is the per-doc score sum keyed on
+    the doc id (map-side partial agg). Docs with no bigram (one
+    token or empty) have no profile and are never selected —
+    documented DSIR behavior, not a bug."""
+    tg = _hashed_bigrams(target, buckets, id_col, text_col)
+    rg = _hashed_bigrams(raw, buckets, id_col, text_col)
+    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    rc = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tot = tg.agg(F.count(F.lit(1)).alias("T")).crossJoin(
+        rg.agg(F.count(F.lit(1)).alias("R"))
+    )
+    lr = (
+        tc.join(rc, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                (
+                    F.log(F.coalesce(F.col("tc"), F.lit(0)).cast("double") + 1.0)
+                    - F.log(F.col("T").cast("double") + float(buckets))
+                )
+                - (
+                    F.log(F.coalesce(F.col("rc"), F.lit(0)).cast("double") + 1.0)
+                    - F.log(F.col("R").cast("double") + float(buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    logw = rg.join(F.broadcast(lr), "bucket").groupBy("_id").agg(
+        F.sum("lr").alias("logw")
+    )
+    # Gumbel(0,1) from the deterministic md5 uniform, shifted to (0,1)
+    # exclusive so neither ln can see 0 (ANSI-safe)
+    u = (
+        F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 32))
+    key = F.round(F.col("logw") - F.log(-F.log(u)), 3)
+    return (
+        logw.select(F.col("_id").alias("id"), key.alias("dsir_score"))
+        .orderBy(F.col("dsir_score").desc(), F.col("id"))
+        .limit(k)
+    )
