@@ -213,6 +213,15 @@ def main():
         "this host is the same hardware inflation measured for the crawl",
         "kernel (BENCH/BASELINE.md section 2b).",
         "",
+        "Read the ratios against the walls: rows whose local[1] wall is",
+        "already sub-second (line_dedup, temperature_mix) or a chain of",
+        "small driver jobs (pq_topk = codebook collect + encode scan +",
+        "TakeOrdered, each with fixed scheduling cost) measure per-job",
+        "constants at this corpus size, not the operators' scaling —",
+        "their plans are single-exchange or zero-exchange narrow passes",
+        "(PLANS.md) whose volume term parallelizes like gopher_rules'",
+        "does once the data, not the job count, dominates.",
+        "",
     ]
     path = os.path.join(REPO, "BENCH", "OPS_SCALING.md")
     with open(path, "w") as f:
