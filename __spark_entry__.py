@@ -1218,10 +1218,12 @@ def oracle_sql() -> dict[str, str]:
                      (ln(coalesce(tc, 0)::DOUBLE + 1.0) - ln(T::DOUBLE + 512.0))
                    - (ln(coalesce(rc, 0)::DOUBLE + 1.0) - ln(R::DOUBLE + 512.0)) AS lr
               FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket CROSS JOIN tot
+            ), gdoc AS (
+              SELECT doc_id, bucket, count(*) AS n
+              FROM grams WHERE NOT is_target GROUP BY doc_id, bucket
             ), logw AS (
-              SELECT g.doc_id, sum(l.lr) AS logw
-              FROM grams g JOIN lr l USING (bucket)
-              WHERE NOT g.is_target
+              SELECT g.doc_id, sum(g.n * l.lr) AS logw
+              FROM gdoc g JOIN lr l USING (bucket)
               GROUP BY g.doc_id
             )
             SELECT doc_id AS id,

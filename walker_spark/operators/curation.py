@@ -295,18 +295,29 @@ def dsir_select(
     replayable in ANSI SQL. Returns (id, dsir_score) — the top ``k``
     by (key desc, id).
 
-    Scale shape: bucket-count tables are at most ``buckets`` rows and
-    broadcast back onto the exploded bigram stream (map-side join);
-    the only corpus-sized exchange is the per-doc score sum keyed on
-    the doc id (map-side partial agg). Docs with no bigram (one
-    token or empty) have no profile and are never selected —
-    documented DSIR behavior, not a bug."""
+    Scale shape: each gram stream is exploded and hashed exactly ONCE —
+    the target side collapses straight to its ≤``buckets``-row count
+    table and the raw side to per-(doc, bucket) counts (map-side
+    partial agg; bounded by docs × buckets, far smaller than the gram
+    stream). Both aggregates are localCheckpointed so the count /
+    total / log-ratio / scoring branches all derive from the
+    materialized tables instead of re-running the explode per branch
+    (at production scale these are the tables you would persist). The
+    log-ratio table broadcasts onto the per-doc counts, so the only
+    corpus-sized exchanges are the two bounded aggregations. Docs with
+    no bigram (one token or empty) have no profile and are never
+    selected — documented DSIR behavior, not a bug."""
     tg = _hashed_bigrams(target, buckets, id_col, text_col)
     rg = _hashed_bigrams(raw, buckets, id_col, text_col)
-    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
-    rc = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    tot = tg.agg(F.count(F.lit(1)).alias("T")).crossJoin(
-        rg.agg(F.count(F.lit(1)).alias("R"))
+    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc")).localCheckpoint()
+    gdoc = (
+        rg.groupBy("_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    rc = gdoc.groupBy("bucket").agg(F.sum("n").alias("rc"))
+    tot = tc.agg(F.sum("tc").alias("T")).crossJoin(
+        rc.agg(F.sum("rc").alias("R"))
     )
     lr = (
         tc.join(rc, "bucket", "full_outer")
@@ -325,8 +336,8 @@ def dsir_select(
             ).alias("lr"),
         )
     )
-    logw = rg.join(F.broadcast(lr), "bucket").groupBy("_id").agg(
-        F.sum("lr").alias("logw")
+    logw = gdoc.join(F.broadcast(lr), "bucket").groupBy("_id").agg(
+        F.sum(F.col("n") * F.col("lr")).alias("logw")
     )
     # Gumbel(0,1) from the deterministic md5 uniform, shifted to (0,1)
     # exclusive so neither ln can see 0 (ANSI-safe)
