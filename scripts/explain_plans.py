@@ -423,6 +423,38 @@ def main():
         ],
     )
 
+    # 10. dsir_select: the gram explode must run exactly once per
+    # stream — the scoring plan derives from the materialized
+    # (localCheckpointed) bucket-count tables, never re-hashing text
+    from walker_spark.operators.curation import dsir_select
+
+    ok &= grab(
+        "dsir_select: DSIR importance resampling (each gram stream "
+        "exploded+hashed ONCE into checkpointed count tables; the "
+        "scoring plan joins the broadcast log-ratio table onto the "
+        "bounded per-(doc,bucket) counts — no gram re-compute)",
+        dsir_select(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            k=3,
+            buckets=64,
+        ),
+        [
+            ("scoring plan never re-runs the gram explode (grams live in "
+             "the checkpointed tables)", r"Generate explode", 0),
+            ("inputs are the materialized aggregates (checkpointed RDD "
+             "scans)", r"Scan ExistingRDD", (2,)),
+            ("log-ratio table broadcasts onto the per-doc counts",
+             r"BroadcastHashJoin", (1,)),
+            ("every exchange is keyed on the doc id (bounded by docs x "
+             "buckets) or on bucket (<=buckets rows) — the gram stream "
+             "itself never exchanges",
+             r"Exchange hashpartitioning\((?!_id|bucket)", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"
