@@ -334,6 +334,24 @@ def q_lm_quality_scores(spark, sf_dir):
     )
 
 
+def q_lm_ppl_buckets(spark, sf_dir):
+    """CCNet corpus split (Wenzek et al. 2020 §4.3): the LM-scored
+    half is cut into head/middle/tail perplexity terciles via a
+    distributed global rank (range repartition + per-partition
+    row_number + broadcast offsets) — bucket assignment is pure
+    integer math, so the SQL oracle replays it exactly. Docs with no
+    bigram carry no perplexity and are excluded, per the paper."""
+    from walker_spark.operators.textstats import bigram_lm_scores, perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(
+        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    return perplexity_buckets(
+        scores.filter(F.col("n_bigrams") >= 1).select("id", "avg_logprob")
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dup: a new batch (odd doc_ids) deduped against
     a persisted corpus LSH index (even doc_ids) — corpus text is read
@@ -649,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dedup_incremental": q_dedup_incremental,
         "lm_quality_scores": q_lm_quality_scores,
+        "lm_ppl_buckets": q_lm_ppl_buckets,
         "redact_pii": q_redact_pii,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -764,6 +783,46 @@ SELECT a AS doc_id,
 FROM reach
 GROUP BY a
 """
+
+
+# Laplace bigram-LM scoring of the odd-doc_id half against the
+# even-doc_id reference — shared by the lm_quality_scores oracle and
+# the lm_ppl_buckets oracle (which ranks this output).
+_LM_SCORES_SQL = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+            ref_uni AS (
+              SELECT w, count(*) AS c1 FROM (
+                SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0)
+              WHERE length(w) > 0 GROUP BY w
+            ),
+            v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM ref_uni),
+            ref_bi AS (
+              SELECT t[i+1] AS w1, t[i+2] AS w2, count(*) AS c2
+              FROM toks, UNNEST(generate_series(0, len(t)-2)) AS u(i)
+              WHERE doc_id % 2 = 0 AND len(t) >= 2 GROUP BY 1, 2
+            ),
+            doc_bi AS (
+              SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+              FROM toks, UNNEST(generate_series(0, len(t)-2)) AS u(i)
+              WHERE doc_id % 2 = 1 AND len(t) >= 2
+            ),
+            scored AS (
+              SELECT d.doc_id,
+                     ln((coalesce(c2, 0) + 1) / (coalesce(c1, 0) + V)) AS lp
+              FROM doc_bi d
+              LEFT JOIN ref_uni u ON d.w1 = u.w
+              LEFT JOIN ref_bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+              CROSS JOIN v
+            ),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(avg(lp), 3) AS avg_logprob
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id AS id, coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(avg_logprob, 0) AS avg_logprob
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN agg USING (doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -906,41 +965,21 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone
             FROM injected""",
         "dedup_simhash_md5": _simhash_md5_sql(3),
-        "lm_quality_scores": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-            ref_uni AS (
-              SELECT w, count(*) AS c1 FROM (
-                SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0)
-              WHERE length(w) > 0 GROUP BY w
-            ),
-            v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM ref_uni),
-            ref_bi AS (
-              SELECT t[i+1] AS w1, t[i+2] AS w2, count(*) AS c2
-              FROM toks, UNNEST(generate_series(0, len(t)-2)) AS u(i)
-              WHERE doc_id % 2 = 0 AND len(t) >= 2 GROUP BY 1, 2
-            ),
-            doc_bi AS (
-              SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
-              FROM toks, UNNEST(generate_series(0, len(t)-2)) AS u(i)
-              WHERE doc_id % 2 = 1 AND len(t) >= 2
-            ),
-            scored AS (
-              SELECT d.doc_id,
-                     ln((coalesce(c2, 0) + 1) / (coalesce(c1, 0) + V)) AS lp
-              FROM doc_bi d
-              LEFT JOIN ref_uni u ON d.w1 = u.w
-              LEFT JOIN ref_bi b ON d.w1 = b.w1 AND d.w2 = b.w2
-              CROSS JOIN v
-            ),
-            agg AS (
-              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                     round(avg(lp), 3) AS avg_logprob
-              FROM scored GROUP BY doc_id
+        "lm_quality_scores": _LM_SCORES_SQL,
+        "lm_ppl_buckets": f"""
+            WITH s AS ({_LM_SCORES_SQL}),
+            f AS (SELECT id, avg_logprob FROM s WHERE n_bigrams >= 1),
+            r AS (
+              SELECT id, avg_logprob,
+                     row_number() OVER (ORDER BY avg_logprob DESC, id) AS rk,
+                     count(*) OVER () AS n
+              FROM f
             )
-            SELECT d.doc_id AS id, coalesce(n_bigrams, 0) AS n_bigrams,
-                   coalesce(avg_logprob, 0) AS avg_logprob
-            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-            LEFT JOIN agg USING (doc_id)""",
+            SELECT id, avg_logprob,
+                   CASE ((rk - 1) * 3) // n
+                        WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM r""",
         "dedup_incremental": f"""
             WITH sh AS (
               SELECT DISTINCT doc_id AS id, unnest({_TOKS_SQL}) AS s

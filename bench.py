@@ -58,6 +58,7 @@ HEADLINE = [
     "quality_scores",
     "repetition_stats",
     "lm_quality_scores",
+    "lm_ppl_buckets",
     "doc_fingerprints",
     "redact_pii",
     "multimodal_features",

@@ -423,6 +423,39 @@ def main():
         ],
     )
 
+    # 9b. perplexity_buckets: the CCNet tercile split must be a
+    # DISTRIBUTED global rank — never a one-partition corpus window
+    from walker_spark.operators.textstats import perplexity_buckets
+
+    ok &= grab(
+        "perplexity_buckets: CCNet head/middle/tail split (distributed "
+        "global rank: the range-exchanged table materializes ONCE "
+        "(localCheckpoint — offsets and rank branches must see the "
+        "same partition assignment), then per-partition row_number + "
+        "broadcast offset table — the only unpartitioned window is "
+        "the <=P-row offsets table, never the corpus)",
+        perplexity_buckets(
+            docs.select(F.col("doc_id").alias("id"),
+                        (F.col("doc_id") % 7).cast("double").alias("avg_logprob")),
+            partitions=4,
+        ),
+        [
+            ("the range exchange never re-runs in the scoring plan "
+             "(materialized at checkpoint)", r"Exchange rangepartitioning", 0),
+            ("both branches read the checkpointed ranged table",
+             r"Scan ExistingRDD", (2,)),
+            ("pid-keyed exchanges are exactly the rank window (corpus) + "
+             "the offsets count agg (map-side partial -> <=P rows/task "
+             "before it moves)", r"Exchange hashpartitioning\(_pid", 2),
+            ("offsets join back by broadcast", r"BroadcastHashJoin", (1,)),
+            ("the single-partition windows sit only on the tiny offsets "
+             "branch (inside the broadcast exchange subtree)",
+             r"Exchange SinglePartition", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 10. dsir_select: the gram explode must run exactly once per
     # stream — the scoring plan derives from the materialized
     # (localCheckpointed) bucket-count tables, never re-hashing text

@@ -660,3 +660,42 @@ def test_pq_encode_and_adc_topk(spark):
     ]
     recall = len(set(exact) & set(rr)) / 10
     assert recall >= 0.7, (recall, exact, rr)
+
+
+def test_perplexity_buckets_matches_pure_python_rank(spark):
+    """Randomized parity: the distributed global rank (range exchange +
+    per-partition row_number + broadcast offsets) must assign exactly
+    the bucket a single-threaded sort would, including score ties
+    (broken by id) and a bucket count that doesn't divide n."""
+    from walker_spark.operators.textstats import perplexity_buckets
+
+    def prand(*xs):
+        import hashlib
+
+        h = int.from_bytes(
+            hashlib.md5("|".join(map(str, xs)).encode()).digest()[:8], "big"
+        )
+        return (h % 1000) / 250.0 - 2.0  # coarse grid -> frequent ties
+
+    rows = [(i, round(prand("s", i), 2)) for i in range(137)]
+    df = spark.createDataFrame(rows, "id long, avg_logprob double")
+
+    for n_buckets, labels in [(3, ("head", "middle", "tail")), (4, ("a", "b", "c", "d"))]:
+        got = {
+            r["id"]: r["ppl_bucket"]
+            for r in perplexity_buckets(
+                df, n_buckets=n_buckets, labels=labels, partitions=7
+            ).collect()
+        }
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        n = len(order)
+        for rank0, (i, _) in enumerate(order):
+            assert got[i] == labels[rank0 * n_buckets // n], (i, rank0)
+        # equal-size property: bucket sizes differ by at most one
+        from collections import Counter
+
+        sizes = Counter(got.values())
+        assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, n_buckets=2, labels=("x", "y", "z"))

@@ -436,3 +436,79 @@ def gopher_rules(
         & (F.col("alpha_frac") >= 0.8)
         & (F.col("stop_hits") >= min_stop_hits),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    score_col: str = "avg_logprob",
+    id_col: str = "id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.3:
+    after LM scoring, the corpus is cut into equal-size perplexity
+    terciles; most pipelines keep head+middle). Input is a scored
+    table (e.g. ``bigram_lm_scores`` output); output adds
+    ``ppl_bucket`` — ``labels[floor(rank*n_buckets/n)]`` with rank by
+    (score desc, id asc), so bucket sizes differ by at most one row
+    and the assignment is pure integer math (exactly replayable in
+    ANSI SQL; no FP quantile thresholds to diverge cross-engine).
+
+    Scale shape — a distributed global rank, never a one-partition
+    window: ``repartitionByRange`` on the rank order gives each
+    partition a contiguous rank range; per-partition row_number
+    (window keyed on the partition id) plus a broadcast offset table
+    (one row per partition: cumulative count, computed from a
+    partition-count aggregate that reduces map-side to ``P`` rows)
+    yields the exact global rank with two corpus exchanges total.
+    The ranged table is localCheckpointed (materialized once): the
+    offsets branch and the rank branch MUST see the same partition
+    assignment, and ``repartitionByRange``'s sampled bounds are not
+    guaranteed to replay identically across two lazy evaluations —
+    at production scale this is the table you'd persist. The bounds
+    themselves only decide WHERE a row ranks locally, never its
+    global rank, so output is deterministic regardless of sampling.
+    Ties are impossible: ``id_col`` is unique and last in the order.
+    """
+    if n_buckets != len(labels):
+        raise ValueError("labels must have n_buckets entries")
+    from pyspark.sql import Window
+
+    spark = scored.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    ranged = (
+        scored.repartitionByRange(p, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # P-row table: per-partition counts -> exclusive prefix offsets +
+    # grand total (single-partition window over <=P rows, by design)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off"),
+            F.sum("_cnt").over(w_all).alias("_n"),
+        )
+    )
+    w_pid = Window.partitionBy("_pid").orderBy(*order)
+    lab = F.array(*[F.lit(s) for s in labels])
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w_pid))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_bkt",
+            F.expr(f"(( _off + _rn - 1) * {int(n_buckets)}) div _n").cast("int"),
+        )
+        .select(
+            *[c for c in scored.columns],
+            F.element_at(lab, F.col("_bkt") + 1).alias("ppl_bucket"),
+        )
+    )
