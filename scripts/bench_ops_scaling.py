@@ -73,9 +73,9 @@ import bench
 from pyspark.sql import functions as F
 from walker_spark.operators.dedup import (
     dup_ngram_spans, incremental_near_dups, line_dedup, minhash_index)
-from walker_spark.operators.curation import temperature_mix
+from walker_spark.operators.curation import dsir_select, temperature_mix
 from walker_spark.operators.similarity import pq_codebooks, pq_topk
-from walker_spark.operators.textstats import gopher_rules
+from walker_spark.operators.textstats import gopher_rules, perplexity_buckets
 spark = bench.build_spark({cpus}); spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet({corpus!r})
 # round-5 op inputs derived deterministically from the same corpus:
@@ -101,6 +101,13 @@ emb = docs.select(
     ).cast("array<float>").alias("embedding"),
 )
 QV = [((i * 37 + 11) % 13 - 6) / 6.0 for i in range(64)]
+# deterministic per-doc score column: isolates the perplexity_buckets
+# rank machinery from the (separately measured) LM scoring cost
+scored = docs.select(
+    F.col("doc_id").alias("id"),
+    (F.pmod(F.xxhash64("doc_id"), F.lit(2000)).cast("double") / 1000.0 - 1.0
+     ).alias("avg_logprob"),
+)
 warm = docs.limit(2000).localCheckpoint()
 # warm-up: same plans, throwaway slice (JVM/codegen steady state)
 dup_ngram_spans(warm, n=8).count()
@@ -112,6 +119,8 @@ line_dedup(ldocs.limit(2000), min_docs=2).count()
 gopher_rules(warm, min_stop_hits=0).count()
 temperature_mix(sdocs.limit(2000), budget_docs=500).count()
 pq_topk(emb.limit(2000), QV, k=10).count()
+dsir_select(warm, warm.limit(200), k=50, buckets=512).count()
+perplexity_buckets(scored.limit(2000)).count()
 t0 = time.time(); n_spans = dup_ngram_spans(docs, n=8).count()
 spans_s = time.time() - t0
 corpus_half = docs.filter(F.col("doc_id") % 2 == 0)
@@ -130,6 +139,13 @@ t0 = time.time(); n_mix = temperature_mix(sdocs, budget_docs=10000).count()
 mix_s = time.time() - t0
 t0 = time.time(); n_pq = pq_topk(emb, QV, k=10).count()
 pq_s = time.time() - t0
+t0 = time.time()
+n_dsir = dsir_select(
+    docs.filter(F.col("doc_id") % 20 != 0),
+    docs.filter(F.col("doc_id") % 20 == 0), k=1000).count()
+dsir_s = time.time() - t0
+t0 = time.time(); n_ppl = perplexity_buckets(scored).count()
+ppl_s = time.time() - t0
 print("RESULT " + json.dumps({{
     "cpus": {cpus}, "spans_sec": round(spans_s, 2), "n_spans": n_spans,
     "index_sec": round(index_s, 2), "index_rows": idx_n,
@@ -137,7 +153,9 @@ print("RESULT " + json.dumps({{
     "line_sec": round(line_s, 2), "n_lines": n_lines,
     "gopher_sec": round(gopher_s, 2), "n_gopher": n_gopher,
     "mix_sec": round(mix_s, 2), "n_mix": n_mix,
-    "pq_sec": round(pq_s, 2), "n_pq": n_pq}}))
+    "pq_sec": round(pq_s, 2), "n_pq": n_pq,
+    "dsir_sec": round(dsir_s, 2), "n_dsir": n_dsir,
+    "ppl_sec": round(ppl_s, 2), "n_ppl": n_ppl}}))
 """
 
 
@@ -170,7 +188,8 @@ def main():
                 best[cpus] = res
             else:
                 for k in ("spans_sec", "index_sec", "incremental_sec",
-                          "line_sec", "gopher_sec", "mix_sec", "pq_sec"):
+                          "line_sec", "gopher_sec", "mix_sec", "pq_sec",
+                          "dsir_sec", "ppl_sec"):
                     best[cpus][k] = min(best[cpus][k], res[k])
     lines = [
         "# BENCH/OPS_SCALING.md — training-data operator scaling evidence",
@@ -200,6 +219,10 @@ def main():
          f"{best[1]['n_mix']} kept"),
         ("pq_topk (encode 60k x 64d + ADC)", "pq_sec",
          f"{best[1]['n_pq']} rows"),
+        ("dsir_select (5% target, top-1k)", "dsir_sec",
+         f"{best[1]['n_dsir']} kept"),
+        ("perplexity_buckets (global rank, 60k)", "ppl_sec",
+         f"{best[1]['n_ppl']} rows"),
     ):
         lo, hi = best[1][key], best[4][key]
         sp = lo / hi if hi else float("inf")
