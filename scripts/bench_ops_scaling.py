@@ -237,7 +237,9 @@ def main():
         "kernel (BENCH/BASELINE.md section 2b).",
         "",
         "Read the ratios against the walls: rows whose local[1] wall is",
-        "already sub-second (line_dedup, temperature_mix) or a chain of",
+        "already sub-second (line_dedup, temperature_mix,",
+        "perplexity_buckets — its 60k-row global rank finishes in the",
+        "checkpoint+two-exchange job constants) or a chain of",
         "small driver jobs (pq_topk = codebook collect + encode scan +",
         "TakeOrdered, each with fixed scheduling cost) measure per-job",
         "constants at this corpus size, not the operators' scaling —",
