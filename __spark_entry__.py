@@ -503,6 +503,21 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """k-means corpus clustering (the SemDeDup organize-first step):
+    deterministic first-16 init, ONE Lloyd refinement (decimal-summed
+    means so the refined centroids are partition-order-invariant and
+    bit-replayable in SQL), final nearest-centroid assignment for
+    every vector. The oracle recomputes the Lloyd step in DuckDB —
+    the refined-centroid doubles must match Spark's driver literals
+    bitwise for the argmin to agree."""
+    from walker_spark.operators.similarity import embedding_clusters
+
+    return embedding_clusters(
+        _t(spark, sf_dir, "embeddings"), n_clusters=16, refine_iters=1
+    )
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (Jegou et al. 2011, faiss-PQ
     shape): 4 subquantizers x 16 codes (16 bits/vector vs 2048), query
@@ -674,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_pairs": q_semantic_dup_pairs,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "embedding_clusters": q_embedding_clusters,
         "pq_topk": q_pq_topk,
         "language_id": q_language_id,
         "token_stats": q_token_stats,
@@ -1160,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "ann_topk": _ann_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "embedding_clusters": _embedding_clusters_sql(),
         "pq_topk": _pq_topk_sql(),
         "semantic_dup_pairs": _semantic_dup_pairs_sql(0.3),
         "frame_sampling": _frame_sampling_sql(),
@@ -1400,6 +1417,55 @@ def _ivf_topk_sql(k: int = 10, n_centroids: int = 16, nprobe: int = 4, dim: int 
         FROM embeddings e JOIN a USING (vec_id)
         WHERE a.cid IN (SELECT cid FROM probe)
         ORDER BY score DESC, id LIMIT {k}"""
+
+
+def _embedding_clusters_sql(n_centroids: int = 16, dim: int = 64) -> str:
+    """SQL replica of embedding_clusters (refine_iters=1): initial
+    codebook = first n_centroids vectors by id; initial assignment =
+    argmin squared L2 (cid tie-break); Lloyd step = per-(cid,
+    component) DECIMAL(28,10) sums cast to DOUBLE and divided by the
+    cell count (bitwise the driver's float(Decimal)/n literals); final
+    assignment against the refined centroids. Empty cells keep their
+    previous centroid (coalesce)."""
+    sq = (
+        "list_aggregate(list_transform(range(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), 'sum')"
+    )
+    d_expr = sq.format(n=dim + 1, a="e.embedding", b="c.cv")
+    return f"""
+        WITH c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+        ), d0 AS (
+          SELECT e.vec_id, c.cid, {d_expr} AS dist
+          FROM embeddings e CROSS JOIN c0 c
+        ), a0 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d0)
+          WHERE rn = 1
+        ), comp AS (
+          SELECT a0.cid, u.i AS pos,
+                 CAST(SUM(CAST(CAST(e.embedding[u.i] AS DOUBLE) AS DECIMAL(28,10)))
+                      AS DOUBLE) / COUNT(*) AS v
+          FROM embeddings e JOIN a0 USING (vec_id)
+               CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) u
+          GROUP BY a0.cid, u.i
+        ), c1 AS (
+          SELECT c0.cid, coalesce(m.lst, c0.cv) AS cv
+          FROM c0 LEFT JOIN (
+            SELECT cid, list(v ORDER BY pos) AS lst FROM comp GROUP BY cid
+          ) m USING (cid)
+        ), d1 AS (
+          SELECT e.vec_id, c.cid, {d_expr} AS dist
+          FROM embeddings e CROSS JOIN c1 c
+        )
+        SELECT vec_id AS id, cid, round(dist, 3) AS sq_dist FROM (
+          SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d1)
+        WHERE rn = 1"""
 
 
 def _pq_topk_sql(k: int = 10, m: int = 4, n_codes: int = 16, dim: int = 64) -> str:

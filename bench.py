@@ -63,6 +63,7 @@ HEADLINE = [
     "redact_pii",
     "multimodal_features",
     "ivf_topk",
+    "embedding_clusters",
     "pq_topk",
     "sample_deterministic",
     "cap_per_source",

@@ -423,6 +423,23 @@ def main():
         ],
     )
 
+    # 9c. embedding_clusters: after the KB-sized codebook is trained,
+    # the corpus-wide assignment must fuse into the scan
+    from walker_spark.operators.similarity import embedding_clusters
+
+    ok &= grab(
+        "embedding_clusters: k-means assignment (the returned plan — "
+        "post-Lloyd — is a zero-shuffle projection against centroid "
+        "literals; the Lloyd step itself is a bounded "
+        "n_clusters x dim aggregation measured separately)",
+        embedding_clusters(emb, n_clusters=4, refine_iters=1),
+        [
+            ("zero exchanges", r"Exchange", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 9b. perplexity_buckets: the CCNet tercile split must be a
     # DISTRIBUTED global rank — never a one-partition corpus window
     from walker_spark.operators.textstats import perplexity_buckets

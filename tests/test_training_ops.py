@@ -699,3 +699,61 @@ def test_perplexity_buckets_matches_pure_python_rank(spark):
 
     with pytest.raises(ValueError):
         perplexity_buckets(df, n_buckets=2, labels=("x", "y", "z"))
+
+
+def test_embedding_clusters_matches_pure_python_kmeans(spark):
+    """Parity: init (n smallest ids) + one Lloyd step + final argmin
+    assignment must match a single-threaded k-means replay exactly
+    (cid for every vector), and planted well-separated groups must
+    land in one cluster each."""
+    from walker_spark.operators.similarity import embedding_clusters
+
+    def prand(*xs):
+        import hashlib
+
+        h = int.from_bytes(
+            hashlib.md5("|".join(map(str, xs)).encode()).digest()[:8], "big"
+        )
+        return (h / 2**63) - 1.0
+
+    dim, groups = 12, 5
+    centers = [[4.0 * prand("c", g, d) for d in range(dim)] for g in range(groups)]
+    rows = [
+        (i, [centers[i % groups][d] + 0.05 * prand("n", i, d) for d in range(dim)])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["id"]: r["cid"]
+        for r in embedding_clusters(df, n_clusters=5, refine_iters=1).collect()
+    }
+
+    # pure-python replay (float32 inputs surfaced as doubles)
+    import numpy as np
+
+    vecs = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    cents = [vecs[i] for i in range(5)]
+    assign = {i: min(range(5), key=lambda c: (sq(v, cents[c]), c)) for i, v in vecs.items()}
+    new = []
+    for c in range(5):
+        members = [vecs[i] for i in sorted(vecs) if assign[i] == c]
+        if not members:
+            new.append(cents[c])
+        else:
+            new.append([sum(m[d] for m in members) / len(members) for d in range(dim)])
+    expect = {i: min(range(5), key=lambda c: (sq(v, new[c]), c)) for i, v in vecs.items()}
+    assert got == expect
+
+    # planted structure: each group maps to exactly one cluster id
+    by_group = {}
+    for i in vecs:
+        by_group.setdefault(i % groups, set()).add(got[i])
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+    assert len({next(iter(s)) for s in by_group.values()}) == groups

@@ -247,6 +247,42 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def embedding_clusters(
+    df: DataFrame,
+    n_clusters: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means corpus clustering — the organize-before-curating step
+    SemDeDup (Abbas et al. 2023) and cluster-balanced sampling
+    pipelines run first: deterministic init (the ``n_clusters``
+    smallest-id vectors), ``refine_iters`` Lloyd steps
+    (:func:`ivf_refine_centroids` — per-component DECIMAL(28,10) sums
+    so the means are partition-order-invariant, empty cells keep their
+    centroid), then a final nearest-centroid assignment. Returns
+    ``(id, cid, sq_dist round 3)`` for every vector.
+
+    Scale shape: the codebook is KB-sized driver state by design (it
+    IS the model); each Lloyd step is one narrow assignment map plus
+    one (cid, component)-keyed aggregation bounded by
+    ``n_clusters x dim`` output rows (map-side partial); the final
+    assignment is a zero-shuffle projection against centroid
+    literals. Every arithmetic step (left-fold squared L2, decimal
+    sums, double division) is replayable in ANSI SQL, so the Lloyd
+    step itself carries a full cross-engine oracle."""
+    centroids = ivf_sample_centroids(df, n_clusters, id_col, vec_col)
+    if refine_iters:
+        centroids = ivf_refine_centroids(df, centroids, refine_iters, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[_sq_l2(v, c) for c in centroids])
+    return df.select(
+        F.col(id_col).alias("id"),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cid"),
+        F.round(F.array_min(dists), 3).alias("sq_dist"),
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,
