@@ -518,6 +518,18 @@ def q_embedding_clusters(spark, sf_dir):
     )
 
 
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling: the 5 most prototypical
+    members (nearest refined centroid, ties by id) of each of the 16
+    k-means clusters — the coverage-preserving selection step run
+    after SemDeDup-style clustering."""
+    from walker_spark.operators.similarity import cluster_sample
+
+    return cluster_sample(
+        _t(spark, sf_dir, "embeddings"), per_cluster=5, n_clusters=16, refine_iters=1
+    )
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (Jegou et al. 2011, faiss-PQ
     shape): 4 subquantizers x 16 codes (16 bits/vector vs 2048), query
@@ -690,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_clusters": q_embedding_clusters,
+        "cluster_sample": q_cluster_sample,
         "pq_topk": q_pq_topk,
         "language_id": q_language_id,
         "token_stats": q_token_stats,
@@ -1177,6 +1190,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "embedding_clusters": _embedding_clusters_sql(),
+        "cluster_sample": f"""
+            WITH ec AS ({_embedding_clusters_sql()}),
+            r AS (
+              SELECT id, cid, sq_dist,
+                     CAST(row_number() OVER (
+                       PARTITION BY cid ORDER BY sq_dist, id) AS INT) AS rank
+              FROM ec
+            )
+            SELECT id, cid, sq_dist, rank FROM r WHERE rank <= 5""",
         "pq_topk": _pq_topk_sql(),
         "semantic_dup_pairs": _semantic_dup_pairs_sql(0.3),
         "frame_sampling": _frame_sampling_sql(),

@@ -64,6 +64,7 @@ HEADLINE = [
     "multimodal_features",
     "ivf_topk",
     "embedding_clusters",
+    "cluster_sample",
     "pq_topk",
     "sample_deterministic",
     "cap_per_source",

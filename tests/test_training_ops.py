@@ -757,3 +757,44 @@ def test_embedding_clusters_matches_pure_python_kmeans(spark):
         by_group.setdefault(i % groups, set()).add(got[i])
     assert all(len(s) == 1 for s in by_group.values()), by_group
     assert len({next(iter(s)) for s in by_group.values()}) == groups
+
+
+def test_cluster_sample_prototypical_per_cluster(spark):
+    """cluster_sample must return exactly per_cluster rows per
+    cluster (ranks 1..k, distances non-decreasing) and agree with an
+    independent ranking of the (oracle-checked) embedding_clusters
+    output."""
+    from walker_spark.operators.similarity import cluster_sample, embedding_clusters
+
+    def prand(*xs):
+        import hashlib
+
+        h = int.from_bytes(
+            hashlib.md5("|".join(map(str, xs)).encode()).digest()[:8], "big"
+        )
+        return (h / 2**63) - 1.0
+
+    dim, groups = 12, 5
+    centers = [[4.0 * prand("c", g, d) for d in range(dim)] for g in range(groups)]
+    rows = [
+        (i, [centers[i % groups][d] + 0.05 * prand("n", i, d) for d in range(dim)])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    picked = cluster_sample(df, per_cluster=3, n_clusters=5, refine_iters=1).collect()
+    full = embedding_clusters(df, n_clusters=5, refine_iters=1).collect()
+
+    by_cid = {}
+    for r in sorted(picked, key=lambda r: (r["cid"], r["rank"])):
+        by_cid.setdefault(r["cid"], []).append(r)
+    assert set(by_cid) == set(range(5))
+    for cid, rs in by_cid.items():
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        dists = [r["sq_dist"] for r in rs]
+        assert dists == sorted(dists)
+        members = sorted(
+            (f for f in full if f["cid"] == cid),
+            key=lambda f: (f["sq_dist"], f["id"]),
+        )
+        assert [r["id"] for r in rs] == [m["id"] for m in members[:3]]

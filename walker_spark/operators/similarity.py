@@ -283,6 +283,40 @@ def embedding_clusters(
     )
 
 
+def cluster_sample(
+    df: DataFrame,
+    per_cluster: int,
+    n_clusters: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (the selection step after
+    SemDeDup-style clustering, as in DCLM / prototypicality sampling,
+    Sorscher et al. 2022): keep the ``per_cluster`` most prototypical
+    members (nearest the refined centroid) of every k-means cluster,
+    so the sample covers the embedding space instead of its densest
+    mode. Rank is (sq_dist rounded to 3, id) — the rounding keeps the
+    comparison cross-engine exact, the id breaks ties
+    deterministically. Returns ``(id, cid, sq_dist, rank)``.
+
+    Scale shape: one window exchange keyed on cid. That is
+    scale-correct because ``n_clusters`` grows with the corpus in
+    real pipelines (SemDeDup uses ~50k clusters) — per-cluster
+    populations stay ~corpus/n_clusters, so no reducer sees more
+    than a cell's worth of rows; the heavy lifting (assignment)
+    happened in the zero-shuffle :func:`embedding_clusters` pass."""
+    from pyspark.sql import Window
+
+    clusters = embedding_clusters(df, n_clusters, refine_iters, id_col, vec_col)
+    w = Window.partitionBy("cid").orderBy(F.col("sq_dist").asc(), F.col("id").asc())
+    return (
+        clusters.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cluster)
+        .select("id", "cid", "sq_dist", "rank")
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,
