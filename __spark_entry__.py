@@ -578,6 +578,18 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), budget_tokens=512)
 
 
+def q_assign_shards(spark, sf_dir):
+    """Global training-shard assignment: contiguous ~2048-token shards
+    in global doc-id order via a distributed weighted prefix sum
+    (range repartition materialized once, per-partition token totals
+    as a broadcast offset table, local cumulative window keyed on the
+    partition id) — no single-reducer global window, unlike the
+    per-source pack_sequences."""
+    from walker_spark.operators.curation import assign_shards
+
+    return assign_shards(_t(spark, sf_dir, "documents"), shard_tokens=2048)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing an 8-gram with the
     held-out benchmark slice (doc_id % 97 == 0 simulates the eval set)."""
@@ -713,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "cap_per_source": q_cap_per_source,
         "pack_sequences": q_pack_sequences,
+        "assign_shards": q_assign_shards,
         "decontaminate": q_decontaminate,
         "contamination_spans": q_contamination_spans,
         "temperature_mix": q_temperature_mix,
@@ -1221,6 +1234,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(coalesce(sum(n_tokens) OVER (
                         PARTITION BY source ORDER BY id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS pack_id
+            FROM t""",
+        "assign_shards": """
+            WITH t AS (
+              SELECT doc_id AS id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        // 2048 AS BIGINT) AS shard_id
             FROM t""",
         "decontaminate": f"""
             WITH cg AS (

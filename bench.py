@@ -69,6 +69,7 @@ HEADLINE = [
     "sample_deterministic",
     "cap_per_source",
     "pack_sequences",
+    "assign_shards",
     "decontaminate",
     "contamination_spans",
     "temperature_mix",

@@ -473,6 +473,33 @@ def main():
         ],
     )
 
+    # 9d. assign_shards: the weighted twin of the perplexity_buckets
+    # rank machinery — same checkpoint-once / no-corpus-single-
+    # partition contract
+    from walker_spark.operators.curation import assign_shards
+
+    ok &= grab(
+        "assign_shards: global training-shard ids by distributed "
+        "weighted prefix sum (range-exchanged token table materializes "
+        "ONCE; per-partition totals broadcast back; the only "
+        "unpartitioned window is the <=P-row offsets table)",
+        assign_shards(docs, shard_tokens=64, partitions=4),
+        [
+            ("the range exchange never re-runs in the scoring plan",
+             r"Exchange rangepartitioning", 0),
+            ("both branches read the checkpointed ranged table",
+             r"Scan ExistingRDD", (2,)),
+            ("pid-keyed exchanges are exactly the cumulative window "
+             "(corpus) + the totals agg (map-side partial)",
+             r"Exchange hashpartitioning\(_pid", 2),
+            ("offsets join back by broadcast", r"BroadcastHashJoin", (1,)),
+            ("the single-partition window sits only on the tiny offsets "
+             "branch", r"Exchange SinglePartition", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 10. dsir_select: the gram explode must run exactly once per
     # stream — the scoring plan derives from the materialized
     # (localCheckpointed) bucket-count tables, never re-hashing text

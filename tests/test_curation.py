@@ -178,3 +178,30 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert [(r["id"], r["dsir_score"]) for r in picked] == [
         (r["id"], r["dsir_score"]) for r in picked2
     ]
+
+
+def test_assign_shards_matches_sequential_prefix_sum(spark):
+    """The distributed weighted prefix sum (range exchange + broadcast
+    offsets + local windows) must reproduce the single-threaded
+    cumulative shard assignment for any partition count, including
+    empty docs (0 tokens share the boundary doc's shard)."""
+    from walker_spark.operators.curation import assign_shards
+
+    rows = []
+    for i in range(97):
+        n = (i * 7) % 13  # 0..12 tokens, includes empties
+        rows.append((i, " ".join(f"t{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    expect, cum = {}, 0
+    for i, text in rows:
+        n = len(text.split()) if text.strip() else 0
+        expect[i] = (n, cum // 40)
+        cum += n
+
+    for p in (1, 5, 16):
+        got = {
+            r["id"]: (r["n_tokens"], r["shard_id"])
+            for r in assign_shards(df, shard_tokens=40, partitions=p).collect()
+        }
+        assert got == expect, p

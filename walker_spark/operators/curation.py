@@ -141,6 +141,71 @@ def pack_sequences(
     )
 
 
+def assign_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global training-shard assignment: every document gets a shard id
+    so that shards are contiguous runs of ~``shard_tokens`` whitespace
+    tokens in global ``id_col`` order — the step that turns a curated
+    corpus into fixed-size training shards for a data loader. Returns
+    ``(id, n_tokens, shard_id)`` with
+    ``shard_id = cumulative-tokens-before-this-doc div shard_tokens``
+    (the boundary-crossing doc overflows its shard, same best-effort
+    policy as :func:`pack_sequences`).
+
+    Unlike :func:`pack_sequences` (one window per ``source`` shard —
+    correct when sources bound the partition size) this is a GLOBAL
+    prefix sum with no single-reducer window: the weighted twin of
+    :func:`walker_spark.operators.textstats.perplexity_buckets`'s rank
+    machinery. ``repartitionByRange(id)`` (localCheckpointed once —
+    the per-partition totals and the local cumulative sums must see
+    the same sampled partition assignment), per-partition token totals
+    collapse to a <=P-row broadcast offset table, and the local
+    cumulative window is keyed on the partition id. Integer arithmetic
+    throughout, so the SQL oracle replays it exactly."""
+    t = F.col(text_col)
+    n_tokens = (
+        F.when(F.length(F.trim(t)) == 0, 0)
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+    )
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.select(F.col(id_col).alias("id"), n_tokens.alias("n_tokens"))
+        .repartitionByRange(p, F.col("id").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off"),
+        )
+    )
+    w_pid = Window.partitionBy("_pid").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        ranged.withColumn(
+            "_local", F.coalesce(F.sum("n_tokens").over(w_pid), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            "id",
+            "n_tokens",
+            F.expr(f"(_off + _local) div {int(shard_tokens)}").alias("shard_id"),
+        )
+    )
+
+
 def contaminated_docs(
     corpus: DataFrame,
     benchmark: DataFrame,
