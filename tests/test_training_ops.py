@@ -798,3 +798,16 @@ def test_cluster_sample_prototypical_per_cluster(spark):
             key=lambda f: (f["sq_dist"], f["id"]),
         )
         assert [r["id"] for r in rs] == [m["id"] for m in members[:3]]
+
+
+def test_cluster_sample_reuses_precomputed_clusters(spark):
+    """cluster_sample(clusters=...) must match the self-training path
+    exactly (pipeline reuse, near_dup_clusters(pairs=...) precedent)."""
+    from walker_spark.operators.similarity import cluster_sample, embedding_clusters
+
+    rows = [(i, [float((i * 13 + d * 7) % 19 - 9) for d in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pre = embedding_clusters(df, n_clusters=4, refine_iters=1)
+    a = sorted(map(tuple, cluster_sample(df, 3, n_clusters=4).collect()))
+    b = sorted(map(tuple, cluster_sample(df, 3, clusters=pre).collect()))
+    assert a == b and len(a) == 12

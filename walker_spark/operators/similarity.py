@@ -290,6 +290,7 @@ def cluster_sample(
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-balanced diversity sampling (the selection step after
     SemDeDup-style clustering, as in DCLM / prototypicality sampling,
@@ -305,10 +306,14 @@ def cluster_sample(
     real pipelines (SemDeDup uses ~50k clusters) — per-cluster
     populations stay ~corpus/n_clusters, so no reducer sees more
     than a cell's worth of rows; the heavy lifting (assignment)
-    happened in the zero-shuffle :func:`embedding_clusters` pass."""
+    happened in the zero-shuffle :func:`embedding_clusters` pass.
+    Pass ``clusters`` (an :func:`embedding_clusters` output) to rank
+    a precomputed clustering instead of re-training — the pipeline
+    shape, same precedent as ``near_dup_clusters(pairs=...)``."""
     from pyspark.sql import Window
 
-    clusters = embedding_clusters(df, n_clusters, refine_iters, id_col, vec_col)
+    if clusters is None:
+        clusters = embedding_clusters(df, n_clusters, refine_iters, id_col, vec_col)
     w = Window.partitionBy("cid").orderBy(F.col("sq_dist").asc(), F.col("id").asc())
     return (
         clusters.withColumn("rank", F.row_number().over(w))
