@@ -73,8 +73,8 @@ import bench
 from pyspark.sql import functions as F
 from walker_spark.operators.dedup import (
     dup_ngram_spans, incremental_near_dups, line_dedup, minhash_index)
-from walker_spark.operators.curation import dsir_select, temperature_mix
-from walker_spark.operators.similarity import pq_codebooks, pq_topk
+from walker_spark.operators.curation import assign_shards, dsir_select, temperature_mix
+from walker_spark.operators.similarity import embedding_clusters, pq_codebooks, pq_topk
 from walker_spark.operators.textstats import gopher_rules, perplexity_buckets
 spark = bench.build_spark({cpus}); spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet({corpus!r})
@@ -121,6 +121,8 @@ temperature_mix(sdocs.limit(2000), budget_docs=500).count()
 pq_topk(emb.limit(2000), QV, k=10).count()
 dsir_select(warm, warm.limit(200), k=50, buckets=512).count()
 perplexity_buckets(scored.limit(2000)).count()
+embedding_clusters(emb.limit(2000), n_clusters=16, refine_iters=1).count()
+assign_shards(warm, shard_tokens=2048).count()
 t0 = time.time(); n_spans = dup_ngram_spans(docs, n=8).count()
 spans_s = time.time() - t0
 corpus_half = docs.filter(F.col("doc_id") % 2 == 0)
@@ -146,6 +148,11 @@ n_dsir = dsir_select(
 dsir_s = time.time() - t0
 t0 = time.time(); n_ppl = perplexity_buckets(scored).count()
 ppl_s = time.time() - t0
+t0 = time.time()
+n_clu = embedding_clusters(emb, n_clusters=16, refine_iters=1).count()
+clu_s = time.time() - t0
+t0 = time.time(); n_shard = assign_shards(docs, shard_tokens=2048).count()
+shard_s = time.time() - t0
 print("RESULT " + json.dumps({{
     "cpus": {cpus}, "spans_sec": round(spans_s, 2), "n_spans": n_spans,
     "index_sec": round(index_s, 2), "index_rows": idx_n,
@@ -155,7 +162,9 @@ print("RESULT " + json.dumps({{
     "mix_sec": round(mix_s, 2), "n_mix": n_mix,
     "pq_sec": round(pq_s, 2), "n_pq": n_pq,
     "dsir_sec": round(dsir_s, 2), "n_dsir": n_dsir,
-    "ppl_sec": round(ppl_s, 2), "n_ppl": n_ppl}}))
+    "ppl_sec": round(ppl_s, 2), "n_ppl": n_ppl,
+    "clu_sec": round(clu_s, 2), "n_clu": n_clu,
+    "shard_sec": round(shard_s, 2), "n_shard": n_shard}}))
 """
 
 
@@ -189,7 +198,7 @@ def main():
             else:
                 for k in ("spans_sec", "index_sec", "incremental_sec",
                           "line_sec", "gopher_sec", "mix_sec", "pq_sec",
-                          "dsir_sec", "ppl_sec"):
+                          "dsir_sec", "ppl_sec", "clu_sec", "shard_sec"):
                     best[cpus][k] = min(best[cpus][k], res[k])
     lines = [
         "# BENCH/OPS_SCALING.md — training-data operator scaling evidence",
@@ -223,6 +232,10 @@ def main():
          f"{best[1]['n_dsir']} kept"),
         ("perplexity_buckets (global rank, 60k)", "ppl_sec",
          f"{best[1]['n_ppl']} rows"),
+        ("embedding_clusters (k-means 16, 1 Lloyd, 60k x 64d)", "clu_sec",
+         f"{best[1]['n_clu']} rows"),
+        ("assign_shards (global prefix sum, 2048-token shards)", "shard_sec",
+         f"{best[1]['n_shard']} rows"),
     ):
         lo, hi = best[1][key], best[4][key]
         sp = lo / hi if hi else float("inf")
