@@ -654,6 +654,74 @@ def q_gopher_rules(spark, sf_dir):
     return gopher_rules(_t(spark, sf_dir, "documents"), min_stop_hits=1)
 
 
+def q_c4_rules(spark, sf_dir):
+    """C4 cleaning pass (Raffel et al. 2020 §2.2) — line filter + page
+    verdict. The synthetic docs carry no newlines/punctuation, so the
+    query plants structure in-query (identically in the oracle):
+    ' table ' becomes a sentence break + newline, ' row ' becomes
+    ' javascript ' (exercises the line drop), and doc_id % 13 / % 17
+    inject the lorem-ipsum / curly-brace page kills."""
+    from walker_spark.operators.textstats import c4_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(F.col("text"), F.lit(" lorem ipsum")),
+                )
+                .when(F.col("doc_id") % 17 == 0, F.concat(F.lit("{ "), F.col("text")))
+                .otherwise(F.col("text")),
+                F.lit(" table "),
+                F.lit(".\n"),
+            ),
+            F.lit(" row "),
+            F.lit(" javascript "),
+        ).alias("text"),
+    )
+    return c4_rules(planted)
+
+
+def q_hash_classifier(spark, sf_dir):
+    """FastText-style hashed linear quality classifier (Joulin et al.
+    2017) with deterministic integer bucket weights — exact int64
+    accumulation, so the oracle is bit-identical."""
+    from walker_spark.operators.textstats import hash_classifier_scores
+
+    return hash_classifier_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (64-token windows, 16-token overlap) —
+    the RAG-indexing fan-out; tail chunks under 8 tokens drop."""
+    from walker_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16, min_tokens=8
+    )
+
+
+# Fixed retrieval query set for the bm25_topk driver check — vocabulary
+# words from the synthetic corpus so every query matches documents.
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "table scan fast filter"),
+    (1, "customer order value big"),
+    (2, "window agg group sort stream"),
+)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 per query (Robertson & Zaragoza 2009) over the
+    documents table; scores are exact cross-engine via integer
+    micro-unit accumulation (retrieval.MICRO)."""
+    from walker_spark.operators.retrieval import bm25_topk
+
+    qdf = spark.createDataFrame(list(BM25_QUERIES), "query_id int, query string")
+    return bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=10)
+
+
 def q_frame_sampling(spark, sf_dir):
     """Video frame-sampling fan-out (fake durations are hash-derived —
     rows-only check)."""
@@ -731,6 +799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "gopher_rules": q_gopher_rules,
         "dsir_select": q_dsir_select,
+        "c4_rules": q_c4_rules,
+        "hash_classifier": q_hash_classifier,
+        "chunk_documents": q_chunk_documents,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -1395,6 +1467,10 @@ def oracle_sql() -> dict[str, str]:
                     AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
                     AND stop_hits >= 1) AS gopher_pass
             FROM derived""",
+        "c4_rules": _c4_rules_sql(),
+        "hash_classifier": _hash_classifier_sql(),
+        "chunk_documents": _chunk_documents_sql(),
+        "bm25_topk": _bm25_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
         # available in DuckDB). The md5-token variant dedup_simhash_md5
@@ -1631,3 +1707,161 @@ def _frame_sampling_sql(every_ms: int = 10_000, max_frames: int = 32) -> str:
         SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
                CAST(frame_idx * {every_ms} AS BIGINT) AS ts_ms
         FROM fanned"""
+
+
+_FILTERED_TOKS_SQL = f"list_filter({_TOKS_SQL}, s0 -> len(s0) > 0)"
+
+
+def _c4_rules_sql() -> str:
+    """SQL replica of textstats.c4_rules over the planted corpus (see
+    q_c4_rules: ' table ' -> sentence break + newline, ' row ' ->
+    ' javascript ', doc_id %13/%17 inject page-kill phrases).
+    coalesce(array_to_string(...), '') because DuckDB's
+    array_to_string of an EMPTY list is NULL (Spark concat_ws: '')."""
+    bad = (
+        "(contains(lower(text), 'lorem ipsum')"
+        " OR contains(lower(text), 'terms of use')"
+        " OR contains(lower(text), 'privacy policy')"
+        " OR contains(lower(text), 'cookie policy')"
+        " OR contains(lower(text), 'uses cookies'))"
+    )
+    n_sent = (
+        "((len(ct) - len(replace(ct, '.', '')))"
+        " + (len(ct) - len(replace(ct, '!', '')))"
+        " + (len(ct) - len(replace(ct, '?', ''))))"
+    )
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+            replace(replace(
+              CASE WHEN doc_id % 13 = 0 THEN text || ' lorem ipsum'
+                   WHEN doc_id % 17 = 0 THEN '{{ ' || text
+                   ELSE text END,
+              ' table ', '.' || chr(10)), ' row ', ' javascript ') AS text
+          FROM documents
+        ), base AS (
+          SELECT doc_id, text,
+            list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines
+          FROM planted
+        ), keptt AS (
+          SELECT doc_id, text, lines,
+            list_filter(lines, x ->
+              (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+               OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+              AND len(list_filter(string_split_regex(lower(trim(x)), '\\s+'),
+                                  w -> len(w) > 0)) >= 5
+              AND NOT contains(lower(trim(x)), 'javascript')) AS keptl
+          FROM base
+        ), proj AS (
+          SELECT doc_id, text, lines, keptl,
+                 coalesce(array_to_string(keptl, chr(10)), '') AS ct
+          FROM keptt
+        )
+        SELECT doc_id AS id,
+          CAST(len(lines) AS INT) AS n_lines,
+          CAST(len(keptl) AS INT) AS n_kept_lines,
+          CAST({n_sent} AS INT) AS n_sentences,
+          contains(text, '{{') AS has_brace,
+          {bad} AS has_bad_phrase,
+          ct AS clean_text,
+          ((NOT contains(text, '{{')) AND (NOT {bad}) AND ({n_sent} >= 3)) AS c4_pass
+        FROM proj"""
+
+
+def _hash_classifier_sql(dim: int = 4096, seed: str = "qc1") -> str:
+    """SQL replica of textstats.hash_classifier_scores (default
+    deterministic-weights path): token -> md5 bucket -> integer weight
+    in [-1000, 1000]; the per-doc sum is exact int64 so no FP
+    accumulation order exists to diverge."""
+    b_expr = f"({_md5_hex_int_sql('s', 8)}) % {dim}"
+    w_arg = f"'{seed}:' || CAST(bk AS VARCHAR)"
+    w_expr = f"((({_md5_hex_int_sql(w_arg, 8)}) % 2001) - 1000)"
+    return f"""
+        WITH toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents),
+        w AS (
+          SELECT doc_id, len(t) AS n,
+            list_aggregate(
+              list_transform(list_transform(t, s -> {b_expr}), bk -> {w_expr}),
+              'sum') AS total
+          FROM toks
+        )
+        SELECT doc_id AS id, CAST(n AS BIGINT) AS n_tokens, logit,
+          round(1.0 / (1.0 + exp(-logit)), 4) AS prob
+        FROM (
+          SELECT doc_id, n,
+            CASE WHEN n > 0
+                 THEN CAST(floor((20 * total + n) / (2.0 * n)) AS DOUBLE) / 10000.0
+                 ELSE 0.0 END AS logit
+          FROM w)"""
+
+
+def _chunk_documents_sql(
+    chunk_tokens: int = 64, overlap: int = 16, min_tokens: int = 8
+) -> str:
+    """SQL replica of curation.chunk_documents: generate_series window
+    starts with the same stride; chunk_idx = start // stride (Spark's
+    posexplode position over the same sequence)."""
+    stride = chunk_tokens - overlap
+    return f"""
+        WITH toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents),
+        nz AS (SELECT * FROM toks WHERE len(t) > 0),
+        ch AS (
+          SELECT doc_id, s, list_slice(t, s + 1, s + {chunk_tokens}) AS c
+          FROM nz, UNNEST(generate_series(0, len(t) - 1, {stride})) AS u(s)
+        )
+        SELECT doc_id AS id, CAST(s // {stride} AS INT) AS chunk_idx,
+          md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s // {stride} AS VARCHAR)) AS chunk_id,
+          CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+          array_to_string(c, ' ') AS chunk_text
+        FROM ch
+        WHERE len(c) >= {min_tokens} OR s = 0"""
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """SQL replica of retrieval.bm25_topk over the fixed BM25_QUERIES.
+    Constants are interpolated from the SAME Python floats the Spark
+    expression tree uses (repr round-trips the exact double), and each
+    per-term score quantizes to integer micro-units before the sum —
+    the only cross-engine FP risk left is a last-ulp ln() divergence
+    landing within 1e-10 of a half-micro boundary (measure-zero; the
+    gate data is fixed)."""
+    qvals = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)
+    qtok = (
+        "list_filter(string_split_regex(trim(regexp_replace(lower(query),"
+        " '\\s+', ' ', 'g')), ' '), s0 -> len(s0) > 0)"
+    )
+    return f"""
+        WITH q(query_id, query) AS (VALUES {qvals}),
+        toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents),
+        nz AS (SELECT * FROM toks WHERE len(t) > 0),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                         CAST(sum(len(t)) AS BIGINT) AS dl_sum FROM nz),
+        postings AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM nz)
+          GROUP BY doc_id, dl, term
+        ),
+        qterms AS (SELECT query_id, unnest(list_distinct({qtok})) AS term FROM q),
+        matched AS (SELECT p.* FROM postings p
+                    JOIN (SELECT DISTINCT term FROM qterms) tn USING (term)),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM matched GROUP BY term),
+        scoredt AS (
+          SELECT m.term, m.doc_id,
+            CAST(floor((ln(1.0 + (s.N - d.dfreq + 0.5) / (d.dfreq + 0.5))
+              * (m.tf * {k1 + 1!r})
+              / (m.tf + {k1!r} * ({1.0 - b!r} + ({b!r} * CAST(m.dl AS DOUBLE))
+                                  / (CAST(s.dl_sum AS DOUBLE) / s.N))))
+              * 1000000 + 0.5) AS BIGINT) AS micro
+          FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s
+        ),
+        pq AS (
+          SELECT qt.query_id, st.doc_id, CAST(count(*) AS INT) AS n_matched,
+                 CAST(floor((sum(st.micro) + 50) / 100.0) AS DOUBLE) / 10000.0 AS score
+          FROM scoredt st JOIN qterms qt USING (term)
+          GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, CAST(rn AS INT) AS rank, n_matched, score
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+              FROM pq)
+        WHERE rn <= {k}"""

@@ -75,6 +75,10 @@ HEADLINE = [
     "temperature_mix",
     "gopher_rules",
     "dsir_select",
+    "c4_rules",
+    "hash_classifier",
+    "chunk_documents",
+    "bm25_topk",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -532,6 +532,69 @@ def main():
         ],
     )
 
+    # 11. retrieval + the remaining zero-shuffle cleaning passes
+    from walker_spark.operators.curation import chunk_documents
+    from walker_spark.operators.retrieval import bm25_topk
+    from walker_spark.operators.textstats import c4_rules, hash_classifier_scores
+
+    ok &= grab(
+        "c4_rules: C4 cleaning pass (zero-shuffle narrow projection — "
+        "line filter + page verdict fuse into the corpus scan)",
+        c4_rules(docs),
+        [
+            ("zero exchanges", r"Exchange", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    ok &= grab(
+        "hash_classifier_scores: hashed linear quality classifier "
+        "(default weights — hash, weight lookup and exact int64 fold "
+        "all inside one higher-order expression, zero shuffle)",
+        hash_classifier_scores(docs),
+        [
+            ("zero exchanges", r"Exchange", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    ok &= grab(
+        "chunk_documents: sliding-window chunk fan-out (posexplode in "
+        "the scan task — document text never moves before chunking)",
+        chunk_documents(docs),
+        [
+            ("zero exchanges", r"Exchange", 0),
+            ("chunk fan-out is a Generate in the scan stage", r"Generate posexplode", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    qdf = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma")], "query_id int, query string"
+    )
+    ok &= grab(
+        "bm25_topk: BM25 retrieval (corpus exchanged ONCE on the "
+        "(doc,term) postings agg; query terms / per-term stats / corpus "
+        "stats all broadcast; final top-k windows only matched "
+        "candidates)",
+        bm25_topk(docs, qdf, k=5),
+        [
+            ("the corpus-wide exchanges are the postings agg and the final "
+             "per-query candidate agg (both keyed on the doc id) — nothing "
+             "else moves corpus-sized data",
+             r"Exchange hashpartitioning\((?!id|term|query_id|dl)", 0),
+            ("query terms and stats broadcast into the scan",
+             r"BroadcastHashJoin", (3,)),
+            ("postings agg is map-side partial (two-phase HashAggregate)",
+             r"HashAggregate", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

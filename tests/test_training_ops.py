@@ -811,3 +811,157 @@ def test_cluster_sample_reuses_precomputed_clusters(spark):
     a = sorted(map(tuple, cluster_sample(df, 3, n_clusters=4).collect()))
     b = sorted(map(tuple, cluster_sample(df, 3, clusters=pre).collect()))
     assert a == b and len(a) == 12
+
+
+def test_c4_rules_each_rule_trips(spark):
+    """One planted page per C4 rule (Raffel et al. 2020 §2.2): line
+    filter (terminal punctuation, >= 5 words, no 'javascript') and page
+    kills (curly brace, lorem ipsum, < 3 sentences)."""
+    from walker_spark.operators import textstats
+
+    good_line = "this line has enough words to keep."
+    good = "\n".join([good_line] * 4)
+    rows = [
+        (0, good),                                           # passes
+        (1, good + "\nthis javascript line must drop away."),  # line drop
+        (2, good + "\ntoo short."),                          # <5 words drop
+        (3, good + "\nno terminal punctuation on this line"),  # ending drop
+        (4, good + " lorem ipsum"),                          # page kill
+        (5, "{ " + good),                                    # page kill
+        (6, good_line + "\n" + good_line),                   # only 2 sentences
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in textstats.c4_rules(df).collect()}
+
+    assert out[0]["c4_pass"] is True and out[0]["n_kept_lines"] == 4
+    assert out[1]["c4_pass"] is True and out[1]["n_kept_lines"] == 4  # bad line gone
+    assert out[1]["n_lines"] == 5
+    assert "javascript" not in out[1]["clean_text"]
+    assert out[2]["n_kept_lines"] == 4 and out[3]["n_kept_lines"] == 4
+    assert out[4]["c4_pass"] is False and out[4]["has_bad_phrase"] is True
+    assert out[5]["c4_pass"] is False and out[5]["has_brace"] is True
+    assert out[6]["c4_pass"] is False and out[6]["n_sentences"] == 2
+
+
+def test_hash_classifier_matches_pure_python(spark):
+    """Default path replays exactly in pure Python (md5 bucket ->
+    integer weight -> exact int64 fold); trained path scores with the
+    provided bucket weights."""
+    import hashlib
+    import math
+
+    from walker_spark.operators import textstats
+
+    rows = [(0, "alpha beta gamma delta"), (1, "alpha alpha alpha"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in textstats.hash_classifier_scores(df, dim=4096).collect()}
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for doc_id, text in rows:
+        toks = [t for t in " ".join(text.lower().split()).split(" ") if t]
+        total = sum((h32(f"qc1:{h32(t) % 4096}") % 2001) - 1000 for t in toks)
+        n = len(toks)
+        # exact half-up-at-4-decimals integer rounding (op contract)
+        logit = math.floor((20 * total + n) / (2 * n)) / 10000.0 if n else 0.0
+        prob = 1.0 / (1.0 + math.exp(-logit))
+        assert out[doc_id]["n_tokens"] == n
+        assert out[doc_id]["logit"] == logit
+        assert out[doc_id]["prob"] == round(prob, 4)
+
+    # trained path: a positive weight on 'alpha's bucket pushes doc 1 up
+    bucket_alpha = h32("alpha") % 4096
+    wdf = spark.createDataFrame([(bucket_alpha, 2.0)], "bucket int, weight double")
+    trained = {
+        r["id"]: r
+        for r in textstats.hash_classifier_scores(df, dim=4096, weights=wdf).collect()
+    }
+    assert trained[1]["logit"] == 2.0  # all three tokens hit the bucket
+    assert trained[2]["n_tokens"] == 0 and trained[2]["prob"] == 0.5
+    assert trained[0]["logit"] == 0.5  # 1 of 4 tokens weighted 2.0
+
+
+def test_chunk_documents_windows(spark):
+    """150-token doc at 64/16: starts 0,48,96,144; the 6-token tail
+    drops (< min_tokens); consecutive chunks share the 16-token
+    overlap; a short doc keeps its single chunk."""
+    from walker_spark.operators import curation
+
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(0, words), (1, "tiny doc"), (2, "")], "doc_id long, text string"
+    )
+    out = curation.chunk_documents(
+        df, chunk_tokens=64, overlap=16, min_tokens=8
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], {})[r["chunk_idx"]] = r
+
+    assert sorted(by_doc[0]) == [0, 1, 2]  # start 144 -> 6 tokens, dropped
+    assert by_doc[0][0]["n_chunk_tokens"] == 64
+    assert by_doc[0][2]["n_chunk_tokens"] == 54  # tokens 96..149
+    c0 = by_doc[0][0]["chunk_text"].split(" ")
+    c1 = by_doc[0][1]["chunk_text"].split(" ")
+    assert c0[48:64] == c1[0:16]  # overlap carried
+    assert sorted(by_doc[1]) == [0] and by_doc[1][0]["n_chunk_tokens"] == 2
+    assert 2 not in by_doc  # empty doc yields nothing
+    # stable chunk ids
+    import hashlib
+
+    assert by_doc[0][1]["chunk_id"] == hashlib.md5(b"0:1").hexdigest()
+
+
+def test_bm25_matches_pure_python(spark):
+    """Full BM25 output (scores, ranks, tie-breaks) replays against a
+    pure-Python reference using the same micro-unit quantization."""
+    import math
+
+    from walker_spark.operators.retrieval import bm25_topk
+
+    corpus = [
+        (0, "spark shuffle join spark spark"),
+        (1, "shuffle partition skew"),
+        (2, "join broadcast join small table"),
+        (3, "window rank dense rank"),
+        (4, "spark window shuffle join broadcast"),
+    ]
+    queries = [(0, "spark join"), (1, "window")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id int, query string")
+    out = bm25_topk(docs, qdf, k=3).collect()
+
+    k1, b = 1.2, 0.75
+    toks = {i: t.split(" ") for i, t in corpus}
+    N = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / N
+
+    def score(qterms, d):
+        micro = 0
+        n_matched = 0
+        for t in dict.fromkeys(qterms):
+            tf = toks[d].count(t)
+            if not tf:
+                continue
+            n_matched += 1
+            dfreq = sum(1 for tt in toks.values() if t in tt)
+            idf = math.log(1.0 + (N - dfreq + 0.5) / (dfreq + 0.5))
+            x = idf * (tf * (k1 + 1)) / (tf + k1 * (1.0 - b + (b * len(toks[d])) / avgdl))
+            micro += math.floor(x * 1_000_000 + 0.5)
+        return n_matched, math.floor((micro + 50) / 100) / 10000.0
+
+    expected = {}
+    for qid, q in queries:
+        qt = q.split(" ")
+        scored = []
+        for d in toks:
+            n_matched, s = score(qt, d)
+            if n_matched:
+                scored.append((-s, d, n_matched, s))
+        scored.sort()
+        for rank, (_, d, n_matched, s) in enumerate(scored[:3], 1):
+            expected[(qid, d)] = (rank, n_matched, s)
+
+    got = {(r["query_id"], r["doc_id"]): (r["rank"], r["n_matched"], r["score"]) for r in out}
+    assert got == expected

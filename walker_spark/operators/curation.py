@@ -141,6 +141,60 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG-indexing / context-
+    window-packing primitive): split each document into overlapping
+    windows of ``chunk_tokens`` whitespace tokens with ``overlap``
+    tokens of context carried between consecutive chunks (stride =
+    chunk_tokens - overlap). Tail chunks shorter than ``min_tokens``
+    are dropped unless they are the document's only chunk.
+
+    Returns (id, chunk_idx, chunk_id, n_chunk_tokens, chunk_text) with
+    chunk_id = md5("id:idx") — a stable key for downstream embedding /
+    indexing stages. Pure narrow fan-out: ``sequence`` over the window
+    starts + ``posexplode`` + ``slice``, zero shuffle, so the row
+    multiplication happens inside the scan task that read the document
+    and never moves whole-document text across the cluster."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from walker_spark.operators.dedup import tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("_t") - 1, F.lit(stride))
+    out = base.select(
+        "id",
+        "_t",
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    ).select(
+        "id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.md5(
+            F.concat(F.col("id").cast("string"), F.lit(":"), F.col("chunk_idx").cast("string"))
+        ).alias("chunk_id"),
+        F.slice("_t", F.col("_start") + 1, F.lit(chunk_tokens)).alias("_c"),
+    )
+    return out.filter(
+        (F.size("_c") >= min_tokens) | (F.col("chunk_idx") == 0)
+    ).select(
+        "id",
+        "chunk_idx",
+        "chunk_id",
+        F.size("_c").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("_c")).alias("chunk_text"),
+    )
+
+
 def assign_shards(
     df: DataFrame,
     shard_tokens: int,

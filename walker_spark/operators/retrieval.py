@@ -1,0 +1,146 @@
+"""Lexical retrieval over the documents table: distributed BM25.
+
+The inverted-index shape, Spark-first: postings are a (doc, term, tf)
+aggregate, per-term document frequencies are computed only for the
+terms the query set actually needs (query terms broadcast into the
+postings scan — the full-vocabulary statistics table never
+materializes), and scoring is one broadcast join + one aggregation
+keyed on (query, doc). All JVM-side; cross-engine exact via integer
+micro-unit accumulation (see below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Per-(query,doc) scores are sums of per-term double contributions —
+# floating-point, so the accumulation order would differ between
+# engines / partitionings. Each term contribution is therefore
+# quantized to integer micro-units (floor(x * 1e6 + 0.5)) before the
+# sum: integer addition is exact and order-invariant, so the final
+# score is bit-identical on any partitioning and in the DuckDB oracle.
+MICRO = 1_000_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson & Zaragoza 2009; idf is the
+    BM25+ variant ln(1 + (N - df + 0.5)/(df + 0.5)), always positive):
+
+        score(q, d) = sum over query terms t of
+            idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Returns (query_id, doc_id, rank, n_matched, score) — top ``k``
+    documents per query by (score desc, doc_id asc); ``score`` is the
+    micro-unit sum rounded half-up to 4 decimals in exact integer
+    math, so it is bit-identical cross-engine (the ranking therefore
+    is too).
+
+    Scale shape: the corpus is touched exactly once (tokenize +
+    explode + one groupBy keyed on (doc, term) — per-document keys, so
+    the shuffle distributes perfectly); everything after operates on
+    postings matched to the broadcast query-term set, which is bounded
+    by |queries| x terms-per-query, never by vocabulary or corpus
+    size. N and avgdl ride the plan as a broadcast scalar; df(t) is
+    computed from the matched postings only and broadcasts back. The
+    final top-k is a per-query window over candidate docs.
+    """
+    from walker_spark.operators.dedup import tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    # (id, term, tf, dl): dl rides the groupBy key (functionally
+    # dependent on id) so no join back to a doc-length table is needed.
+    postings = (
+        base.select("id", F.size("_t").cast("long").alias("dl"), F.explode("_t").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # corpus stats as a one-row broadcast scalar; avgdl from exact
+    # integer sums so both engines divide the same two numbers.
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_N"),
+        F.sum(F.size("_t").cast("long")).alias("_dl_sum"),
+    )
+    # distinct query terms, broadcast into the postings scan
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.filter(tokens(F.col(query_col)), lambda s: F.length(s) > 0))).alias(
+            "term"
+        ),
+    )
+    terms_needed = qterms.select("term").distinct()
+    matched = postings.join(F.broadcast(terms_needed), "term")
+    # df(t) over matched postings only (rows are distinct per (id,term))
+    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+    scored_terms = (
+        matched.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "id",
+            F.floor(
+                (
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("_N") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+                    )
+                    * (F.col("tf") * (k1 + 1))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            1.0
+                            - b
+                            + b
+                            * F.col("dl").cast("double")
+                            / (F.col("_dl_sum").cast("double") / F.col("_N"))
+                        )
+                    )
+                )
+                * MICRO
+                + 0.5
+            )
+            .cast("long")
+            .alias("_micro"),
+        )
+    )
+    per_query = (
+        scored_terms.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matched"),
+            F.sum("_micro").alias("_sum_micro"),
+        )
+        .select(
+            "query_id",
+            F.col("id").alias("doc_id"),
+            "n_matched",
+            # exact half-up at 4 decimals in integer math: the micro
+            # sum is a non-negative exact int, and sums ending in
+            # ...50 DO occur — engine round() (shortest-repr HALF_UP
+            # on Spark, binary round in DuckDB) would disagree there.
+            (F.floor((F.col("_sum_micro") + 50) / 100).cast("double") / 10000.0).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "n_matched", "score")
+    )

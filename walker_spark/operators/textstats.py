@@ -438,6 +438,193 @@ def gopher_rules(
     )
 
 
+# Phrases whose presence drops the whole page in C4 (Raffel et al.
+# 2020 §2.2: "lorem ipsum" placeholder text and boilerplate policy
+# notices).
+C4_BAD_PHRASES: tuple[str, ...] = (
+    "lorem ipsum",
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+)
+
+C4_LINE_TERMINALS: tuple[str, ...] = (".", "!", "?", '"')
+
+
+def c4_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 cleaning pass (Raffel et al. 2020, §2.2 — the heuristics that
+    produced the C4 pre-training corpus), line-level filter plus
+    document verdict in one pass:
+
+    line kept iff it ends in a terminal punctuation mark (., !, ?, "),
+    has >= ``min_line_words`` words, and does not mention "javascript";
+    document passes iff it contains no curly brace (code), none of the
+    ``C4_BAD_PHRASES`` (placeholder text / policy boilerplate), and its
+    kept lines carry >= ``min_sentences`` sentence terminators.
+
+    Returns (id, n_lines, n_kept_lines, n_sentences, has_brace,
+    has_bad_phrase, clean_text, c4_pass). Like ``gopher_rules`` this is
+    a pure narrow projection — higher-order array functions over the
+    line split, zero Python, zero shuffle — so at 100 TB it fuses into
+    the same whole-stage-codegen scan as the rest of the cleaning
+    pipeline, and every rule input is emitted so downstream stages can
+    re-threshold without recomputing."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+
+    def line_ok(x):
+        xt = F.trim(x)
+        low = F.lower(xt)
+        words = F.filter(F.split(low, r"\s+"), lambda w: F.length(w) > 0)
+        end_ok = F.lit(False)
+        for term in C4_LINE_TERMINALS:
+            end_ok = end_ok | F.endswith(xt, F.lit(term))
+        return (
+            end_ok
+            & (F.size(words) >= min_line_words)
+            & ~F.contains(low, F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, line_ok)
+    clean = F.concat_ws("\n", kept)
+
+    def n_char(col, ch: str):
+        return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+
+    n_sentences = (n_char(clean, ".") + n_char(clean, "!") + n_char(clean, "?")).cast(
+        "int"
+    )
+    low_t = F.lower(t)
+    has_bad = F.lit(False)
+    for p in C4_BAD_PHRASES:
+        has_bad = has_bad | F.contains(low_t, F.lit(p))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        F.contains(t, F.lit("{")).alias("has_brace"),
+        has_bad.alias("has_bad_phrase"),
+        clean.alias("clean_text"),
+    )
+    return out.withColumn(
+        "c4_pass",
+        ~F.col("has_brace")
+        & ~F.col("has_bad_phrase")
+        & (F.col("n_sentences") >= min_sentences),
+    )
+
+
+def hash_classifier_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    seed: str = "qc1",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """FastText-style hashed linear quality classifier (Joulin et al.
+    2017; the CCNet / GPT-3 quality-filter shape: a linear model over
+    hashed bag-of-words features). Each token hashes to one of ``dim``
+    buckets; the document logit is the mean bucket weight; the score is
+    the logistic of the logit.
+
+    Default path (``weights=None``): bucket weights are deterministic
+    pseudo-random INTEGERS in [-1000, 1000] derived from
+    md5(seed:bucket), so the per-document sum is an exact int64 — no
+    floating-point accumulation order anywhere, bit-identical on any
+    partitioning and in the DuckDB oracle. logit = sum / (1000 * n),
+    emitted at 4 decimals via EXACT integer rounding
+    (floor((20*sum + n) / (2n)) / 1e4 — half rounds toward +inf):
+    logit is a rational that genuinely lands on 1e-5 halves, where
+    Spark's shortest-repr HALF_UP and DuckDB's binary round disagree,
+    so engine round() must never touch it. Zero shuffle: hash, weight
+    lookup and fold all happen inside one ``transform``/``aggregate``
+    over the token array, fused into the scan.
+
+    Trained path (``weights`` = (bucket INT, weight DOUBLE) DataFrame,
+    e.g. from a logistic regression fit): tokens explode to hashed
+    buckets, broadcast-join the weight table (a fastText model is MBs —
+    always broadcastable), and aggregate per document. One shuffle keyed
+    on the document id.
+
+    Returns (id, n_tokens, logit, prob) with logit/prob round(4).
+    """
+    from walker_spark.operators.dedup import tokens
+
+    toks_col = F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+    if weights is None:
+        def w_int(b):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed + ":"), b.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            return (h % 2001) - 1000
+
+        def bucket(s):
+            return (
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % dim
+            )
+
+        base = df.select(
+            F.col(id_col).alias("id"), toks_col.alias("_t")
+        )
+        n = F.size("_t").cast("long")
+        total = F.aggregate(
+            F.transform("_t", lambda s: w_int(bucket(s))),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        )
+        # exact half-up-at-4-decimals: floor((20*total + n) / (2n)).
+        # Both operands are exact int64s in double; the quotient is
+        # either exactly an integer (division is correctly rounded) or
+        # >= 1/(2n) away from one, so floor never flips on FP error.
+        logit = F.when(
+            n > 0,
+            F.floor((20 * total + n) / (2 * n)).cast("double") / 10000.0,
+        ).otherwise(F.lit(0.0))
+    else:
+        exploded = (
+            df.select(F.col(id_col).alias("id"), F.explode(toks_col).alias("_s"))
+            .select(
+                "id",
+                (
+                    F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long") % dim
+                ).cast("int").alias("bucket"),
+            )
+        )
+        per_doc = (
+            exploded.join(F.broadcast(weights), "bucket", "left")
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_sum"),
+            )
+        )
+        base = df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
+        n = F.coalesce(F.col("_n"), F.lit(0))
+        logit = F.when(
+            n > 0, F.col("_sum") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return base.select(
+        "id",
+        n.cast("long").alias("n_tokens"),
+        F.round(logit, 4).alias("logit"),
+        F.round(prob, 4).alias("prob"),
+    )
+
+
 def perplexity_buckets(
     scored: DataFrame,
     n_buckets: int = 3,
