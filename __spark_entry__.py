@@ -735,6 +735,66 @@ def q_frame_sampling(spark, sf_dir):
     return sample_frames(decode_and_extract(assets))
 
 
+# Fixed phrase set for the phrase_search driver check: two phrases
+# that occur in the synthetic vocabulary stream (bi/trigram), one that
+# cannot (zero-hit docs must be absent from the result).
+PHRASE_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "table hash"),
+    (1, "fast merge batch"),
+    (2, "zebra qux nope"),
+)
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval (contiguous token runs) over documents:
+    one corpus scan emits positional n-grams for every needed phrase
+    length, broadcast-joined to the md5 phrase keys."""
+    from walker_spark.operators.retrieval import phrase_search
+
+    pdf = spark.createDataFrame(list(PHRASE_QUERIES), "phrase_id int, phrase string")
+    return phrase_search(_t(spark, sf_dir, "documents"), pdf)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-prep vocabulary curve: top-50 tokens + cumulative
+    corpus coverage in ppm (pure integer math both engines)."""
+    from walker_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), top_v=50)
+
+
+# PageRank driver graph: a deterministic expander over the document
+# row_number space — node = rank in doc_id order, three out-edges per
+# node at strides 13/26/39 (mod N), every 10th node dangling. Planted
+# in-query so BOTH engines derive the identical edge list (the
+# temperature_mix precedent).
+PAGERANK_ITERS = 5
+
+
+def q_pagerank(spark, sf_dir):
+    """Exact-integer PageRank (micro-unit ranks, rational damping
+    17/20, dangling mass redistributed) on the planted doc graph."""
+    from pyspark.sql import Window
+
+    from walker_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    rn = docs.select(
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn")
+    )
+    n = rn.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    edges = (
+        rn.filter(F.col("rn") % 10 != 0)
+        .select("rn", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("rn").cast("long").alias("src"),
+            F.expr("((rn - 1) * 7 + 13 * j) % _n + 1").cast("long").alias("dst"),
+        )
+    )
+    return pagerank(edges, iterations=PAGERANK_ITERS)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -803,6 +863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_classifier": q_hash_classifier,
         "chunk_documents": q_chunk_documents,
         "bm25_topk": q_bm25_topk,
+        "phrase_search": q_phrase_search,
+        "vocab_coverage": q_vocab_coverage,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1471,6 +1534,9 @@ def oracle_sql() -> dict[str, str]:
         "hash_classifier": _hash_classifier_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "bm25_topk": _bm25_sql(),
+        "phrase_search": _phrase_search_sql(),
+        "vocab_coverage": _vocab_coverage_sql(),
+        "pagerank": _pagerank_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
         # available in DuckDB). The md5-token variant dedup_simhash_md5
@@ -1865,3 +1931,97 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
               FROM pq)
         WHERE rn <= {k}"""
+
+
+def _phrase_search_sql() -> str:
+    """SQL replica of retrieval.phrase_search over PHRASE_QUERIES: the
+    oracle joins on the gram TEXT where Spark joins on its md5 (string
+    equality == md5-key equality); positions are generated with
+    unnest(range(...)) per needed phrase length."""
+    pvals = ", ".join(f"({i}, '{p}')" for i, p in PHRASE_QUERIES)
+    ptok = (
+        "list_filter(string_split_regex(trim(regexp_replace(lower(phrase),"
+        " '\\s+', ' ', 'g')), ' '), s0 -> len(s0) > 0)"
+    )
+    return f"""
+        WITH p(phrase_id, phrase) AS (VALUES {pvals}),
+        pk AS (SELECT phrase_id, array_to_string(t, ' ') AS gram,
+                      CAST(len(t) AS BIGINT) AS n
+               FROM (SELECT phrase_id, {ptok} AS t FROM p)
+               WHERE len(t) > 0),
+        lens AS (SELECT DISTINCT n FROM pk),
+        toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents),
+        posx AS (SELECT doc_id, t, n,
+                        unnest(range(0, CAST(len(t) AS BIGINT) - n + 1)) AS pos
+                 FROM toks, lens WHERE len(t) >= n),
+        grams AS (SELECT doc_id, n, CAST(pos AS BIGINT) AS pos,
+                         array_to_string(t[pos + 1 : pos + n], ' ') AS gram
+                  FROM posx)
+        SELECT pk.phrase_id, g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(min(g.pos) AS BIGINT) AS first_pos
+        FROM grams g JOIN pk ON g.gram = pk.gram AND g.n = pk.n
+        GROUP BY 1, 2"""
+
+
+def _vocab_coverage_sql(top_v: int = 50) -> str:
+    """SQL replica of textstats.vocab_coverage: pure integer math —
+    CAST every sum to BIGINT before the // (DuckDB HUGEINT rule)."""
+    return f"""
+        WITH stream AS (
+          SELECT unnest({_FILTERED_TOKS_SQL}) AS term FROM documents),
+        counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+                   FROM stream GROUP BY term),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS total_t FROM stream),
+        top AS (SELECT * FROM counts ORDER BY cnt DESC, term ASC LIMIT {top_v}),
+        curve AS (
+          SELECT CAST(row_number() OVER w AS INT) AS rank, term, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+          FROM top WINDOW w AS (ORDER BY cnt DESC, term ASC))
+        SELECT rank, term, cnt, cum_cnt,
+               (cum_cnt * 1000000) // total_t AS coverage_ppm
+        FROM curve, total"""
+
+
+def _pagerank_sql(iterations: int = PAGERANK_ITERS, num: int = 17, den: int = 20) -> str:
+    """SQL replica of graph.pagerank on the planted doc graph: the
+    integer recurrence is unrolled one CTE per iteration (r0..rK) —
+    every term is BIGINT with // division, so the result is
+    bit-identical to the Spark micro-unit ranks."""
+    micro = 1_000_000
+    base = (micro * (den - num)) // den
+    its = []
+    for i in range(iterations):
+        its.append(f"""
+        r{i + 1} AS (
+          SELECT n.node, n.outdeg,
+            CAST({base} + ((SELECT COALESCE(CAST(sum(r) AS BIGINT), 0)
+                            FROM r{i} WHERE outdeg = 0) * {num})
+                          // ({den} * (SELECT cnt FROM nn))
+                 + COALESCE(c.s, 0) AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum((p.r * {num}) // ({den} * p.outdeg)) AS BIGINT) AS s
+            FROM r{i} p JOIN edges e ON e.src = p.node
+            WHERE p.outdeg > 0
+            GROUP BY e.dst) c ON c.node = n.node
+        )""")
+    return f"""
+        WITH dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+                           (SELECT count(*) FROM documents) AS n
+                    FROM documents),
+        edges AS (SELECT CAST(rn AS BIGINT) AS src,
+                         CAST(((rn - 1) * 7 + 13 * j.j) % n + 1 AS BIGINT) AS dst
+                  FROM dn, (VALUES (1), (2), (3)) j(j)
+                  WHERE rn % 10 <> 0),
+        nodes AS (
+          SELECT u.node, COALESCE(o.outdeg, 0) AS outdeg
+          FROM (SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges) u
+          LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+                     FROM edges GROUP BY src) o ON o.node = u.node),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+        r0 AS (SELECT node, outdeg, CAST({micro} AS BIGINT) AS r FROM nodes),
+        {", ".join(its)}
+        SELECT node, r AS rank_micro FROM r{iterations}"""

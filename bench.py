@@ -79,6 +79,9 @@ HEADLINE = [
     "hash_classifier",
     "chunk_documents",
     "bm25_topk",
+    "phrase_search",
+    "vocab_coverage",
+    "pagerank",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -595,6 +595,90 @@ def main():
         ],
     )
 
+    # 12. phrase search / vocab curve / pagerank iteration
+    from walker_spark.operators.graph import _pagerank_step
+    from walker_spark.operators.retrieval import phrase_search
+    from walker_spark.operators.textstats import vocab_coverage
+
+    pdf = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta eps")], "phrase_id int, phrase string"
+    )
+    ok &= grab(
+        "phrase_search: exact-phrase retrieval (ONE corpus projection "
+        "emits positional grams for every needed phrase length; phrase "
+        "keys broadcast; the only corpus-sized exchange is the final "
+        "(phrase,doc) agg)",
+        phrase_search(docs, pdf),
+        [
+            ("single gram fan-out (one Generate explode — lengths fused "
+             "into one projection)", r"Generate explode", 1),
+            ("phrase keys broadcast into the gram stream",
+             r"BroadcastHashJoin", (1,)),
+            ("every exchange keyed on the bounded (phrase,doc) agg key",
+             r"Exchange hashpartitioning\((?!phrase_id)", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    ok &= grab(
+        "vocab_coverage: tokenizer-prep vocabulary curve (term counts "
+        "map-side partial; top-V via sort-limit TakeOrderedAndProject "
+        "— the full vocabulary never sorts globally; cumulative window "
+        "over only V rows; total-token count broadcast)",
+        vocab_coverage(docs, top_v=50),
+        [
+            ("term agg is two-phase (map-side partial)", r"HashAggregate", (2,)),
+            ("top-V is a sort-limit, not a global sort",
+             r"TakeOrderedAndProject", (1,)),
+            ("total-token scalar rides as a broadcast one-row join",
+             r"BroadcastNestedLoopJoin", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.graph import MICRO as _PR_MICRO
+
+    pr_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4)], "src long, dst long"
+    ).localCheckpoint()
+    pr_nodes = (
+        pr_edges.select(F.col("src").alias("node"))
+        .union(pr_edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            pr_edges.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).cast("long").alias("outdeg")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("outdeg", F.lit(0).cast("long")).alias("outdeg"))
+        .localCheckpoint()
+    )
+    pr_ranks = pr_nodes.select(
+        "node", "outdeg", F.lit(_PR_MICRO).cast("long").alias("rank_micro")
+    )
+    ok &= grab(
+        "pagerank iteration (_pagerank_step — the exact plan each "
+        "localCheckpointed round materializes): contributions shuffle "
+        "on the edge keys only, the dangling-mass scalar rides as a "
+        "broadcast one-row aggregate (no driver collect in the loop), "
+        "ranks are pure int64 arithmetic",
+        _pagerank_step(pr_nodes, pr_edges, pr_ranks, 4, 17, 20),
+        [
+            ("every exchange is keyed on node/src/dst",
+             r"Exchange hashpartitioning\((?!node|src|dst)", 0),
+            ("dangling scalar is a broadcast one-row cross join",
+             r"BroadcastNestedLoopJoin", (1,)),
+            ("contribution agg is two-phase (map-side partial)",
+             r"HashAggregate", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

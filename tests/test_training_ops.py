@@ -965,3 +965,121 @@ def test_bm25_matches_pure_python(spark):
 
     got = {(r["query_id"], r["doc_id"]): (r["rank"], r["n_matched"], r["score"]) for r in out}
     assert got == expected
+
+
+def test_phrase_search_planted(spark):
+    """Overlapping hits, multi-length phrases in ONE call, zero-hit
+    phrase absent, and whitespace/case normalization."""
+    from walker_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # "a a" overlaps at pos 0 and 1
+            (2, "x y z x y z"),      # "x y z" at 0 and 3
+            (3, "A   a B"),          # normalizes to "a a b"
+            (4, "b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, "a a"), (1, "x y z"), (2, "never here at all")],
+        "phrase_id int, phrase string",
+    )
+    got = {
+        (r.phrase_id, r.doc_id): (r.n_hits, r.first_pos)
+        for r in phrase_search(docs, phrases).collect()
+    }
+    assert got == {
+        (0, 1): (2, 0),
+        (0, 3): (1, 0),
+        (1, 2): (2, 0),
+    }
+
+
+def test_vocab_coverage_pure_python(spark):
+    from walker_spark.operators.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d  B")],
+        "doc_id long, text string",
+    )
+    # counts: b=4 (case-normalized), a=3, c=1, d=1; total=9
+    rows = vocab_coverage(docs, top_v=3).orderBy("rank").collect()
+    assert [(r.rank, r.term, r.cnt, r.cum_cnt, r.coverage_ppm) for r in rows] == [
+        (1, "b", 4, 4, 4 * 1_000_000 // 9),
+        (2, "a", 3, 7, 7 * 1_000_000 // 9),
+        (3, "c", 1, 8, 8 * 1_000_000 // 9),
+    ]
+
+
+def _pagerank_reference(edges, iterations, num=17, den=20, micro=1_000_000):
+    """Pure-Python replay of the exact integer recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {n: 0 for n in nodes}
+    for u, _ in edges:
+        outdeg[u] += 1
+    n_nodes = len(nodes)
+    base = (micro * (den - num)) // den
+    r = {n: micro for n in nodes}
+    for _ in range(iterations):
+        dang = sum(r[n] for n in nodes if outdeg[n] == 0)
+        share = (dang * num) // (den * n_nodes)
+        nxt = {n: base + share for n in nodes}
+        for u, v in edges:
+            if outdeg[u] > 0:
+                nxt[v] += (r[u] * num) // (den * outdeg[u])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_pure_python(spark):
+    """Bit-exact vs the integer reference on a graph with a dangling
+    node, a duplicate edge, and an in-edge-only node."""
+    from walker_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 2), (2, 3), (3, 1), (4, 1), (2, 5)]
+    # node 5 is dangling (no out-edges); 4 has no in-edges; (1,2) dup
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        got = {r.node: r.rank_micro for r in pagerank(df, iterations=iters).collect()}
+        assert got == _pagerank_reference(edges, iters), iters
+
+
+def test_pagerank_mass_and_hub(spark):
+    """Teleport + redistribution conserve mass up to floor losses, and
+    the hub every node links to out-ranks the others."""
+    from walker_spark.operators.graph import MICRO, pagerank
+
+    edges = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # odd iteration count: the bulk mass of the 0<->1 cycle sits at 0
+    # (it alternates sides each iteration — parity matters)
+    rows = pagerank(df, iterations=5).collect()
+    ranks = {r.node: r.rank_micro for r in rows}
+    n = len(ranks)
+    assert all(v > 0 for v in ranks.values())
+    # floor losses only shrink mass, never grow it
+    assert sum(ranks.values()) <= n * MICRO
+    assert sum(ranks.values()) > n * MICRO * 0.9
+    assert ranks[0] == max(ranks.values())
+    assert ranks[0] > ranks[2]
+
+
+def test_pagerank_validates_args(spark):
+    from walker_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping_num=20, damping_den=20)
+
+
+def test_degree_stats(spark):
+    from walker_spark.operators.graph import degree_stats
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (4, 1)], "src long, dst long"
+    )
+    got = {r.node: (r.out_deg, r.in_deg) for r in degree_stats(df).collect()}
+    assert got == {1: (2, 1), 2: (1, 2), 3: (0, 1), 4: (1, 0)}

@@ -1,0 +1,167 @@
+"""Link-graph analytics over crawl edges: PageRank.
+
+The crawler's links table IS a web graph (reference: the outlink rows
+walker persists per fetch, cassandra/schema.go links table); ranking
+domains/URLs by link structure is the canonical analytics pass over
+that data (seed prioritization, spam down-weighting).
+
+Spark-first iterative shape: the edge table is the only large input
+and it is scanned once per iteration through a hash join keyed on the
+source node; per-iteration global scalars (dangling mass) ride the
+plan as a broadcast one-row aggregate — no driver collect inside the
+loop — and each iteration ends in exactly ONE localCheckpoint job
+(same contract as dedup.connected_components).
+
+Cross-engine exactness: ranks live in integer micro-units and the
+damping factor is a rational number (num/den, default 17/20 = 0.85).
+Every per-edge contribution is an integer division, so the
+aggregation is a sum of exact integers — order-invariant on any
+partitioning and bit-identical in the DuckDB oracle. No float exists
+anywhere in the recurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: rank unit: initial rank per node, in micro-units
+MICRO = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact-integer PageRank with dangling-mass redistribution.
+
+    Recurrence (all integer arithmetic, ``den > num > 0``)::
+
+        r_0(v)    = MICRO
+        base      = (MICRO * (den - num)) div den          # teleport
+        dang_i    = sum of r_i(u) over nodes with outdeg 0
+        share_i   = (dang_i * num) div (den * N)           # per node
+        r_{i+1}(v)= base + share_i
+                    + sum over edges (u -> v), outdeg(u) > 0, of
+                        (r_i(u) * num) div (den * outdeg(u))
+
+    Duplicate edges count once each (a page linking twice votes
+    twice); nodes are the union of edge endpoints — an isolated node
+    with no edges at all is not ranked. Returns ``(node, rank_micro)``
+    with ``rank_micro`` BIGINT; divide by 1e6 for the conventional
+    scale. Total mass is conserved up to the deterministic floor
+    losses, which is exactly what the oracle replays.
+
+    Scale shape: ``N`` is materialized once as a driver scalar (one
+    count job — the node table itself is never collected); the node
+    table (node, outdeg) is checkpointed once and reused every
+    iteration; each iteration is one shuffle keyed on the edge source
+    plus one aggregation keyed on the destination, with the dangling
+    scalar attached as a broadcast one-row cross join. Rank values
+    stay within int64 for any N * MICRO below 2^63 / num (~5 * 10^11
+    nodes at the default damping).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("damping must satisfy 0 < num < den")
+    num, den = damping_num, damping_den
+
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).localCheckpoint()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(outdeg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0).cast("long")).alias("outdeg"))
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node long, rank_micro long")
+
+    ranks = nodes.select(
+        "node", "outdeg", F.lit(MICRO).cast("long").alias("rank_micro")
+    )
+    for _ in range(iterations):
+        # ONE localCheckpoint job per iteration; truncates lineage
+        ranks = _pagerank_step(nodes, e, ranks, n_nodes, num, den).localCheckpoint()
+    return ranks.select("node", "rank_micro")
+
+
+def _pagerank_step(
+    nodes: DataFrame,
+    e: DataFrame,
+    ranks: DataFrame,
+    n_nodes: int,
+    num: int,
+    den: int,
+) -> DataFrame:
+    """One un-checkpointed PageRank iteration — the exact plan the loop
+    materializes (factored out so explain_plans.py asserts the REAL
+    iteration plan shape, not a reconstruction)."""
+    base = (MICRO * (den - num)) // den
+    # dangling mass as a broadcast one-row aggregate riding the plan
+    # (claim.py A1 precedent) — no driver collect in the loop
+    dang = ranks.filter(F.col("outdeg") == 0).agg(
+        F.coalesce(F.sum("rank_micro"), F.lit(0).cast("long")).alias("_dang")
+    )
+    contrib = (
+        ranks.filter(F.col("outdeg") > 0)
+        .join(e, ranks["node"] == e["src"])
+        .select(
+            F.col("dst").alias("node"),
+            F.expr(f"(rank_micro * {num}L) div ({den}L * outdeg)").alias("_c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("_c").alias("_in"))
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "node",
+            "outdeg",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"(_dang * {num}L) div ({den}L * {n_nodes}L)")
+                + F.coalesce("_in", F.lit(0).cast("long"))
+            ).alias("rank_micro"),
+        )
+    )
+
+
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node in/out degree over the edge list (one exchange per
+    direction, merged on the node key): ``(node, out_deg, in_deg)``.
+    Duplicate edges count once each."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    o = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    i = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    return (
+        o.join(i, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0).cast("long")).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0).cast("long")).alias("in_deg"),
+        )
+    )

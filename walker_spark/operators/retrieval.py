@@ -22,6 +22,88 @@ from pyspark.sql import DataFrame, Window, functions as F
 MICRO = 1_000_000
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact-phrase retrieval: which documents contain each query
+    phrase as a contiguous token run, how often, and where first.
+
+    Returns ``(phrase_id, doc_id, n_hits, first_pos)`` — one row per
+    (phrase, doc) with at least one hit; ``first_pos`` is the 0-based
+    token offset of the earliest occurrence.
+
+    Scale shape: the corpus is scanned exactly ONCE. The distinct
+    phrase token-lengths are collected to the driver (bounded by the
+    query set, like the IVF codebook), and one projection emits every
+    positional n-gram of every needed length as an md5 key — no
+    per-length re-scan, no shuffle until the per-(phrase, doc)
+    aggregate, and the join against the phrase keys is a broadcast
+    (query set ≪ corpus). Gram keys are md5 of the space-joined
+    token run, so the exchange after the match moves 32-byte keys and
+    two longs, never text.
+    """
+    from walker_spark.operators.dedup import tokens
+
+    ptoks = F.filter(tokens(F.col(phrase_col)), lambda s: F.length(s) > 0)
+    pkeys = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.md5(F.encode(F.concat_ws(" ", ptoks), "UTF-8")).alias("gram_key"),
+        F.size(ptoks).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    # distinct phrase lengths: driver-bounded by the query set
+    lengths = sorted(r["_n"] for r in pkeys.select("_n").distinct().collect())
+    if not lengths:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], "phrase_id int, doc_id long, n_hits long, first_pos long"
+        )
+
+    toks = F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    ).filter(F.size("_t") >= lengths[0])
+    # one projection, all needed n-gram lengths: flatten the per-length
+    # positional gram arrays, then a single explode. The lambda MUST be
+    # unary — transform() passes the array index to a binary lambda,
+    # which would silently shadow the captured n.
+    def _gram_arr(n: int):
+        return F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.encode(F.concat_ws(" ", F.slice("_t", i + 1, n)), "UTF-8")
+                    ).alias("gram_key"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,gram_key:string>>"))
+
+    per_n = [_gram_arr(n) for n in lengths]
+    grams = base.select(
+        "doc_id", F.explode(F.flatten(F.array(*per_n))).alias("_g")
+    ).select(
+        "doc_id",
+        F.col("_g.pos").cast("long").alias("pos"),
+        F.col("_g.gram_key").alias("gram_key"),
+    )
+    return (
+        grams.join(F.broadcast(pkeys.select("phrase_id", "gram_key")), "gram_key")
+        .groupBy("phrase_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+        .select("phrase_id", "doc_id", "n_hits", "first_pos")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

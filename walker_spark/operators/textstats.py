@@ -699,3 +699,59 @@ def perplexity_buckets(
             F.element_at(lab, F.col("_bkt") + 1).alias("ppl_bucket"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    top_v: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-prep vocabulary curve: the ``top_v`` most frequent
+    tokens and the cumulative fraction of the corpus token stream each
+    prefix of the vocabulary covers (the standard "how big must the
+    vocab be" planning pass before training a tokenizer).
+
+    Returns ``(rank, term, cnt, cum_cnt, coverage_ppm)`` ordered by
+    (cnt desc, term asc); ``coverage_ppm = (cum_cnt * 1_000_000) div
+    total_tokens`` — pure integer math, so the row values are
+    bit-identical cross-engine (no float anywhere).
+
+    Scale shape: one corpus scan into a (term)-keyed count with
+    map-side partial aggregation; the top-``top_v`` cut is a
+    sort-limit (per-partition top-k then a single merge — the full
+    vocabulary never sorts globally), and the cumulative window runs
+    over only ``top_v`` rows. The total-token count rides the plan as
+    a broadcast one-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    from walker_spark.operators.dedup import tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+    stream = docs.select(F.explode(toks).alias("term"))
+    counts = stream.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = stream.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(top_v)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("cum_cnt", F.sum("cnt").over(w))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("term").asc()))
+            .cast("int"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "term",
+            "cnt",
+            "cum_cnt",
+            F.expr("(cum_cnt * 1000000L) div _total").alias("coverage_ppm"),
+        )
+    )
