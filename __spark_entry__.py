@@ -771,19 +771,17 @@ def q_vocab_coverage(spark, sf_dir):
 PAGERANK_ITERS = 5
 
 
-def q_pagerank(spark, sf_dir):
-    """Exact-integer PageRank (micro-unit ranks, rational damping
-    17/20, dangling mass redistributed) on the planted doc graph."""
+def _planted_doc_edges(spark, sf_dir):
+    """The deterministic expander both engines derive identically —
+    see the comment above PAGERANK_ITERS."""
     from pyspark.sql import Window
-
-    from walker_spark.operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
     rn = docs.select(
         F.row_number().over(Window.orderBy("doc_id")).alias("rn")
     )
     n = rn.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    edges = (
+    return (
         rn.filter(F.col("rn") % 10 != 0)
         .select("rn", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"))
         .crossJoin(F.broadcast(n))
@@ -792,7 +790,40 @@ def q_pagerank(spark, sf_dir):
             F.expr("((rn - 1) * 7 + 13 * j) % _n + 1").cast("long").alias("dst"),
         )
     )
-    return pagerank(edges, iterations=PAGERANK_ITERS)
+
+
+def q_pagerank(spark, sf_dir):
+    """Exact-integer PageRank (micro-unit ranks, rational damping
+    17/20, dangling mass redistributed) on the planted doc graph."""
+    from walker_spark.operators.graph import pagerank
+
+    return pagerank(_planted_doc_edges(spark, sf_dir), iterations=PAGERANK_ITERS)
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg 1999), exact-integer L1
+    variant, on the planted doc graph."""
+    from walker_spark.operators.graph import hits
+
+    return hits(_planted_doc_edges(spark, sf_dir), iterations=3)
+
+
+# Percentile grid for the exact_percentiles driver check.
+PCTL_QS: tuple[float, ...] = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_exact_percentiles(spark, sf_dir):
+    """Exact type-1 percentiles of the per-document token count via
+    the distributed-rank machinery (no approx_percentile error)."""
+    from walker_spark.operators.dedup import tokens
+    from walker_spark.operators.textstats import exact_percentiles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.size(F.filter(tokens(F.col("text")), lambda s: F.length(s) > 0))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    return exact_percentiles(docs, "n_tokens", qs=PCTL_QS)
 
 
 # ---------------------------------------------------------------------------
@@ -866,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "pagerank": q_pagerank,
+        "hits": q_hits,
+        "exact_percentiles": q_exact_percentiles,
     }
 
 
@@ -1537,6 +1570,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "pagerank": _pagerank_sql(),
+        "hits": _hits_graph_sql(),
+        "exact_percentiles": _exact_percentiles_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
         # available in DuckDB). The md5-token variant dedup_simhash_md5
@@ -2008,7 +2043,16 @@ def _pagerank_sql(iterations: int = PAGERANK_ITERS, num: int = 17, den: int = 20
             GROUP BY e.dst) c ON c.node = n.node
         )""")
     return f"""
-        WITH dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+        WITH {_PLANTED_GRAPH_CTES},
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+        r0 AS (SELECT node, outdeg, CAST({micro} AS BIGINT) AS r FROM nodes),
+        {", ".join(its)}
+        SELECT node, r AS rank_micro FROM r{iterations}"""
+
+
+# Planted expander graph shared by the pagerank / hits oracles — the
+# SQL twin of _planted_doc_edges plus the (node, outdeg) table.
+_PLANTED_GRAPH_CTES = """dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn,
                            (SELECT count(*) FROM documents) AS n
                     FROM documents),
         edges AS (SELECT CAST(rn AS BIGINT) AS src,
@@ -2020,8 +2064,54 @@ def _pagerank_sql(iterations: int = PAGERANK_ITERS, num: int = 17, den: int = 20
           FROM (SELECT src AS node FROM edges
                 UNION SELECT dst FROM edges) u
           LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
-                     FROM edges GROUP BY src) o ON o.node = u.node),
-        nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
-        r0 AS (SELECT node, outdeg, CAST({micro} AS BIGINT) AS r FROM nodes),
+                     FROM edges GROUP BY src) o ON o.node = u.node)"""
+
+
+def _hits_graph_sql(iterations: int = 3, scale: int = 1_000_000_000) -> str:
+    """SQL replica of graph.hits on the planted doc graph: each
+    iteration is two aggregate+normalize CTE pairs; every quantity is
+    BIGINT (sums CAST before the // — HUGEINT rule), so scores are
+    bit-identical to the Spark integer recurrence."""
+    its = []
+    for i in range(iterations):
+        its.append(f"""
+        ar{i} AS (SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS raw
+                  FROM h{i} p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+        a{i + 1} AS (SELECT n.node,
+                   (COALESCE(r.raw, 0) * {scale})
+                     // greatest((SELECT COALESCE(CAST(sum(raw) AS BIGINT), 0)
+                                  FROM ar{i}), 1) AS a
+                 FROM nodes n LEFT JOIN ar{i} r ON r.node = n.node),
+        hr{i} AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS raw
+                  FROM a{i + 1} a JOIN edges e ON e.dst = a.node GROUP BY e.src),
+        h{i + 1} AS (SELECT n.node,
+                   (COALESCE(r.raw, 0) * {scale})
+                     // greatest((SELECT COALESCE(CAST(sum(raw) AS BIGINT), 0)
+                                  FROM hr{i}), 1) AS h
+                 FROM nodes n LEFT JOIN hr{i} r ON r.node = n.node)""")
+    return f"""
+        WITH {_PLANTED_GRAPH_CTES},
+        h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes),
         {", ".join(its)}
-        SELECT node, r AS rank_micro FROM r{iterations}"""
+        SELECT h.node, CAST(h.h AS BIGINT) AS hub_score,
+               CAST(a.a AS BIGINT) AS auth_score
+        FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"""
+
+
+def _exact_percentiles_sql() -> str:
+    """SQL replica of textstats.exact_percentiles over the per-doc
+    token count: rank = floor(q * (n-1)) + 1 selected from an explicit
+    row_number ordering (never quantile_disc — its interpolation
+    convention is the engine's business, not the operator's)."""
+    qvals = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in PCTL_QS)
+    return f"""
+        WITH s AS (SELECT CAST(len({_FILTERED_TOKS_SQL}) AS BIGINT) AS v
+                   FROM documents),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        qs(q) AS (VALUES {qvals}),
+        t AS (SELECT q, CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS target, n
+              FROM qs, nn),
+        r AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS gr
+              FROM s)
+        SELECT t.q, r.v AS value, r.gr AS rank, t.n AS n
+        FROM r JOIN t ON r.gr = t.target"""

@@ -82,6 +82,8 @@ HEADLINE = [
     "phrase_search",
     "vocab_coverage",
     "pagerank",
+    "hits",
+    "exact_percentiles",
 ]
 
 # crawl corpus sizing per benchmark scale

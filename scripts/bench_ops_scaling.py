@@ -76,6 +76,8 @@ from walker_spark.operators.dedup import (
 from walker_spark.operators.curation import assign_shards, dsir_select, temperature_mix
 from walker_spark.operators.similarity import embedding_clusters, pq_codebooks, pq_topk
 from walker_spark.operators.textstats import gopher_rules, perplexity_buckets
+from walker_spark.operators.graph import pagerank
+from walker_spark.operators.retrieval import bm25_topk
 spark = bench.build_spark({cpus}); spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet({corpus!r})
 # round-5 op inputs derived deterministically from the same corpus:
@@ -108,6 +110,13 @@ scored = docs.select(
     (F.pmod(F.xxhash64("doc_id"), F.lit(2000)).cast("double") / 1000.0 - 1.0
      ).alias("avg_logprob"),
 )
+# deterministic 3-out-degree edge list over the doc-id space (hash
+# destinations; every 10th node dangling) for the pagerank leg
+edges = (docs.select(F.col("doc_id").alias("src"))
+         .filter(F.col("src") % 10 != 0)
+         .select("src", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"))
+         .select("src", F.pmod(F.xxhash64("src", "j"), F.lit({n_docs})).alias("dst")))
+BMQ = [(0, "w12 w345 w1023"), (1, "w77 w4999"), (2, "w2500 w13 w900 w31")]
 warm = docs.limit(2000).localCheckpoint()
 # warm-up: same plans, throwaway slice (JVM/codegen steady state)
 dup_ngram_spans(warm, n=8).count()
@@ -123,6 +132,8 @@ dsir_select(warm, warm.limit(200), k=50, buckets=512).count()
 perplexity_buckets(scored.limit(2000)).count()
 embedding_clusters(emb.limit(2000), n_clusters=16, refine_iters=1).count()
 assign_shards(warm, shard_tokens=2048).count()
+pagerank(edges.limit(5000), iterations=2).count()
+bm25_topk(warm, spark.createDataFrame(BMQ, 'query_id int, query string'), k=10).count()
 t0 = time.time(); n_spans = dup_ngram_spans(docs, n=8).count()
 spans_s = time.time() - t0
 corpus_half = docs.filter(F.col("doc_id") % 2 == 0)
@@ -153,6 +164,11 @@ n_clu = embedding_clusters(emb, n_clusters=16, refine_iters=1).count()
 clu_s = time.time() - t0
 t0 = time.time(); n_shard = assign_shards(docs, shard_tokens=2048).count()
 shard_s = time.time() - t0
+t0 = time.time(); n_pr = pagerank(edges, iterations=5).count()
+pr_s = time.time() - t0
+t0 = time.time()
+n_bm = bm25_topk(docs, spark.createDataFrame(BMQ, 'query_id int, query string'), k=10).count()
+bm_s = time.time() - t0
 print("RESULT " + json.dumps({{
     "cpus": {cpus}, "spans_sec": round(spans_s, 2), "n_spans": n_spans,
     "index_sec": round(index_s, 2), "index_rows": idx_n,
@@ -164,7 +180,9 @@ print("RESULT " + json.dumps({{
     "dsir_sec": round(dsir_s, 2), "n_dsir": n_dsir,
     "ppl_sec": round(ppl_s, 2), "n_ppl": n_ppl,
     "clu_sec": round(clu_s, 2), "n_clu": n_clu,
-    "shard_sec": round(shard_s, 2), "n_shard": n_shard}}))
+    "shard_sec": round(shard_s, 2), "n_shard": n_shard,
+    "pr_sec": round(pr_s, 2), "n_pr": n_pr,
+    "bm_sec": round(bm_s, 2), "n_bm": n_bm}}))
 """
 
 
@@ -191,14 +209,15 @@ def main():
     for rep in range(REPS):
         for cpus in (1, 4):
             print(f"== ops local[{cpus}] rep {rep} ==", file=sys.stderr)
-            res = run_py(STEP.format(repo=REPO, cpus=cpus, corpus=CORPUS))
+            res = run_py(STEP.format(repo=REPO, cpus=cpus, corpus=CORPUS, n_docs=N_DOCS))
             print(json.dumps(res), file=sys.stderr)
             if cpus not in best:
                 best[cpus] = res
             else:
                 for k in ("spans_sec", "index_sec", "incremental_sec",
                           "line_sec", "gopher_sec", "mix_sec", "pq_sec",
-                          "dsir_sec", "ppl_sec", "clu_sec", "shard_sec"):
+                          "dsir_sec", "ppl_sec", "clu_sec", "shard_sec",
+                          "pr_sec", "bm_sec"):
                     best[cpus][k] = min(best[cpus][k], res[k])
     lines = [
         "# BENCH/OPS_SCALING.md — training-data operator scaling evidence",
@@ -236,6 +255,10 @@ def main():
          f"{best[1]['n_clu']} rows"),
         ("assign_shards (global prefix sum, 2048-token shards)", "shard_sec",
          f"{best[1]['n_shard']} rows"),
+        ("pagerank (5 iters, 3-out-deg hash graph)", "pr_sec",
+         f"{best[1]['n_pr']} nodes"),
+        ("bm25_topk (3 queries over 60k docs)", "bm_sec",
+         f"{best[1]['n_bm']} rows"),
     ):
         lo, hi = best[1][key], best[4][key]
         sp = lo / hi if hi else float("inf")

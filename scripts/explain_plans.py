@@ -679,6 +679,54 @@ def main():
         ],
     )
 
+    from walker_spark.operators.graph import HITS_SCALE, _hits_step
+    from walker_spark.operators.textstats import exact_percentiles
+
+    pr_state = pr_nodes.select(
+        "node",
+        F.lit(HITS_SCALE).cast("long").alias("hub_score"),
+        F.lit(0).cast("long").alias("auth_score"),
+    )
+    ok &= grab(
+        "hits iteration (_hits_step — the exact plan each "
+        "localCheckpointed round materializes): two edge-keyed "
+        "join+agg passes, both L1-normalization totals ride as "
+        "broadcast one-row aggregates, pure int64 arithmetic",
+        _hits_step(pr_nodes.select("node"), pr_edges, pr_state),
+        [
+            ("every exchange is keyed on node/src/dst",
+             r"Exchange hashpartitioning\((?!node|src|dst)", 0),
+            ("both normalization scalars are broadcast one-row cross joins",
+             r"BroadcastNestedLoopJoin", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    ok &= grab(
+        "exact_percentiles: exact type-1 quantiles via the distributed "
+        "global rank (repartitionByRange + per-partition row_number + "
+        "broadcast P-row offsets; targets broadcast against the ranked "
+        "stream — no global sort, no one-partition corpus window)",
+        exact_percentiles(docs.select(F.length("text").alias("len")), "len",
+                          qs=(0.25, 0.5, 0.9)),
+        [
+            ("ranked stream reads the checkpointed range-partitioned "
+             "table (the ONE corpus exchange happened inside the "
+             "checkpoint job; offsets and rank branches share it)",
+             r"Scan ExistingRDD", (1,)),
+            ("no corpus-wide hash exchange (offsets/targets are broadcast; "
+             "the only hashpartitioning is the P-row offset window)",
+             r"Exchange hashpartitioning\((?!_pid)", 0),
+            ("target-rank probe is a broadcast join",
+             r"BroadcastHashJoin", (1,)),
+            ("per-partition rank is a partition-id-keyed window, not a "
+             "global one", r"Window.*_pid", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

@@ -1083,3 +1083,76 @@ def test_degree_stats(spark):
     )
     got = {r.node: (r.out_deg, r.in_deg) for r in degree_stats(df).collect()}
     assert got == {1: (2, 1), 2: (1, 2), 3: (0, 1), 4: (1, 0)}
+
+
+def _hits_reference(edges, iterations, scale=1_000_000_000):
+    """Pure-Python replay of the exact integer L1-HITS recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iterations):
+        ar = {n: 0 for n in nodes}
+        for u, v in edges:
+            ar[v] += h[u]
+        tot = max(sum(ar.values()), 1)
+        a = {n: (ar[n] * scale) // tot for n in nodes}
+        hr = {n: 0 for n in nodes}
+        for u, v in edges:
+            hr[u] += a[v]
+        tot = max(sum(hr.values()), 1)
+        h = {n: (hr[n] * scale) // tot for n in nodes}
+    return h, a
+
+
+def test_hits_matches_pure_python(spark):
+    from walker_spark.operators.graph import hits
+
+    edges = [(1, 10), (2, 10), (3, 10), (1, 11), (2, 11), (10, 1), (4, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        got = {
+            r.node: (r.hub_score, r.auth_score)
+            for r in hits(df, iterations=iters).collect()
+        }
+        h, a = _hits_reference(edges, iters)
+        assert got == {n: (h[n], a[n]) for n in h}, iters
+
+
+def test_hits_hub_authority_separation(spark):
+    """Pure hubs score high on hub_score and zero authority; the
+    pointed-at node is the top authority."""
+    from walker_spark.operators.graph import hits
+
+    edges = [(i, 100) for i in range(1, 6)] + [(1, 101)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub_score, r.auth_score) for r in hits(df, iterations=3).collect()}
+    assert got[100][1] == max(v[1] for v in got.values())
+    assert got[100][0] == 0          # 100 links to nobody: zero hub
+    assert got[2][1] == 0            # 2 has no in-links: zero authority
+    assert got[1][0] >= got[2][0]    # 1 also links to 101
+
+
+def test_exact_percentiles_matches_sorted_selection(spark):
+    from walker_spark.operators.textstats import exact_percentiles
+
+    vals = [5, 1, 9, 1, 7, 3, 3, 3, 11, 2, 8, 6]  # ties included
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    qs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    got = {r.q: (r.value, r.rank, r.n) for r in exact_percentiles(df, "x", qs=qs).collect()}
+    s = sorted(vals)
+    n = len(s)
+    import math
+
+    for q in qs:
+        target = math.floor(q * (n - 1)) + 1
+        assert got[q] == (s[target - 1], target, n), q
+
+
+def test_exact_percentiles_distributed_rank(spark):
+    """Partition count must not change the selected values."""
+    from walker_spark.operators.textstats import exact_percentiles
+
+    df = spark.range(1000).select((F.col("id") * 7 % 1000).alias("x"))
+    a = {r.q: r.value for r in exact_percentiles(df, "x", qs=(0.5,), partitions=2).collect()}
+    b = {r.q: r.value for r in exact_percentiles(df, "x", qs=(0.5,), partitions=13).collect()}
+    assert a == b == {0.5: 499}

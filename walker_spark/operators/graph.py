@@ -165,3 +165,91 @@ def degree_stats(
             F.coalesce("in_deg", F.lit(0).cast("long")).alias("in_deg"),
         )
     )
+
+
+#: HITS score scale: L1-normalized to this total each half-step.
+HITS_SCALE = 1_000_000_000
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999), exact-integer variant.
+
+    Each iteration::
+
+        auth_raw(v) = sum of hub(u) over edges u -> v
+        auth(v)     = (auth_raw(v) * HITS_SCALE) div max(sum auth_raw, 1)
+        hub_raw(u)  = sum of auth(v) over edges u -> v
+        hub(u)      = (hub_raw(u) * HITS_SCALE) div max(sum hub_raw, 1)
+
+    L1 normalization (not the classical L2) keeps every quantity an
+    exact int64 — sums of integers are order-invariant, so scores are
+    bit-identical on any partitioning and in the DuckDB oracle.
+    ``hub_0 = HITS_SCALE`` for every node. Duplicate edges count once
+    each. Returns ``(node, hub_score, auth_score)`` in scale units.
+
+    Scale shape: per iteration, two hash joins keyed on the edge
+    endpoints and two aggregations; each normalization total rides the
+    plan as a broadcast one-row aggregate (no driver collect in the
+    loop); ONE localCheckpoint job per iteration. int64 headroom:
+    intermediate raw sums are bounded by HITS_SCALE * max_degree
+    (~9 * 10^9 in-links at the default scale before overflow).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = nodes.select(
+        "node",
+        F.lit(HITS_SCALE).cast("long").alias("hub_score"),
+        F.lit(0).cast("long").alias("auth_score"),
+    )
+    for _ in range(iterations):
+        state = _hits_step(nodes, e, state).localCheckpoint()
+    return state
+
+
+def _hits_step(nodes: DataFrame, e: DataFrame, state: DataFrame) -> DataFrame:
+    """One un-checkpointed HITS iteration (factored out so
+    explain_plans.py asserts the real plan shape)."""
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(
+            F.coalesce(F.sum("_raw"), F.lit(0).cast("long")).alias("_tot")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce(_raw, 0L) * {HITS_SCALE}L) div greatest(_tot, 1L)"
+                ).alias(col),
+            )
+        )
+
+    auth_raw = (
+        state.join(e, state["node"] == e["src"])
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("hub_score").alias("_raw"))
+    )
+    auth = _norm(auth_raw, "auth_score")
+    hub_raw = (
+        auth.join(e, auth["node"] == e["dst"])
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("auth_score").alias("_raw"))
+    )
+    hub = _norm(hub_raw, "hub_score")
+    return hub.join(auth, "node").select("node", "hub_score", "auth_score")

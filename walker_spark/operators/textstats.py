@@ -755,3 +755,79 @@ def vocab_coverage(
             F.expr("(cum_cnt * 1000000L) div _total").alias("coverage_ppm"),
         )
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXACT distributed percentiles (type-1 / lower nearest-rank:
+    the element at 1-based rank ``floor(q * (n - 1)) + 1`` in value
+    order) — the corpus-profiling pass (length cutoffs, score
+    thresholds) where approx_percentile's error bars would leak into
+    downstream filter semantics.
+
+    Returns ``(q, value, rank, n)`` — one row per requested quantile.
+    Rank selection is pure integer math off a single float product of
+    driver literals, so the selected VALUE is deterministic and
+    cross-engine exact even with ties (ties permute ranks only among
+    equal values).
+
+    Scale shape: the perplexity_buckets distributed-rank machinery —
+    ``repartitionByRange`` on the value (localCheckpointed ONCE; the
+    offsets branch and the rank branch must share the sampled
+    partition assignment), per-partition ``row_number`` keyed on the
+    partition id, a broadcast P-row prefix-offset table, then the
+    target ranks (|qs| rows) broadcast against the ranked stream. Two
+    corpus exchanges total, no global sort, no one-partition window.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.select(F.col(value_col).alias("_v"))
+        .repartitionByRange(p, F.col("_v").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off"),
+            F.sum("_cnt").over(w_all).alias("_n"),
+        )
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    targets = qdf.crossJoin(
+        F.broadcast(offsets.select("_n").limit(1))
+    ).select(
+        "q",
+        (F.floor(F.col("q") * (F.col("_n") - 1)) + 1).cast("long").alias("_target"),
+        F.col("_n").alias("n"),
+    )
+    w_pid = Window.partitionBy("_pid").orderBy(F.col("_v").asc())
+    ranked = (
+        ranged.withColumn("_rn", F.row_number().over(w_pid))
+        .join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .select("_v", (F.col("_off") + F.col("_rn")).cast("long").alias("_gr"))
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), ranked["_gr"] == targets["_target"]
+        )
+        .select(
+            "q",
+            F.col("_v").alias("value"),
+            F.col("_gr").alias("rank"),
+            "n",
+        )
+    )
