@@ -722,6 +722,35 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=10)
 
 
+def q_tokenize_ids(spark, sf_dir):
+    """Pre-training tokenization: corpus -> token-id sequences against
+    the top-20 vocab_coverage vocabulary (rank = token id, 0 = OOV);
+    ids emitted as a csv string so the hash compare is type-stable."""
+    from walker_spark.operators.textstats import tokenize_ids, vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tokenize_ids(docs, vocab_coverage(docs, top_v=20))
+    return out.select(
+        "id",
+        F.expr("array_join(transform(ids, x -> cast(x as string)), ',')").alias(
+            "ids_csv"
+        ),
+        "n_tokens",
+        "n_oov",
+    )
+
+
+def q_bm25_indexed(spark, sf_dir):
+    """Index-served BM25: build the persistable postings index (one
+    corpus scan), then serve the fixed query set from it — identical
+    semantics to bm25_topk, so the oracle SQL is shared."""
+    from walker_spark.operators.retrieval import bm25_topk_indexed, build_postings_index
+
+    idx = build_postings_index(_t(spark, sf_dir, "documents"))
+    qdf = spark.createDataFrame(list(BM25_QUERIES), "query_id int, query string")
+    return bm25_topk_indexed(idx, qdf, k=10)
+
+
 def q_frame_sampling(spark, sf_dir):
     """Video frame-sampling fan-out (fake durations are hash-derived —
     rows-only check)."""
@@ -894,8 +923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_classifier": q_hash_classifier,
         "chunk_documents": q_chunk_documents,
         "bm25_topk": q_bm25_topk,
+        "bm25_indexed": q_bm25_indexed,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
+        "tokenize_ids": q_tokenize_ids,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "exact_percentiles": q_exact_percentiles,
@@ -1567,8 +1598,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_classifier": _hash_classifier_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "bm25_topk": _bm25_sql(),
+        "bm25_indexed": _bm25_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
+        "tokenize_ids": _tokenize_ids_sql(),
         "pagerank": _pagerank_sql(),
         "hits": _hits_graph_sql(),
         "exact_percentiles": _exact_percentiles_sql(),
@@ -2115,3 +2148,31 @@ def _exact_percentiles_sql() -> str:
               FROM s)
         SELECT t.q, r.v AS value, r.gr AS rank, t.n AS n
         FROM r JOIN t ON r.gr = t.target"""
+
+
+def _tokenize_ids_sql(top_v: int = 20) -> str:
+    """SQL replica of textstats.tokenize_ids against the top-``top_v``
+    vocab_coverage vocabulary: positions via unnest(range(len)), vocab
+    left-joined on the term, csv rebuilt with an ORDER BY pos
+    string_agg (the Spark side sorts (pos, id) structs)."""
+    return f"""
+        WITH toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents),
+        stream AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+                   FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term),
+        vocab AS (SELECT term, CAST(row_number() OVER (
+                      ORDER BY cnt DESC, term ASC) AS INT) AS tid
+                  FROM (SELECT * FROM counts ORDER BY cnt DESC, term ASC
+                        LIMIT {top_v})),
+        posx AS (SELECT doc_id, t,
+                        unnest(range(0, CAST(len(t) AS BIGINT))) AS pos
+                 FROM toks WHERE len(t) > 0),
+        tagged AS (SELECT p.doc_id AS id, CAST(p.pos AS BIGINT) AS pos,
+                          COALESCE(v.tid, 0) AS tid
+                   FROM (SELECT doc_id, pos, t[pos + 1] AS term FROM posx) p
+                   LEFT JOIN vocab v ON v.term = p.term)
+        SELECT id,
+               string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM tagged GROUP BY id"""

@@ -79,8 +79,10 @@ HEADLINE = [
     "hash_classifier",
     "chunk_documents",
     "bm25_topk",
+    "bm25_indexed",
     "phrase_search",
     "vocab_coverage",
+    "tokenize_ids",
     "pagerank",
     "hits",
     "exact_percentiles",

@@ -638,6 +638,26 @@ def main():
         ],
     )
 
+    from walker_spark.operators.textstats import tokenize_ids, vocab_coverage as _vc
+
+    ok &= grab(
+        "tokenize_ids: corpus -> token-id sequences (vocab broadcast "
+        "onto the posexploded token stream; the ONE corpus exchange is "
+        "the doc-keyed reassembly agg; sequence rebuilt partition-"
+        "independently via sort_array over (pos,id))",
+        tokenize_ids(docs, _vc(docs, top_v=50)),
+        [
+            ("vocab joins broadcast", r"BroadcastHashJoin", (1,)),
+            ("the only corpus-sized exchange is keyed on the doc id "
+             "(vocab-build exchanges key on the term)",
+             r"Exchange hashpartitioning\((?!id#|term#)", 0),
+            ("token fan-out is a posexplode in the scan task",
+             r"Generate posexplode", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     from walker_spark.operators.graph import MICRO as _PR_MICRO
 
     pr_edges = spark.createDataFrame(
@@ -674,6 +694,40 @@ def main():
              r"BroadcastNestedLoopJoin", (1,)),
             ("contribution agg is two-phase (map-side partial)",
              r"HashAggregate", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.retrieval import (
+        PostingsIndex,
+        bm25_topk_indexed,
+        build_postings_index,
+    )
+
+    _raw_idx = build_postings_index(docs)
+    # serve-time shape: the index tables come from storage, not from a
+    # live corpus scan — checkpoints stand in for the parquet read
+    idx = PostingsIndex(
+        _raw_idx.postings.localCheckpoint(),
+        _raw_idx.dfreq.localCheckpoint(),
+        _raw_idx.stats.localCheckpoint(),
+    )
+    ok &= grab(
+        "bm25_topk_indexed: BM25 served from the persisted postings "
+        "index (corpus text never read at query time; query terms and "
+        "per-term stats broadcast; the only exchange is the bounded "
+        "per-(query,doc) candidate agg)",
+        bm25_topk_indexed(idx, qdf, k=5),
+        [
+            ("no corpus-text tokenize/explode at serve time (the only "
+             "explodes are query-term tokenization)",
+             r"Generate explode\([^\n]*lower\(text#", 0),
+            ("every exchange is the bounded (query,doc) candidate agg "
+             "or a query-term-sized distinct",
+             r"Exchange hashpartitioning\((?!query_id|term)", 0),
+            ("query terms + dfreq + stats broadcast",
+             r"BroadcastHashJoin|BroadcastNestedLoopJoin", (3,)),
             ("no Python stage anywhere",
              r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
         ],

@@ -1156,3 +1156,67 @@ def test_exact_percentiles_distributed_rank(spark):
     a = {r.q: r.value for r in exact_percentiles(df, "x", qs=(0.5,), partitions=2).collect()}
     b = {r.q: r.value for r in exact_percentiles(df, "x", qs=(0.5,), partitions=13).collect()}
     assert a == b == {0.5: 499}
+
+
+def test_bm25_indexed_parity(spark):
+    """Index-served BM25 is bit-identical to the ad-hoc path, and the
+    round-trip through parquet preserves that."""
+    import tempfile
+
+    from walker_spark.operators.retrieval import (
+        PostingsIndex,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_postings_index,
+    )
+
+    corpus = [
+        (0, "spark shuffle join spark spark"),
+        (1, "shuffle partition skew"),
+        (2, "join broadcast join small table"),
+        (3, "window rank dense rank"),
+        (4, "spark window shuffle join broadcast"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(0, "spark join"), (1, "window"), (2, "nothing matches this")],
+        "query_id int, query string",
+    )
+    direct = sorted(map(tuple, bm25_topk(docs, qdf, k=3).collect()))
+    idx = build_postings_index(docs)
+    served = sorted(map(tuple, bm25_topk_indexed(idx, qdf, k=3).collect()))
+    assert served == direct
+
+    with tempfile.TemporaryDirectory() as d:
+        idx.postings.write.parquet(f"{d}/postings")
+        idx.dfreq.write.parquet(f"{d}/dfreq")
+        idx.stats.write.parquet(f"{d}/stats")
+        loaded = PostingsIndex(
+            spark.read.parquet(f"{d}/postings"),
+            spark.read.parquet(f"{d}/dfreq"),
+            spark.read.parquet(f"{d}/stats"),
+        )
+        roundtrip = sorted(map(tuple, bm25_topk_indexed(loaded, qdf, k=3).collect()))
+    assert roundtrip == direct
+
+
+def test_tokenize_ids_exact(spark):
+    from walker_spark.operators.textstats import tokenize_ids, vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "b a  b Z b"), (2, "a q a"), (3, "zz")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=3, b=3 (tie -> term asc: a id 1, b id 2)
+    out = {r.id: (r.ids, r.n_tokens, r.n_oov)
+           for r in tokenize_ids(docs, vocab_coverage(docs, top_v=2)).collect()}
+    assert out == {
+        1: ([2, 1, 2, 0, 2], 5, 1),   # z is OOV (case-normalized)
+        2: ([1, 0, 1], 3, 1),
+        3: ([0], 1, 1),
+    }
+    # explicit vocab table with custom id column name
+    vocab = spark.createDataFrame([("a", 7), ("zz", 9)], "term string, tok int")
+    out2 = {r.id: r.ids for r in tokenize_ids(
+        docs, vocab, vocab_id_col="tok", oov_id=-1).collect()}
+    assert out2 == {1: [-1, 7, -1, -1, -1], 2: [7, -1, 7], 3: [9]}

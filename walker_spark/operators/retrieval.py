@@ -11,6 +11,8 @@ micro-unit accumulation (see below).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 # Per-(query,doc) scores are sums of per-term double contributions —
@@ -136,36 +138,66 @@ def bm25_topk(
     computed from the matched postings only and broadcasts back. The
     final top-k is a per-query window over candidate docs.
     """
+    base = _tokenized(docs, id_col, text_col)
+    postings = _postings(base)
+    stats = _corpus_stats(base)
+    qterms = _query_terms(queries, query_id_col, query_col)
+    terms_needed = qterms.select("term").distinct()
+    matched = postings.join(F.broadcast(terms_needed), "term")
+    # df(t) over matched postings only (rows are distinct per (id,term))
+    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+    return _score_and_topk(matched, dfreq, stats, qterms, k, k1, b)
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from walker_spark.operators.dedup import tokens
 
     toks = F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
-    base = docs.select(F.col(id_col).alias("id"), toks.alias("_t")).filter(
+    return docs.select(F.col(id_col).alias("id"), toks.alias("_t")).filter(
         F.size("_t") > 0
     )
+
+
+def _postings(base: DataFrame) -> DataFrame:
     # (id, term, tf, dl): dl rides the groupBy key (functionally
     # dependent on id) so no join back to a doc-length table is needed.
-    postings = (
+    return (
         base.select("id", F.size("_t").cast("long").alias("dl"), F.explode("_t").alias("term"))
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+
+
+def _corpus_stats(base: DataFrame) -> DataFrame:
     # corpus stats as a one-row broadcast scalar; avgdl from exact
     # integer sums so both engines divide the same two numbers.
-    stats = base.agg(
+    return base.agg(
         F.count(F.lit(1)).cast("long").alias("_N"),
         F.sum(F.size("_t").cast("long")).alias("_dl_sum"),
     )
+
+
+def _query_terms(queries: DataFrame, query_id_col: str, query_col: str) -> DataFrame:
+    from walker_spark.operators.dedup import tokens
+
     # distinct query terms, broadcast into the postings scan
-    qterms = queries.select(
+    return queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(F.filter(tokens(F.col(query_col)), lambda s: F.length(s) > 0))).alias(
             "term"
         ),
     )
-    terms_needed = qterms.select("term").distinct()
-    matched = postings.join(F.broadcast(terms_needed), "term")
-    # df(t) over matched postings only (rows are distinct per (id,term))
-    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+
+
+def _score_and_topk(
+    matched: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
     scored_terms = (
         matched.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
@@ -226,3 +258,62 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "n_matched", "score")
     )
+
+
+class PostingsIndex(NamedTuple):
+    """Persistable inverted-index tables for BM25 serving — the
+    corpus text is read ONCE at build time; query batches afterwards
+    join these tables only (the minhash_index precedent applied to
+    lexical retrieval).
+
+    * ``postings``: (term, id, tf, dl) — one row per (doc, term).
+    * ``dfreq``: (term, dfreq) — full-vocabulary document frequencies.
+    * ``stats``: one row (_N, _dl_sum) — corpus size / length sum.
+
+    All three are plain DataFrames: write them as tables and read them
+    back to serve; schemas are stable and contain no text.
+    """
+
+    postings: DataFrame
+    dfreq: DataFrame
+    stats: DataFrame
+
+
+def build_postings_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> PostingsIndex:
+    """One corpus scan -> the three BM25 index tables. ``dfreq`` here
+    is computed over the whole vocabulary (unlike the ad-hoc
+    :func:`bm25_topk`, which only needs it for the query terms), but
+    it is exactly one row per distinct term — vocabulary-sized, far
+    below corpus-sized, and the values are identical to the ad-hoc
+    path's by construction (both count docs containing the term)."""
+    base = _tokenized(docs, id_col, text_col)
+    postings = _postings(base)
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("dfreq")
+    )
+    return PostingsIndex(postings, dfreq, _corpus_stats(base))
+
+
+def bm25_topk_indexed(
+    index: PostingsIndex,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """BM25 top-k served from a prebuilt :class:`PostingsIndex` —
+    bit-identical output to :func:`bm25_topk` on the same corpus
+    (parity pytest-asserted), but the corpus text is never touched:
+    the postings table is filtered by the broadcast query-term set and
+    everything downstream is bounded by |queries| x terms-per-query.
+    This is the daily-serving shape: build once, serve many batches.
+    """
+    qterms = _query_terms(queries, query_id_col, query_col)
+    terms_needed = qterms.select("term").distinct()
+    matched = index.postings.join(F.broadcast(terms_needed), "term")
+    dfreq = index.dfreq.join(F.broadcast(terms_needed), "term")
+    return _score_and_topk(matched, dfreq, index.stats, qterms, k, k1, b)

@@ -831,3 +831,58 @@ def exact_percentiles(
             "n",
         )
     )
+
+
+def tokenize_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_term_col: str = "term",
+    vocab_id_col: str = "rank",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Map the corpus to token-id sequences against a trained
+    vocabulary — the pre-training tokenization pass that follows
+    :func:`vocab_coverage` (whose output, (rank, term, ...), is a
+    valid ``vocab`` as-is: rank IS the token id, ``oov_id=0`` is
+    reserved because ranks start at 1).
+
+    Returns ``(id, ids, n_tokens, n_oov)`` where ``ids`` is the
+    position-ordered ``array<int>`` of token ids (OOV tokens map to
+    ``oov_id``).
+
+    Scale shape: tokens posexplode in the scan task, the vocabulary
+    broadcast-joins onto the token stream (a tokenizer vocab is MBs —
+    always broadcastable), and the ONE corpus exchange is the
+    reassembly aggregate keyed on the doc id; the id sequence is
+    rebuilt with sort_array over (pos, id) structs, so the output is
+    independent of partitioning. Zero Python.
+    """
+    from walker_spark.operators.dedup import tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+    stream = docs.select(F.col(id_col).alias("id"), toks.alias("_t")).select(
+        "id", F.posexplode("_t").alias("pos", "term")
+    )
+    v = vocab.select(
+        F.col(vocab_term_col).alias("term"),
+        F.col(vocab_id_col).cast("int").alias("_tid"),
+    )
+    tagged = stream.join(F.broadcast(v), "term", "left").select(
+        "id",
+        "pos",
+        F.coalesce("_tid", F.lit(int(oov_id)).cast("int")).alias("_tid"),
+    )
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "_tid"))),
+                lambda s: s["_tid"],
+            ).alias("ids"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("_tid") == oov_id).cast("long")).alias("n_oov"),
+        )
+        .select("id", "ids", "n_tokens", "n_oov")
+    )
