@@ -684,6 +684,46 @@ def q_c4_rules(spark, sf_dir):
     return c4_rules(planted)
 
 
+def _planted_c4_docs(spark, sf_dir):
+    """The q_c4_rules planted corpus, shared with q_quality_pipeline
+    (same CTE in both oracles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(F.col("text"), F.lit(" lorem ipsum")),
+                )
+                .when(F.col("doc_id") % 17 == 0, F.concat(F.lit("{ "), F.col("text")))
+                .otherwise(F.col("text")),
+                F.lit(" table "),
+                F.lit(".\n"),
+            ),
+            F.lit(" row "),
+            F.lit(" javascript "),
+        ).alias("text"),
+    )
+
+
+def q_quality_pipeline(spark, sf_dir):
+    """The full C4 -> Gopher -> classifier cleaning chain as one fused
+    zero-exchange pass over the planted corpus; thresholds (c4 line
+    words 3 / sentences 1, gopher min_words 10 / stop_hits 1, prob
+    0.5) chosen so every gate splits the verdict and a few documents
+    survive end-to-end."""
+    from walker_spark.operators.textstats import quality_pipeline
+
+    return quality_pipeline(
+        _planted_c4_docs(spark, sf_dir),
+        c4_min_line_words=3,
+        c4_min_sentences=1,
+        min_stop_hits=1,
+        gopher_min_words=10,
+    )
+
+
 def q_hash_classifier(spark, sf_dir):
     """FastText-style hashed linear quality classifier (Joulin et al.
     2017) with deterministic integer bucket weights — exact int64
@@ -921,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "c4_rules": q_c4_rules,
         "hash_classifier": q_hash_classifier,
+        "quality_pipeline": q_quality_pipeline,
         "chunk_documents": q_chunk_documents,
         "bm25_topk": q_bm25_topk,
         "bm25_indexed": q_bm25_indexed,
@@ -1596,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
             FROM derived""",
         "c4_rules": _c4_rules_sql(),
         "hash_classifier": _hash_classifier_sql(),
+        "quality_pipeline": _quality_pipeline_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "bm25_topk": _bm25_sql(),
         "bm25_indexed": _bm25_sql(),
@@ -2176,3 +2218,127 @@ def _tokenize_ids_sql(top_v: int = 20) -> str:
                CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         FROM tagged GROUP BY id"""
+
+
+def _quality_pipeline_sql(
+    c4_min_line_words: int = 3,
+    c4_min_sentences: int = 1,
+    min_stop_hits: int = 1,
+    gopher_min_words: int = 10,
+    min_prob: float = 0.5,
+    dim: int = 4096,
+    seed: str = "qc1",
+) -> str:
+    """SQL replica of the fused C4 -> Gopher -> classifier chain over
+    the q_c4_rules planted corpus: the C4 stage reuses that oracle's
+    CTE shape, then Gopher and the classifier judge the CLEANED text
+    (every fragment is the per-gate oracle's, re-pointed at ct)."""
+    bad = (
+        "(contains(lower(text), 'lorem ipsum')"
+        " OR contains(lower(text), 'terms of use')"
+        " OR contains(lower(text), 'privacy policy')"
+        " OR contains(lower(text), 'cookie policy')"
+        " OR contains(lower(text), 'uses cookies'))"
+    )
+    n_sent = (
+        "((len(ct) - len(replace(ct, '.', '')))"
+        " + (len(ct) - len(replace(ct, '!', '')))"
+        " + (len(ct) - len(replace(ct, '?', ''))))"
+    )
+    b_expr = f"({_md5_hex_int_sql('s', 8)}) % {dim}"
+    w_arg = f"'{seed}:' || CAST(bk AS VARCHAR)"
+    w_expr = f"((({_md5_hex_int_sql(w_arg, 8)}) % 2001) - 1000)"
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+            replace(replace(
+              CASE WHEN doc_id % 13 = 0 THEN text || ' lorem ipsum'
+                   WHEN doc_id % 17 = 0 THEN '{{ ' || text
+                   ELSE text END,
+              ' table ', '.' || chr(10)), ' row ', ' javascript ') AS text
+          FROM documents
+        ), keptt AS (
+          SELECT doc_id, text,
+            list_filter(
+              list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0),
+              x ->
+              (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+               OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+              AND len(list_filter(string_split_regex(lower(trim(x)), '\\s+'),
+                                  w -> len(w) > 0)) >= {c4_min_line_words}
+              AND NOT contains(lower(trim(x)), 'javascript')) AS keptl
+          FROM planted
+        ), c4v AS (
+          SELECT doc_id AS id,
+                 coalesce(array_to_string(keptl, chr(10)), '') AS ct,
+                 ((NOT contains(text, '{{')) AND (NOT {bad})) AS page_ok
+          FROM keptt
+        ), c4p AS (
+          SELECT id, ct, (page_ok AND {n_sent} >= {c4_min_sentences}) AS c4_pass
+          FROM c4v
+        ), gb AS (
+          SELECT id, ct, c4_pass,
+            list_filter(string_split(trim(regexp_replace(lower(ct), '\\s+', ' ', 'g')), ' '),
+                        x -> length(x) > 0) AS toks,
+            list_filter(string_split(ct, chr(10)), x -> length(trim(x)) > 0) AS lines,
+            (length(ct) - length(replace(ct, '#', ''))) AS n_hash,
+            CAST(floor((length(ct) - length(replace(ct, '...', ''))) / 3.0) AS BIGINT) AS n_dots,
+            (length(ct) - length(replace(ct, '…', ''))) AS n_uni
+          FROM c4p
+        ), gd AS (
+          SELECT id, ct, c4_pass,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            round(CASE WHEN len(toks) > 0
+                  THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE / len(toks)
+                  ELSE 0 END, 4) AS mean_word_len,
+            round(CASE WHEN len(toks) > 0
+                  THEN (n_hash + n_dots + n_uni)::DOUBLE / len(toks)
+                  ELSE 0 END, 4) AS symbol_ratio,
+            round(CASE WHEN len(lines) > 0
+                  THEN len(list_filter(lines, x -> starts_with(trim(x), '-')
+                       OR starts_with(trim(x), '*')
+                       OR starts_with(trim(x), '•')))::DOUBLE / len(lines)
+                  ELSE 0 END, 4) AS bullet_frac,
+            round(CASE WHEN len(lines) > 0
+                  THEN len(list_filter(lines, x -> ends_with(trim(x), '...')
+                       OR ends_with(trim(x), '…')))::DOUBLE / len(lines)
+                  ELSE 0 END, 4) AS ellipsis_frac,
+            round(CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks)
+                  ELSE 0 END, 4) AS alpha_frac,
+            CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                 w -> list_contains(toks, w))) AS INT) AS stop_hits
+          FROM gb
+        ), gv AS (
+          SELECT id, ct, c4_pass,
+            (n_words >= {gopher_min_words} AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+             AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+             AND stop_hits >= {min_stop_hits}) AS gopher_pass
+          FROM gd
+        ), ctoks AS (
+          SELECT id, c4_pass, gopher_pass,
+            list_filter(string_split_regex(trim(regexp_replace(lower(ct), '\\s+', ' ', 'g')), ' '),
+                        s0 -> len(s0) > 0) AS t
+          FROM gv
+        ), w AS (
+          SELECT id, c4_pass, gopher_pass, len(t) AS n,
+            list_aggregate(
+              list_transform(list_transform(t, s -> {b_expr}), bk -> {w_expr}),
+              'sum') AS total
+          FROM ctoks
+        ), probt AS (
+          SELECT id, c4_pass, gopher_pass,
+            round(1.0 / (1.0 + exp(-(CASE WHEN n > 0
+              THEN CAST(floor((20 * total + n) / (2.0 * n)) AS DOUBLE) / 10000.0
+              ELSE 0.0 END))), 4) AS prob
+          FROM w
+        )
+        SELECT id, c4_pass, gopher_pass, prob,
+          (c4_pass AND gopher_pass AND prob >= {min_prob!r}) AS quality_pass,
+          concat_ws(',',
+            CASE WHEN NOT c4_pass THEN 'c4' END,
+            CASE WHEN NOT gopher_pass THEN 'gopher' END,
+            CASE WHEN prob < {min_prob!r} THEN 'classifier' END) AS fail_reasons
+        FROM probt"""

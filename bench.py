@@ -83,6 +83,7 @@ HEADLINE = [
     "phrase_search",
     "vocab_coverage",
     "tokenize_ids",
+    "quality_pipeline",
     "pagerank",
     "hits",
     "exact_percentiles",

@@ -638,6 +638,26 @@ def main():
         ],
     )
 
+    from walker_spark.operators.textstats import quality_pipeline
+
+    ok &= grab(
+        "quality_pipeline: fused C4 -> Gopher -> classifier verdict "
+        "(the chain runs through passthrough columns, so the whole "
+        "three-gate pipeline is ONE zero-exchange whole-stage-codegen "
+        "scan of the corpus)",
+        quality_pipeline(docs),
+        [
+            ("zero exchanges", r"Exchange", 0),
+            ("the chain is a pure Project stack — no join anywhere "
+             "(higher-order array exprs keep it a single narrow stage)",
+             r"Join", 0),
+            ("all three gates stack as projections over one scan",
+             r"Project", (3,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     from walker_spark.operators.textstats import tokenize_ids, vocab_coverage as _vc
 
     ok &= grab(

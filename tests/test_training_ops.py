@@ -1220,3 +1220,41 @@ def test_tokenize_ids_exact(spark):
     out2 = {r.id: r.ids for r in tokenize_ids(
         docs, vocab, vocab_id_col="tok", oov_id=-1).collect()}
     assert out2 == {1: [-1, 7, -1, -1, -1], 2: [7, -1, 7], 3: [9]}
+
+
+def test_quality_pipeline_verdicts(spark):
+    """One planted doc per failure mode; the survivor passes all
+    three gates; reasons come in the fixed c4,gopher,classifier order."""
+    from walker_spark.operators.textstats import quality_pipeline
+
+    good = (
+        "the data and the table are of good shape because we scan them. "
+        "that is why we have to keep all of it with care. "
+        "the rest is here to be counted with the others."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good.replace(". ", ".\n")),        # passes everything
+            (2, "{ " + good.replace(". ", ".\n")), # c4 kill: brace
+            (3, "no terminal punctuation here at all"),  # c4: no kept lines
+            (4, "the of it.\nand to me.\nwith that one.\n"),  # c4 ok; gopher: 9 words < 10
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.c4_pass, r.gopher_pass, r.quality_pass, r.fail_reasons)
+        for r in quality_pipeline(
+            docs, c4_min_line_words=3, c4_min_sentences=1,
+            min_stop_hits=1, gopher_min_words=10, min_prob=0.0,
+        ).collect()
+    }
+    assert out[1][:3] == (True, True, True) and out[1][3] == ""
+    assert out[2][0] is False and "c4" in out[2][3]
+    assert out[3][0] is False
+    assert out[4] == (True, False, False, "gopher")
+    # with a prob floor of 1.0 nothing survives and the reason says so
+    strict = quality_pipeline(
+        docs, c4_min_line_words=3, c4_min_sentences=1,
+        min_stop_hits=1, gopher_min_words=10, min_prob=1.01,
+    ).filter("quality_pass").count()
+    assert strict == 0

@@ -333,6 +333,7 @@ def gopher_rules(
     min_words: int = 50,
     max_words: int = 100_000,
     min_stop_hits: int = 2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Composite Gopher document-quality filter (Rae et al. 2021,
     Table A1): the standard pre-training repetition/boilerplate gate,
@@ -416,6 +417,7 @@ def gopher_rules(
     stop_hits = stop_hits.cast("int")
     out = df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in passthrough],
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -529,6 +531,7 @@ def hash_classifier_scores(
     dim: int = 4096,
     seed: str = "qc1",
     weights: DataFrame | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """FastText-style hashed linear quality classifier (Joulin et al.
     2017; the CCNet / GPT-3 quality-filter shape: a linear model over
@@ -577,7 +580,9 @@ def hash_classifier_scores(
             )
 
         base = df.select(
-            F.col(id_col).alias("id"), toks_col.alias("_t")
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in passthrough],
+            toks_col.alias("_t"),
         )
         n = F.size("_t").cast("long")
         total = F.aggregate(
@@ -611,7 +616,9 @@ def hash_classifier_scores(
                 F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_sum"),
             )
         )
-        base = df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
+        base = df.select(
+            F.col(id_col).alias("id"), *[F.col(c) for c in passthrough]
+        ).join(per_doc, "id", "left")
         n = F.coalesce(F.col("_n"), F.lit(0))
         logit = F.when(
             n > 0, F.col("_sum") / n.cast("double")
@@ -619,6 +626,7 @@ def hash_classifier_scores(
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
     return base.select(
         "id",
+        *[F.col(c) for c in passthrough],
         n.cast("long").alias("n_tokens"),
         F.round(logit, 4).alias("logit"),
         F.round(prob, 4).alias("prob"),
@@ -885,4 +893,77 @@ def tokenize_ids(
             F.sum((F.col("_tid") == oov_id).cast("long")).alias("n_oov"),
         )
         .select("id", "ids", "n_tokens", "n_oov")
+    )
+
+
+def quality_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    c4_min_line_words: int = 5,
+    c4_min_sentences: int = 3,
+    min_stop_hits: int = 2,
+    gopher_min_words: int = 50,
+    min_prob: float = 0.5,
+    classifier_dim: int = 4096,
+    classifier_seed: str = "qc1",
+) -> DataFrame:
+    """The full document-cleaning chain as ONE fused pass — the
+    C4 -> Gopher -> classifier order real pre-training pipelines run
+    (FineWeb / RefinedWeb shape): C4 line-filters the raw text, Gopher
+    and the hashed linear classifier then judge the CLEANED text, and
+    the document survives only if every gate passes.
+
+    Returns ``(id, c4_pass, gopher_pass, prob, quality_pass,
+    fail_reasons)`` — ``fail_reasons`` is a comma-joined list drawn
+    from {c4, gopher, classifier} in that fixed order (empty when the
+    doc passes).
+
+    Scale shape: all three gates are zero-shuffle narrow projections,
+    and chaining happens through the ``passthrough`` columns — the
+    whole verdict computes in ONE whole-stage-codegen scan of the
+    corpus with ZERO exchanges (PLANS.md asserts it). Each stage's
+    rule inputs stay available upstream (call the stages directly for
+    re-thresholding); this operator is the verdict projection.
+    """
+    c4 = c4_rules(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_line_words=c4_min_line_words,
+        min_sentences=c4_min_sentences,
+    )
+    g = gopher_rules(
+        c4,
+        id_col="id",
+        text_col="clean_text",
+        min_words=gopher_min_words,
+        min_stop_hits=min_stop_hits,
+        passthrough=("c4_pass", "clean_text"),
+    )
+    hc = hash_classifier_scores(
+        g,
+        id_col="id",
+        text_col="clean_text",
+        dim=classifier_dim,
+        seed=classifier_seed,
+        passthrough=("c4_pass", "gopher_pass"),
+    )
+    passes = (
+        F.col("c4_pass")
+        & F.col("gopher_pass")
+        & (F.col("prob") >= F.lit(min_prob))
+    )
+    return hc.select(
+        "id",
+        "c4_pass",
+        "gopher_pass",
+        "prob",
+        passes.alias("quality_pass"),
+        F.concat_ws(
+            ",",
+            F.when(~F.col("c4_pass"), F.lit("c4")),
+            F.when(~F.col("gopher_pass"), F.lit("gopher")),
+            F.when(F.col("prob") < min_prob, F.lit("classifier")),
+        ).alias("fail_reasons"),
     )
