@@ -858,7 +858,9 @@ def tokenize_ids(
 
     Returns ``(id, ids, n_tokens, n_oov)`` where ``ids`` is the
     position-ordered ``array<int>`` of token ids (OOV tokens map to
-    ``oov_id``).
+    ``oov_id``). Documents whose normalized text has no tokens emit no
+    row (nothing to train on); left-join back to the corpus if the
+    empty docs must be carried.
 
     Scale shape: tokens posexplode in the scan task, the vocabulary
     broadcast-joins onto the token stream (a tokenizer vocab is MBs —
