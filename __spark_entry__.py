@@ -895,6 +895,27 @@ def q_exact_percentiles(spark, sf_dir):
     return exact_percentiles(docs, "n_tokens", qs=PCTL_QS)
 
 
+# Query-by-example documents for the hybrid RRF driver check — any ids
+# in the documents ∩ embeddings key range work; fixed for determinism.
+HYBRID_EXAMPLE_IDS: tuple[int, ...] = (3, 57, 211)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid query-by-example retrieval: a BM25 leg (the example
+    doc's text as the query) and a dense cosine leg (its embedding)
+    fused by Reciprocal Rank Fusion in exact integer math
+    (retrieval.RRF_SCALE div (60 + rank) summed as BIGINT)."""
+    from walker_spark.operators.retrieval import hybrid_topk
+
+    return hybrid_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        list(HYBRID_EXAMPLE_IDS),
+        k=10,
+        k_leg=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -965,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "bm25_topk": q_bm25_topk,
         "bm25_indexed": q_bm25_indexed,
+        "hybrid_rrf": q_hybrid_rrf,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1641,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_documents_sql(),
         "bm25_topk": _bm25_sql(),
         "bm25_indexed": _bm25_sql(),
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2040,6 +2063,90 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
               FROM pq)
+        WHERE rn <= {k}"""
+
+
+def _hybrid_rrf_sql(
+    k: int = 10, k_leg: int = 20, rrf_k: int = 60, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """SQL replica of retrieval.hybrid_topk over HYBRID_EXAMPLE_IDS:
+    the BM25 CTEs are the _bm25_sql shape restricted to the
+    documents-with-embeddings corpus (query text selected from the
+    corpus, not literal), the dense leg is list_cosine_similarity
+    rounded to 3 (the embedding_topk precedent), and the fusion is
+    pure BIGINT arithmetic (scale // (rrf_k + rank), summed — CAST to
+    BIGINT per the HUGEINT rule)."""
+    from walker_spark.operators.retrieval import RRF_SCALE
+
+    exvals = ", ".join(f"({i})" for i in HYBRID_EXAMPLE_IDS)
+    qtok = (
+        "list_filter(string_split_regex(trim(regexp_replace(lower(query),"
+        " '\\s+', ' ', 'g')), ' '), s0 -> len(s0) > 0)"
+    )
+    return f"""
+        WITH ex(query_id) AS (VALUES {exvals}),
+        corpus AS (SELECT d.doc_id, d.text, e.embedding
+                   FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM corpus),
+        nz AS (SELECT * FROM toks WHERE len(t) > 0),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                         CAST(sum(len(t)) AS BIGINT) AS dl_sum FROM nz),
+        postings AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM nz)
+          GROUP BY doc_id, dl, term
+        ),
+        q AS (SELECT c.doc_id AS query_id, c.text AS query
+              FROM corpus c JOIN ex ON ex.query_id = c.doc_id),
+        qterms AS (SELECT query_id, unnest(list_distinct({qtok})) AS term FROM q),
+        matched AS (SELECT p.* FROM postings p
+                    JOIN (SELECT DISTINCT term FROM qterms) tn USING (term)),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM matched GROUP BY term),
+        scoredt AS (
+          SELECT m.term, m.doc_id,
+            CAST(floor((ln(1.0 + (s.N - d.dfreq + 0.5) / (d.dfreq + 0.5))
+              * (m.tf * {k1 + 1!r})
+              / (m.tf + {k1!r} * ({1.0 - b!r} + ({b!r} * CAST(m.dl AS DOUBLE))
+                                  / (CAST(s.dl_sum AS DOUBLE) / s.N))))
+              * 1000000 + 0.5) AS BIGINT) AS micro
+          FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s
+        ),
+        pq AS (
+          SELECT qt.query_id, st.doc_id,
+                 CAST(floor((sum(st.micro) + 50) / 100.0) AS DOUBLE) / 10000.0 AS score
+          FROM scoredt st JOIN qterms qt USING (term)
+          GROUP BY 1, 2
+        ),
+        bm25 AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS r
+                 FROM (SELECT *, row_number() OVER (
+                           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+                       FROM pq)
+                 WHERE rn <= {k_leg}),
+        dsc AS (SELECT qe.doc_id AS query_id, c.doc_id,
+                       round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                    qe.embedding::DOUBLE[]), 3) AS score
+                FROM corpus c CROSS JOIN
+                     (SELECT c2.doc_id, c2.embedding FROM corpus c2
+                      JOIN ex ON ex.query_id = c2.doc_id) qe),
+        dense AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS r
+                  FROM (SELECT *, row_number() OVER (
+                            PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+                        FROM dsc)
+                  WHERE rn <= {k_leg}),
+        fused AS (
+          SELECT query_id, doc_id,
+                 CAST(sum({RRF_SCALE} // ({rrf_k} + r)) AS BIGINT) AS rrf_score,
+                 CAST(count(*) AS INT) AS n_legs,
+                 CAST(coalesce(max(CASE WHEN leg = 'bm25' THEN r END), 0) AS INT) AS bm25_rank,
+                 CAST(coalesce(max(CASE WHEN leg = 'dense' THEN r END), 0) AS INT) AS dense_rank
+          FROM (SELECT 'bm25' AS leg, * FROM bm25
+                UNION ALL SELECT 'dense' AS leg, * FROM dense)
+          GROUP BY 1, 2)
+        SELECT query_id, doc_id, CAST(rn AS INT) AS rank,
+               rrf_score, n_legs, bm25_rank, dense_rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rn
+              FROM fused)
         WHERE rn <= {k}"""
 
 

@@ -80,6 +80,7 @@ HEADLINE = [
     "chunk_documents",
     "bm25_topk",
     "bm25_indexed",
+    "hybrid_rrf",
     "phrase_search",
     "vocab_coverage",
     "tokenize_ids",

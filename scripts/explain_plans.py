@@ -753,6 +753,55 @@ def main():
         ],
     )
 
+    from walker_spark.operators.retrieval import hybrid_topk
+    from walker_spark.operators.similarity import dense_topk
+
+    _emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(
+            (F.crc32(F.col("text").cast("binary")) % 100).cast("double"),
+            (F.crc32(F.concat(F.col("text"), F.lit("x")).cast("binary")) % 100).cast("double"),
+        ).alias("embedding"),
+    )
+    _qvec = _emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    ok &= grab(
+        "dense_topk: multi-query exact cosine (queries broadcast into "
+        "the ONE embeddings scan; two-stage top-k — the only exchange "
+        "of score rows is keyed on (query_id, scan-partition id), so a "
+        "hot query never lands on one task; the global window ranks "
+        "the tiny surviving set)",
+        dense_topk(_emb, _qvec, k=5),
+        [
+            ("queries broadcast (no shuffle of the corpus for the join)",
+             r"BroadcastNestedLoopJoin", (1,)),
+            ("score exchanges keyed on query_id/_pid only",
+             r"Exchange hashpartitioning\((?!query_id|_pid)", 0),
+            ("partial top-k window is partition-id keyed",
+             r"Window.*_pid", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    ok &= grab(
+        "hybrid_topk: query-by-example BM25 + dense RRF fusion (each "
+        "leg touches the corpus once; the fusion groupBy/window operate "
+        "on |queries| x 2 x k_leg rows only; RRF contributions are "
+        "exact integer div — no doubles in the fused score)",
+        hybrid_topk(docs, _emb, [0], k=5, k_leg=3),
+        [
+            ("every exchange is doc-keyed (corpus join/postings/candidates)"
+             " or bounded fusion keys",
+             r"Exchange hashpartitioning\((?!id|term|query_id|dl|doc_id|_pid)", 0),
+            ("query terms/stats/queries broadcast",
+             r"BroadcastHashJoin|BroadcastNestedLoopJoin", (4,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     from walker_spark.operators.graph import HITS_SCALE, _hits_step
     from walker_spark.operators.textstats import exact_percentiles
 

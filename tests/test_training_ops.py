@@ -1258,3 +1258,97 @@ def test_quality_pipeline_verdicts(spark):
         min_stop_hits=1, gopher_min_words=10, min_prob=1.01,
     ).filter("quality_pass").count()
     assert strict == 0
+
+
+def test_rrf_fuse_exact_integer(spark):
+    """Fused scores are exact BIGINT sums of scale div (rrf_k + rank);
+    per-leg rank columns pivot correctly and ties break on doc_id."""
+    from walker_spark.operators.retrieval import RRF_SCALE, rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id int, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 12, 3)], "query_id int, doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse({"a": a, "b": b}, k=10).collect()}
+
+    def c(r):
+        return RRF_SCALE // (60 + r)
+
+    assert out[11]["rrf_score"] == c(2) + c(1) and out[11]["n_legs"] == 2
+    assert out[12]["rrf_score"] == c(3) + c(3) and out[12]["n_legs"] == 2
+    assert out[10]["rrf_score"] == c(1) and out[10]["a_rank"] == 1 and out[10]["b_rank"] == 0
+    assert out[13]["rrf_score"] == c(2) and out[13]["a_rank"] == 0 and out[13]["b_rank"] == 2
+    # doc 11 fuses highest; 10 (single top-1 leg) vs 12 (two rank-3s):
+    # c(1) = 16393442 < c(3)*2 = 31746030, so 12 outranks 10
+    ranks = {d: r["rank"] for d, r in out.items()}
+    assert ranks == {11: 1, 12: 2, 10: 3, 13: 4}
+
+
+def test_dense_topk_matches_brute_and_partitioning(spark):
+    """Multi-query dense_topk equals per-query cosine_topk, and the
+    two-stage top-k is invariant to the input partitioning."""
+    import hashlib
+
+    from walker_spark.operators.similarity import cosine_topk, dense_topk
+
+    def vec(i):
+        return [
+            (int.from_bytes(hashlib.md5(f"{i}:{d}".encode()).digest()[:4], "big")
+             / 2**31) - 1.0
+            for d in range(8)
+        ]
+
+    rows = [(i, vec(i)) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(7, vec(7)), (19, vec(19))], "query_id long, qvec array<double>"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in dense_topk(df, qdf, k=5).collect()
+    }
+    for qid in (7, 19):
+        brute = cosine_topk(df, vec(qid), k=5).collect()
+        for rank, r in enumerate(brute, 1):
+            assert got[(qid, rank)] == (r["id"], r["score"])
+    # self similarity is 1.0 at rank 1
+    assert got[(7, 1)][0] == 7 and got[(7, 1)][1] == 1.0
+
+    reparted = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in dense_topk(df.repartition(13), qdf, k=5).collect()
+    }
+    assert reparted == got
+
+
+def test_hybrid_topk_fuses_both_legs(spark):
+    """Query-by-example hybrid: the example doc tops both legs (rank 1
+    lexical + rank 1 dense => max possible RRF score) and docs
+    retrieved by only one leg still appear with the other rank 0."""
+    from walker_spark.operators.retrieval import RRF_SCALE, hybrid_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffle join spark spark"),
+            (1, "shuffle partition skew"),
+            (2, "join broadcast join small table"),
+            (3, "window rank dense rank"),
+            (4, "spark window shuffle join broadcast"),
+        ],
+        "doc_id long, text string",
+    )
+    # embeddings: doc 0's nearest dense neighbour is 3 (lexically unrelated)
+    vecs = {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [-1.0, 0.2], 3: [0.9, 0.1], 4: [0.1, 0.9]}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = {r["doc_id"]: r for r in hybrid_topk(docs, emb, [0], k=5, k_leg=3).collect()}
+    self_row = out[0]
+    assert self_row["rank"] == 1
+    assert self_row["bm25_rank"] == 1 and self_row["dense_rank"] == 1
+    assert self_row["rrf_score"] == 2 * (RRF_SCALE // 61)
+    assert self_row["n_legs"] == 2
+    # doc 3 is dense-only top-2, never lexically relevant to doc 0's text
+    assert out[3]["dense_rank"] == 2 and out[3]["bm25_rank"] == 0 and out[3]["n_legs"] == 1

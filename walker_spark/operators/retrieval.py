@@ -317,3 +317,127 @@ def bm25_topk_indexed(
     matched = index.postings.join(F.broadcast(terms_needed), "term")
     dfreq = index.dfreq.join(F.broadcast(terms_needed), "term")
     return _score_and_topk(matched, dfreq, index.stats, qterms, k, k1, b)
+
+
+# Reciprocal-rank-fusion contributions are 1/(rrf_k + rank) — not
+# representable exactly in binary, so each is quantized by EXACT
+# integer division (RRF_SCALE div (rrf_k + rank)) before the sum; the
+# fused score is then a plain BIGINT, order-invariant and bit-identical
+# in the DuckDB oracle (same rule as the BM25 micro-units).
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    legs: dict[str, DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    scale: int = RRF_SCALE,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) over
+    named ranked lists: each leg is a (query_id, doc_id, rank)
+    DataFrame; a document's fused score is the exact-integer sum of
+    ``scale div (rrf_k + rank)`` over the legs that retrieved it.
+
+    Returns (query_id, doc_id, rank, rrf_score, n_legs, <name>_rank
+    per leg — 0 when that leg did not retrieve the doc), the top ``k``
+    per query by (rrf_score desc, doc_id asc).
+
+    Scale shape: the legs are already top-k_leg bounded, so everything
+    here is |queries| x legs x k_leg rows — one union, one groupBy on
+    (query_id, doc_id) that also pivots the per-leg ranks (no join per
+    leg), one window over the bounded fused set.
+    """
+    names = list(legs)
+    tagged = None
+    for name, leg in legs.items():
+        t = leg.select(
+            "query_id",
+            "doc_id",
+            F.lit(name).alias("_leg"),
+            F.col("rank").cast("long").alias("_r"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    contrib = tagged.withColumn(
+        "_c", F.expr(f"{scale} div ({rrf_k} + _r)").cast("long")
+    )
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("_c").cast("long").alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_legs"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_leg") == name, F.col("_r"))), F.lit(0)
+            )
+            .cast("int")
+            .alias(f"{name}_rank")
+            for name in names
+        ],
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            "rrf_score",
+            "n_legs",
+            *[f"{name}_rank" for name in names],
+        )
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    example_ids: list[int],
+    k: int = 10,
+    k_leg: int = 20,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid query-by-example retrieval ("more like this"): for each
+    example document, run a lexical BM25 leg (the example's text as
+    the query) and a dense cosine leg (the example's embedding as the
+    query vector) over the corpus of documents that have embeddings,
+    then fuse the two top-``k_leg`` lists with :func:`rrf_fuse`.
+
+    The example document itself is always dense rank 1 (cosine 1.0
+    with itself) but NOT necessarily BM25 rank 1 — a doc repeating the
+    example's rare terms more densely can out-score it lexically.
+    Callers wanting pure neighbours drop rows where doc_id ==
+    query_id.
+
+    Scale shape: the text/embedding join shuffles on the doc key once
+    per leg (bucket both tables by doc id to make it storage-
+    partitioned); each leg then touches the corpus exactly once (BM25:
+    postings groupBy; dense: one scored scan) and the fusion operates
+    on |examples| x 2 x k_leg rows only.
+    """
+    from walker_spark.operators.similarity import dense_topk
+
+    corpus = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).join(
+        embeddings.select(
+            F.col(vec_id_col).alias("id"), F.col(vec_col).alias("vec")
+        ),
+        "id",
+    )
+    ex = [int(i) for i in example_ids]
+    qtext = corpus.filter(F.col("id").isin(ex)).select(
+        F.col("id").alias("query_id"), F.col("text").alias("query")
+    )
+    qvec = corpus.filter(F.col("id").isin(ex)).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    bm25 = bm25_topk(corpus, qtext, k=k_leg, k1=k1, b=b, id_col="id", text_col="text")
+    dense = dense_topk(corpus, qvec, k=k_leg, id_col="id", vec_col="vec")
+    return rrf_fuse({"bm25": bm25, "dense": dense}, k=k, rrf_k=rrf_k)

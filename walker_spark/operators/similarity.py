@@ -467,3 +467,65 @@ def pq_topk(
         )
         return cosine_topk(keep, query_vec, k, id_col, vec_col)
     return scored.orderBy("approx_dist", "id").limit(k)
+
+
+def dense_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact multi-query cosine top-k: every corpus vector is scored
+    against every query in the broadcast ``queries`` frame (bounded by
+    the serving batch, never by corpus size) and the per-query top ``k``
+    returned as (query_id, doc_id, rank, score) — score rounded to 3
+    decimals (the cross-engine-stable cosine precision used throughout),
+    ties broken by doc_id.
+
+    Scale shape: ONE pass over the embeddings, scores computed in the
+    scan task (zip_with/aggregate fold — no Python). The top-k is
+    two-stage so no task ever holds a whole query's corpus: a window
+    keyed on (query_id, scan-partition id) takes a partial top-k — the
+    only exchange of the narrow (query_id, id, score) rows, keyed on
+    ~partitions x queries values so a hot query never lands on one
+    task — then the global window ranks the surviving
+    queries x partitions x k rows (tiny).
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(qvec_col).cast("array<double>").alias("_qv"),
+        )
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .crossJoin(q)
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            "_pid",
+            F.round(
+                F.try_divide(_dot(v, F.col("_qv")), _norm(v) * _norm(F.col("_qv"))),
+                3,
+            ).alias("score"),
+        )
+    )
+    w_part = Window.partitionBy("query_id", "_pid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_glob = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_pr", F.row_number().over(w_part))
+        .filter(F.col("_pr") <= k)
+        .withColumn("rank", F.row_number().over(w_glob).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
