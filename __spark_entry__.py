@@ -895,6 +895,14 @@ def q_exact_percentiles(spark, sf_dir):
     return exact_percentiles(docs, "n_tokens", qs=PCTL_QS)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints over the documents table: word
+    5-grams, window 4, rightmost-min tie-break — pure integer math."""
+    from walker_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+
+
 # Query-by-example documents for the hybrid RRF driver check — any ids
 # in the documents ∩ embeddings key range work; fixed for determinism.
 HYBRID_EXAMPLE_IDS: tuple[int, ...] = (3, 57, 211)
@@ -987,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_indexed": q_bm25_indexed,
         "hybrid_rrf": q_hybrid_rrf,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1664,6 +1673,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_indexed": _bm25_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "winnow_fingerprints": _winnow_fingerprints_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2064,6 +2074,33 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
               FROM pq)
         WHERE rn <= {k}"""
+
+
+def _winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
+    """SQL replica of textstats.winnow_fingerprints: identical packed
+    (hash32, 2^31-1-pos) key, identical w-row window min, identical
+    unpack — pure BIGINT arithmetic end to end."""
+    lim = 2_147_483_648
+    return f"""
+        WITH toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents),
+        posx AS (SELECT doc_id, t,
+                        unnest(range(0, CAST(len(t) AS BIGINT) - {k} + 1)) AS pos
+                 FROM toks WHERE len(t) >= {k}),
+        grams AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                         array_to_string(t[pos + 1 : pos + {k}], ' ') AS gram
+                  FROM posx),
+        keyed AS (SELECT doc_id, pos,
+                         CAST({_md5_hex_int_sql("gram", 8)} AS BIGINT) * {lim}
+                         + ({lim - 1} - pos) AS key
+                  FROM grams),
+        wins AS (SELECT doc_id, pos,
+                        min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS minkey
+                 FROM keyed)
+        SELECT DISTINCT doc_id AS id,
+               CAST({lim - 1} - (minkey % {lim}) AS BIGINT) AS pos,
+               CAST(minkey // {lim} AS BIGINT) AS hash32
+        FROM wins WHERE pos >= {w - 1}"""
 
 
 def _hybrid_rrf_sql(

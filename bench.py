@@ -81,6 +81,7 @@ HEADLINE = [
     "bm25_topk",
     "bm25_indexed",
     "hybrid_rrf",
+    "winnow_fingerprints",
     "phrase_search",
     "vocab_coverage",
     "tokenize_ids",

@@ -802,6 +802,25 @@ def main():
         ],
     )
 
+    from walker_spark.operators.textstats import winnow_fingerprints
+
+    ok &= grab(
+        "winnow_fingerprints: MOSS winnowing (gram hashes + packed "
+        "tie-break key materialize in the scan task; the ONLY exchange "
+        "is the per-doc window; the distinct selections reuse the same "
+        "doc-keyed distribution — no second shuffle)",
+        winnow_fingerprints(docs, k=3, w=2),
+        [
+            ("exactly one exchange, keyed on the doc id",
+             r"Exchange hashpartitioning\(_id", 1),
+            ("no other exchange", r"Exchange hashpartitioning\((?!_id)", 0),
+            ("gram fan-out is a Generate in the scan stage",
+             r"Generate explode", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     from walker_spark.operators.graph import HITS_SCALE, _hits_step
     from walker_spark.operators.textstats import exact_percentiles
 

@@ -1352,3 +1352,61 @@ def test_hybrid_topk_fuses_both_legs(spark):
     assert self_row["n_legs"] == 2
     # doc 3 is dense-only top-2, never lexically relevant to doc 0's text
     assert out[3]["dense_rank"] == 2 and out[3]["bm25_rank"] == 0 and out[3]["n_legs"] == 1
+
+
+def test_winnow_fingerprints_pure_python(spark):
+    """Winnowing output (selections, positions, hashes) replays against
+    a direct pure-Python implementation of the paper's scheme on a
+    randomized corpus; output is partition-invariant; the w+k-1 shared
+    run guarantee holds on a planted pair."""
+    import hashlib
+    import random
+
+    from walker_spark.operators.textstats import winnow_fingerprints
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(12)]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(30)
+    ]
+    # planted: docs 100/101 share a 9-token run (k=5, w=4 => k+w-1=8)
+    shared = "a b c d e f g h i"
+    corpus += [(100, "x y " + shared), (101, shared + " z q r")]
+    k, w = 5, 4
+
+    def ref(text):
+        toks = [t for t in text.lower().split() if t]
+        grams = [" ".join(toks[p : p + k]) for p in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        out = set()
+        for e in range(w - 1, len(hs)):
+            window = hs[e - w + 1 : e + 1]
+            m = min(window)
+            # rightmost minimal position
+            pos = e - list(reversed(window)).index(m)
+            out.add((pos, m))
+        return out
+
+    expected = {
+        (i, p, h) for i, t in corpus for (p, h) in ref(t)
+    }
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["id"], r["pos"], r["hash32"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got == expected
+
+    reparted = {
+        (r["id"], r["pos"], r["hash32"])
+        for r in winnow_fingerprints(df.repartition(7), k=k, w=w).collect()
+    }
+    assert reparted == got
+
+    # guarantee: the planted pair shares at least one fingerprint HASH
+    h100 = {h for (i, p, h) in got if i == 100}
+    h101 = {h for (i, p, h) in got if i == 101}
+    assert h100 & h101

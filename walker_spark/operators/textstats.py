@@ -969,3 +969,73 @@ def quality_pipeline(
             F.when(F.col("prob") < min_prob, F.lit("classifier")),
         ).alias("fail_reasons"),
     )
+
+
+# Winnowing packs (hash32, reversed-pos) into ONE BIGINT so the
+# rightmost-min tie-break rides the same window min: positions must
+# stay below 2^31 (a 2-billion-token document would overflow the pack
+# — far past any real document).
+_WINNOW_POS_LIMIT = 2_147_483_648  # 2^31
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting scheme): hash every
+    word ``k``-gram, slide a window of ``w`` consecutive hashes, and in
+    each window select the minimum hash — rightmost position on ties —
+    keeping the distinct selected (position, hash) pairs per document.
+
+    Guarantee (the paper's correctness property): any run of at least
+    ``w + k - 1`` shared tokens between two documents contributes at
+    least one identical fingerprint to both, while only ~2/(w+1) of
+    the k-gram hashes are stored. Documents with fewer than
+    ``w + k - 1`` tokens have no full window and emit no rows.
+
+    Returns ``(id, pos, hash32)`` — all integer math (the hash is the
+    first 8 md5 hex digits, the tie-break a packed integer key), so
+    the output is bit-identical across engines and partitionings.
+
+    Scale shape: gram hashes materialize in the scan task
+    (positional_ngrams' zero-shuffle projection); the ONLY exchange is
+    the per-document window (hashpartitioning on the doc id — per-doc
+    keys, perfectly spread); the rightmost-min tie-break rides the
+    same window min as a packed (hash, 2^31-1-pos) key, and the
+    distinct selected pairs collapse in the same doc-keyed
+    distribution (no second shuffle).
+    """
+    from pyspark.sql import Window
+
+    from walker_spark.operators.dedup import positional_ngrams
+
+    grams = positional_ngrams(df, id_col, text_col, k)
+    keyed = grams.select(
+        "_id",
+        "pos",
+        (
+            F.conv(F.substring("gram_key", 1, 8), 16, 10).cast("long")
+            * F.lit(_WINNOW_POS_LIMIT)
+            + (F.lit(_WINNOW_POS_LIMIT - 1) - F.col("pos"))
+        ).alias("_key"),
+    )
+    win = Window.partitionBy("_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    selected = (
+        keyed.withColumn("_minkey", F.min("_key").over(win))
+        # pos is dense from 0, so the window ending here holds w full
+        # grams iff pos >= w-1 (partial head windows select nothing)
+        .filter(F.col("pos") >= w - 1)
+        .select("_id", "_minkey")
+        .distinct()
+    )
+    return selected.select(
+        F.col("_id").alias("id"),
+        (F.lit(_WINNOW_POS_LIMIT - 1) - F.col("_minkey") % _WINNOW_POS_LIMIT)
+        .cast("long")
+        .alias("pos"),
+        F.expr(f"_minkey div {_WINNOW_POS_LIMIT}").cast("long").alias("hash32"),
+    )
