@@ -903,6 +903,18 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
 
 
+BPE_MERGE_STEPS = 8
+
+
+def q_bpe_merges(spark, sf_dir):
+    """First 8 learned BPE merges over the documents corpus (Sennrich
+    et al. 2016) — exact BIGINT pair counts, lexicographic tie-break,
+    oracle unrolls the recurrence one CTE pair per step."""
+    from walker_spark.operators.textstats import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=BPE_MERGE_STEPS)
+
+
 # Query-by-example documents for the hybrid RRF driver check — any ids
 # in the documents ∩ embeddings key range work; fixed for determinism.
 HYBRID_EXAMPLE_IDS: tuple[int, ...] = (3, 57, 211)
@@ -996,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": q_bm25_indexed,
         "hybrid_rrf": q_hybrid_rrf,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "bpe_merges": q_bpe_merges,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1674,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_indexed": _bm25_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "winnow_fingerprints": _winnow_fingerprints_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2074,6 +2088,58 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
               FROM pq)
         WHERE rn <= {k}"""
+
+
+def _bpe_merges_sql(n_merges: int = BPE_MERGE_STEPS) -> str:
+    """SQL replica of textstats.bpe_merges: the merge recurrence is
+    unrolled one (pair-count, top-1, apply) CTE triple per step. The
+    left-to-right non-overlapping merge application is a literal
+    string replace over a chr(31)-wrapped symbol encoding
+    (\\x1f a \\x1f\\x1f b \\x1f -> \\x1f ab \\x1f): replace() scans left to
+    right and resumes after each substitution, which is exactly the
+    BPE pair scan — equivalence to Spark's replace-last fold is also
+    pytest-asserted against a pure-Python reference. Every w{i}/m{i}
+    is MATERIALIZED: DuckDB inlines CTEs by default and each step
+    references the previous state four times, so the inlined plan is
+    4^n corpus scans — materialization makes the unroll linear."""
+    d = "chr(31)"
+    dd = f"{d}||{d}"
+    its = []
+    for i in range(n_merges):
+        its.append(f"""
+        pc{i} AS (
+          SELECT l1, l2, CAST(sum(cnt) AS BIGINT) AS pc
+          FROM (SELECT cnt, syms[j] AS l1, syms[j + 1] AS l2
+                FROM w{i}, unnest(range(1, len(syms))) AS t(j))
+          GROUP BY 1, 2
+        ),
+        m{i} AS MATERIALIZED (SELECT l1, l2, l1 || l2 AS merged, pc
+                 FROM pc{i} ORDER BY pc DESC, l1 ASC, l2 ASC LIMIT 1),
+        w{i + 1} AS MATERIALIZED (
+          SELECT string_split(
+                   trim(replace({d} || array_to_string(syms, {dd}) || {d},
+                                {d} || (SELECT l1 FROM m{i}) || {dd}
+                                    || (SELECT l2 FROM m{i}) || {d},
+                                {d} || (SELECT merged FROM m{i}) || {d}),
+                        chr(31)),
+                   {dd}) AS syms,
+                 cnt
+          FROM w{i}
+        )""")
+    outs = " UNION ALL ".join(
+        f"""SELECT CAST({i + 1} AS INT) AS step, l1 AS "left", l2 AS "right",
+                   merged, pc AS pair_count FROM m{i}"""
+        for i in range(n_merges)
+    )
+    return f"""
+        WITH wc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest({_FILTERED_TOKS_SQL}) AS w FROM documents)
+          GROUP BY w
+        ),
+        w0 AS MATERIALIZED (SELECT string_split_regex(w, '') AS syms, cnt FROM wc),
+        {",".join(its)}
+        {outs}"""
 
 
 def _winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:

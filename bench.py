@@ -85,6 +85,7 @@ HEADLINE = [
     "phrase_search",
     "vocab_coverage",
     "tokenize_ids",
+    "bpe_merges",
     "quality_pipeline",
     "pagerank",
     "hits",

@@ -821,6 +821,44 @@ def main():
         ],
     )
 
+    from walker_spark.operators.textstats import _bpe_pair_counts, _bpe_word_table
+
+    _words = _bpe_word_table(docs, "text").localCheckpoint()
+    ok &= grab(
+        "bpe word table (the ONE corpus scan BPE ever does: word-keyed "
+        "count then char split — everything after iterates on this "
+        "vocabulary-sized table)",
+        _bpe_word_table(docs, "text"),
+        [
+            ("one exchange, keyed on the word",
+             r"Exchange hashpartitioning\(w#", 1),
+            ("no other exchange", r"Exchange hashpartitioning\((?!w#)", 0),
+            ("map-side partial count (two-phase HashAggregate)",
+             r"HashAggregate", 2),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+    ok &= grab(
+        "bpe pair-count round (reads the checkpointed word table; pair "
+        "fan-out in the scan task; ONE pair-keyed exchange; the round "
+        "winner is the sorted head — the corpus is never re-read)",
+        _bpe_pair_counts(_words).limit(1),
+        [
+            ("reads the checkpointed word table, not the corpus",
+             r"Scan ExistingRDD", 1),
+            ("pair agg is the only exchange (Catalyst names the struct-"
+             "field keys _groupingexpression)",
+             r"Exchange hashpartitioning\((?!l#|r#|_groupingexpression)", 0),
+            ("pair fan-out is a Generate in the scan stage",
+             r"Generate explode", (1,)),
+            ("winner via TakeOrdered, no global sort materialization",
+             r"TakeOrderedAndProject", 1),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     from walker_spark.operators.graph import HITS_SCALE, _hits_step
     from walker_spark.operators.textstats import exact_percentiles
 

@@ -1410,3 +1410,62 @@ def test_winnow_fingerprints_pure_python(spark):
     h100 = {h for (i, p, h) in got if i == 100}
     h101 = {h for (i, p, h) in got if i == 101}
     assert h100 & h101
+
+
+def test_bpe_merges_pure_python(spark):
+    """The learned merge sequence (pairs, counts, tie-breaks, and the
+    left-to-right non-overlapping application) replays against a
+    direct pure-Python BPE trainer on a randomized corpus."""
+    import random
+
+    from walker_spark.operators.textstats import bpe_merges
+
+    rng = random.Random(99)
+    alphabet = "abcde"
+    corpus = [
+        (i, " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(0, 15))
+        ))
+        for i in range(40)
+    ]
+
+    def ref(n_merges):
+        from collections import Counter
+
+        words = Counter()
+        for _, t in corpus:
+            for w in t.lower().split():
+                if w:
+                    words[tuple(w)] += 1
+        out = []
+        for step in range(1, n_merges + 1):
+            pc = Counter()
+            for syms, c in words.items():
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] += c
+            if not pc:
+                break
+            # max count, ties lexicographic (left, right) asc
+            (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, a, b, a + b, n))
+            new_words = Counter()
+            for syms, c in words.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                new_words[tuple(merged)] += c
+            words = new_words
+        return out
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merges(df, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == ref(6)

@@ -1039,3 +1039,110 @@ def winnow_fingerprints(
         .alias("pos"),
         F.expr(f"_minkey div {_WINNOW_POS_LIMIT}").cast("long").alias("hash32"),
     )
+
+
+def _bpe_word_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(syms, cnt): the word-frequency table BPE iterates on — the ONE
+    corpus scan (word-keyed shuffle), each word split to characters."""
+    from walker_spark.operators.dedup import tokens
+
+    return (
+        df.select(
+            F.explode(
+                F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.split("w", "").alias("syms"), "cnt")
+    )
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, pc) adjacent-pair corpus frequencies over the word table,
+    ordered by (pc desc, l, r) — .limit(1) is the round's winner."""
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.try_element_at("syms", i).alias("l"),
+                        F.try_element_at("syms", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("pc"))
+        .orderBy(F.col("pc").desc(), F.col("l").asc(), F.col("r").asc())
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges (Sennrich,
+    Haddow & Birch, ACL 2016) over the corpus: words start as character
+    sequences; each round the globally most frequent adjacent symbol
+    pair (ties: lexicographic (left, right) asc) becomes a new symbol,
+    applied left-to-right non-overlapping within every word.
+
+    Returns the learned merge table (step, left, right, merged,
+    pair_count) — pair counts are exact BIGINT corpus frequencies, so
+    the merge sequence is deterministic and bit-identical cross-engine.
+    No end-of-word marker is added (pure within-word merges).
+
+    Scale shape: the corpus text is read EXACTLY once — the word-
+    frequency table (one shuffle keyed on the word) is what iterates,
+    and it is vocabulary-sized (MBs at web scale), not corpus-sized.
+    Each round is one small pair-count aggregation plus a zero-shuffle
+    merge projection (the left-to-right application is an in-task
+    higher-order fold), localCheckpointed once per round exactly like
+    the pagerank/HITS iteration machinery. The winning pair travels as
+    a driver literal (a one-row collect of a vocabulary-sized agg —
+    the k-means-centroid precedent).
+    """
+    from walker_spark.operators.dedup import tokens
+
+    spark = df.sparkSession
+    words = _bpe_word_table(df, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = _bpe_pair_counts(words).limit(1).collect()
+        if not top:
+            break
+        a, b, pc = top[0]["l"], top[0]["r"], int(top[0]["pc"])
+        merges.append((step, a, b, a + b, pc))
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def make_fold(la, lb, lm):
+            def fold(acc, s):
+                # replace-last == the left-to-right scan: a just-merged
+                # element equals left||right != left (right is
+                # non-empty), so it never re-triggers as the pair's
+                # left side
+                hit = (F.try_element_at(acc, F.lit(-1)) == la) & (s == lb)
+                return F.when(
+                    hit,
+                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lm)),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return fold
+
+        fold = make_fold(la, lb, lm)
+
+        words = words.select(
+            F.aggregate(
+                "syms", F.expr("cast(array() as array<string>)"), fold
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )
