@@ -903,6 +903,35 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Inbound anchor-text aggregation on the planted doc graph: each
+    edge carries a deterministic anchor token drawn from the SOURCE
+    doc's text (position dst % n_tokens), so both engines derive the
+    identical anchored edge list; top-3 anchors per target."""
+    from pyspark.sql import Window
+
+    from walker_spark.operators.dedup import tokens
+    from walker_spark.operators.graph import anchor_text_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    rn = docs.select(
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+        F.filter(tokens(F.col("text")), lambda s: F.length(s) > 0).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    anchored = (
+        _planted_doc_edges(spark, sf_dir)
+        .join(rn, F.col("src") == F.col("rn"))
+        .select(
+            "src",
+            "dst",
+            F.try_element_at(
+                "_t", ((F.col("dst") % F.size("_t")) + 1).cast("int")
+            ).alias("anchor"),
+        )
+    )
+    return anchor_text_agg(anchored, k=3)
+
+
 BPE_MERGE_STEPS = 8
 
 
@@ -1009,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_merges": q_bpe_merges,
+        "anchor_texts": q_anchor_texts,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1688,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _hybrid_rrf_sql(),
         "winnow_fingerprints": _winnow_fingerprints_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "anchor_texts": _anchor_texts_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2088,6 +2119,38 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
               FROM pq)
         WHERE rn <= {k}"""
+
+
+def _anchor_texts_sql(k: int = 3) -> str:
+    """SQL replica of q_anchor_texts: the planted edges joined to the
+    source doc's token at position dst % n_tokens, then the exact
+    (dst, anchor) counts + per-node top-k."""
+    return f"""
+        WITH dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+                           (SELECT count(*) FROM documents) AS n,
+                           {_FILTERED_TOKS_SQL} AS t
+                    FROM documents),
+        edges AS (SELECT CAST(rn AS BIGINT) AS src,
+                         CAST(((rn - 1) * 7 + 13 * j.j) % n + 1 AS BIGINT) AS dst
+                  FROM dn, (VALUES (1), (2), (3)) j(j)
+                  WHERE rn % 10 <> 0),
+        anch AS (SELECT e.src, e.dst,
+                        r.t[CAST(e.dst % len(r.t) AS INT) + 1] AS anchor
+                 FROM edges e JOIN dn r ON r.rn = e.src
+                 WHERE len(r.t) > 0),
+        agg AS (SELECT dst, anchor,
+                       CAST(count(*) AS BIGINT) AS n_links,
+                       CAST(count(DISTINCT src) AS BIGINT) AS n_src
+                FROM anch GROUP BY 1, 2),
+        tot AS (SELECT dst, CAST(sum(n_links) AS BIGINT) AS total_inlinks
+                FROM agg GROUP BY dst)
+        SELECT a.dst AS node, CAST(a.rn2 AS INT) AS rank, a.anchor,
+               a.n_links, a.n_src, t.total_inlinks
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY dst ORDER BY n_links DESC, anchor ASC) AS rn2
+              FROM agg) a
+        JOIN tot t USING (dst)
+        WHERE a.rn2 <= {k}"""
 
 
 def _bpe_merges_sql(n_merges: int = BPE_MERGE_STEPS) -> str:

@@ -89,6 +89,7 @@ HEADLINE = [
     "quality_pipeline",
     "pagerank",
     "hits",
+    "anchor_texts",
     "exact_percentiles",
 ]
 

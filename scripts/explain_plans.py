@@ -859,6 +859,30 @@ def main():
         ],
     )
 
+    from walker_spark.operators.graph import anchor_text_agg
+
+    _aedges = docs.select(
+        (F.col("doc_id") % 7).alias("src"),
+        (F.col("doc_id") % 5).alias("dst"),
+        F.substring("text", 1, 4).alias("anchor"),
+    )
+    ok &= grab(
+        "anchor_text_agg: inbound anchor aggregation (edge stream "
+        "reduced by ONE (dst, anchor)-keyed agg — a 10^8-inlink hub is "
+        "a hot reduce key with map-side partials, never a hot window "
+        "partition; top-k + totals window the aggregated table only)",
+        anchor_text_agg(_aedges, k=3),
+        [
+            ("edge-stream exchange is the (dst, anchor) agg; windows "
+             "re-key the aggregated table on dst",
+             r"Exchange hashpartitioning\((?!dst|anchor)", 0),
+            ("distinct-src is the two-phase partial-agg plan",
+             r"HashAggregate", (3,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     from walker_spark.operators.graph import HITS_SCALE, _hits_step
     from walker_spark.operators.textstats import exact_percentiles
 

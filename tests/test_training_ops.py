@@ -1469,3 +1469,33 @@ def test_bpe_merges_pure_python(spark):
         for r in bpe_merges(df, n_merges=6).orderBy("step").collect()
     ]
     assert got == ref(6)
+
+
+def test_anchor_text_agg_golden(spark):
+    """Counts, distinct-source counts, tie-break ordering, top-k cut
+    and per-node totals on a hand-built anchored edge list."""
+    from walker_spark.operators.graph import anchor_text_agg
+
+    edges = spark.createDataFrame(
+        [
+            # node 9: "buy" x3 (2 distinct srcs), "cheap" x2, "apex" x2 — tie
+            (1, 9, "buy"), (1, 9, "buy"), (2, 9, "buy"),
+            (3, 9, "cheap"), (4, 9, "cheap"),
+            (5, 9, "apex"), (6, 9, "apex"),
+            (7, 9, "rare"),
+            # node 8: single anchor
+            (1, 8, "home"),
+        ],
+        "src long, dst long, anchor string",
+    )
+    out = {
+        (r["node"], r["rank"]): (r["anchor"], r["n_links"], r["n_src"], r["total_inlinks"])
+        for r in anchor_text_agg(edges, k=3).collect()
+    }
+    assert out[(9, 1)] == ("buy", 3, 2, 8)
+    # tie at 2 links: "apex" < "cheap" lexicographically
+    assert out[(9, 2)] == ("apex", 2, 2, 8)
+    assert out[(9, 3)] == ("cheap", 2, 2, 8)
+    assert (9, 4) not in out  # "rare" cut by k=3
+    assert out[(8, 1)] == ("home", 1, 1, 1)
+    assert len(out) == 4

@@ -253,3 +253,59 @@ def _hits_step(nodes: DataFrame, e: DataFrame, state: DataFrame) -> DataFrame:
     )
     hub = _norm(hub_raw, "hub_score")
     return hub.join(auth, "node").select("node", "hub_score", "auth_score")
+
+
+def anchor_text_agg(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Inbound anchor-text aggregation — the classic web-relevance
+    signal (anchor text describes the TARGET page; reference: the
+    per-fetch outlink rows walker persists carry the link context):
+    for each target node, the top ``k`` anchor strings by inbound link
+    count, with the number of distinct linking sources per anchor and
+    the node's total inbound links.
+
+    Returns ``(node, rank, anchor, n_links, n_src, total_inlinks)`` —
+    n_links counts every edge carrying that anchor, n_src distinct
+    sources; ranking by (n_links desc, anchor asc) is deterministic.
+
+    Scale shape: ONE exchange keyed on (dst, anchor) aggregates the
+    edge stream (count + distinct-src two-phase, map-side partial);
+    the per-node top-k window and the total-inlinks window then
+    operate on the AGGREGATED (node, anchor) table — orders of
+    magnitude smaller than the edge list (bounded by distinct anchor
+    strings per page, not by inlink count, so even a 10^8-inlink hub
+    costs one hot reduce key, not a hot window partition).
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(anchor_col).cast("string").alias("anchor"),
+    )
+    agg = e.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("src").cast("long").alias("n_src"),
+    )
+    w_rank = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    w_tot = Window.partitionBy("dst")
+    return (
+        agg.withColumn("total_inlinks", F.sum("n_links").over(w_tot))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("dst").alias("node"),
+            "rank",
+            "anchor",
+            "n_links",
+            "n_src",
+            F.col("total_inlinks").cast("long").alias("total_inlinks"),
+        )
+    )
