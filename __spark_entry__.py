@@ -932,6 +932,61 @@ def q_anchor_texts(spark, sf_dir):
     return anchor_text_agg(anchored, k=3)
 
 
+GP_QS = (0.1, 0.5, 0.9)
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode-hygiene normalization (NFC + control/zero-width strip +
+    whitespace collapse): the corpus is ASCII-synthetic, so unicode is
+    planted deterministically per doc (decomposed e+combining-acute,
+    zero-width space, tab, BEL, trailing spaces) — both engines build
+    the identical raw text, then normalize; lengths are code points."""
+    from walker_spark.operators.textstats import text_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Cafe\u0301 \u200bmenu\t"),
+            F.col("text"),
+            F.lit("  fin\x07al  "),
+        ).alias("text"),
+    )
+    return text_normalize(planted)
+
+
+def q_grouped_percentiles(spark, sf_dir):
+    """Per-language exact token-count percentiles: language_id +
+    token_stats feeding grouped_percentiles — the per-source corpus
+    profiling pass (type-1 rank floor(q*(n-1))+1 within each group)."""
+    from walker_spark.operators.textstats import (
+        grouped_percentiles,
+        language_id,
+        token_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    j = language_id(docs).join(token_stats(docs), "id").select(
+        F.col("predicted_lang").alias("lang"), "n_tokens"
+    )
+    return grouped_percentiles(j, "lang", "n_tokens", qs=GP_QS)
+
+
+def q_stratified_split(spark, sf_dir):
+    """Deterministic exact-quota train/val/test carve per order
+    priority (5 strata over orders; quotas floor(f*n) per stratum in
+    md5(salt||id) order)."""
+    from walker_spark.operators.curation import stratified_split
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return stratified_split(
+        orders,
+        "o_orderpriority",
+        "o_orderkey",
+        fractions=(("test", 0.1), ("val", 0.05)),
+    )
+
+
 BPE_MERGE_STEPS = 8
 
 
@@ -1039,6 +1094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_merges": q_bpe_merges,
         "anchor_texts": q_anchor_texts,
+        "text_normalize": q_text_normalize,
+        "grouped_percentiles": q_grouped_percentiles,
+        "stratified_split": q_stratified_split,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1719,6 +1777,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_fingerprints_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "anchor_texts": _anchor_texts_sql(),
+        "text_normalize": _text_normalize_sql(),
+        "grouped_percentiles": _grouped_percentiles_sql(),
+        "stratified_split": _stratified_split_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2615,3 +2676,83 @@ def _quality_pipeline_sql(
             CASE WHEN NOT gopher_pass THEN 'gopher' END,
             CASE WHEN prob < {min_prob!r} THEN 'classifier' END) AS fail_reasons
         FROM probt"""
+def _text_normalize_sql() -> str:
+    """SQL replica of q_text_normalize: the planted raw text rebuilt
+    with chr() concatenation, then DuckDB's UAX#15 nfc_normalize + the
+    SAME strip/collapse regex literals the Spark op uses (RE2 and Java
+    regex both parse the \\x{...} escapes)."""
+    from walker_spark.operators.textstats import NORM_STRIP_RE, NORM_WS_RE
+
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 'Caf' || chr(101) || chr(769) || ' ' || chr(8203) ||
+                 'menu' || chr(9) || text || '  fin' || chr(7) || 'al  ' AS t
+          FROM documents),
+        n AS (
+          SELECT doc_id, t,
+                 trim(regexp_replace(regexp_replace(nfc_normalize(t),
+                      '{NORM_STRIP_RE}', '', 'g'),
+                      '{NORM_WS_RE}', ' ', 'g')) AS text_norm
+          FROM planted)
+        SELECT doc_id AS id, text_norm,
+               CAST(length(t) AS BIGINT) AS n_raw,
+               CAST(length(text_norm) AS BIGINT) AS n_norm,
+               (text_norm <> t) AS changed
+        FROM n"""
+
+
+def _grouped_percentiles_sql() -> str:
+    """SQL replica of q_grouped_percentiles: the language_id CASE (same
+    WHEN order as the Spark reverse-sorted when-chain) + token_stats
+    n_tokens, then type-1 rank selection from an explicit row_number
+    per language (never quantile_disc)."""
+    lang_hits = {lang: _hits_sql(ws) for lang, ws in _LANG_MARKER_SQL.items()}
+    best = "greatest(" + ", ".join(f"({h})" for h in lang_hits.values()) + ")"
+    qvals = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in GP_QS)
+    return f"""
+        WITH lt AS (
+          SELECT CASE WHEN {best} = 0 THEN 'und'
+                      WHEN ({lang_hits['de']}) = {best} THEN 'de'
+                      WHEN ({lang_hits['en']}) = {best} THEN 'en'
+                      WHEN ({lang_hits['es']}) = {best} THEN 'es'
+                      ELSE 'fr' END AS lang,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END AS BIGINT) AS v
+          FROM documents),
+        r AS (SELECT lang, v,
+                     CAST(row_number() OVER (
+                         PARTITION BY lang ORDER BY v) AS BIGINT) AS rnk,
+                     CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+              FROM lt),
+        qs(q) AS (VALUES {qvals})
+        SELECT r.lang, qs.q, r.v AS value, r.rnk AS rank, r.n AS n
+        FROM r, qs
+        WHERE r.rnk = CAST(floor(qs.q * (r.n - 1)) AS BIGINT) + 1"""
+
+
+def _stratified_split_sql() -> str:
+    """SQL replica of q_stratified_split: per-stratum row_number in
+    (md5('split'||id), id) order, quota thresholds floor(f*n) with f
+    forced DOUBLE so the float product matches Spark bitwise."""
+    return """
+        WITH s AS (SELECT o_orderkey, o_orderpriority,
+                          md5('split' || CAST(o_orderkey AS VARCHAR)) AS h
+                   FROM orders),
+        r AS (SELECT o_orderkey, o_orderpriority,
+                     CAST(row_number() OVER (
+                         PARTITION BY o_orderpriority
+                         ORDER BY h, o_orderkey) AS BIGINT) AS rnk,
+                     CAST(count(*) OVER (
+                         PARTITION BY o_orderpriority) AS BIGINT) AS n
+              FROM s)
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN rnk <= CAST(floor(CAST(0.1 AS DOUBLE) * n) AS BIGINT)
+                    THEN 'test'
+                    WHEN rnk <= CAST(floor(CAST(0.1 AS DOUBLE) * n) AS BIGINT)
+                             + CAST(floor(CAST(0.05 AS DOUBLE) * n) AS BIGINT)
+                    THEN 'val'
+                    ELSE 'train' END AS split,
+               rnk AS rank, n
+        FROM r"""

@@ -91,6 +91,9 @@ HEADLINE = [
     "hits",
     "anchor_texts",
     "exact_percentiles",
+    "text_normalize",
+    "grouped_percentiles",
+    "stratified_split",
 ]
 
 # crawl corpus sizing per benchmark scale

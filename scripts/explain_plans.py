@@ -931,6 +931,67 @@ def main():
         ],
     )
 
+    from walker_spark.operators.curation import stratified_split
+    from walker_spark.operators.textstats import grouped_percentiles, text_normalize
+
+    ok &= grab(
+        "text_normalize: unicode hygiene (NFC via ONE Arrow batch with "
+        "an isascii fast path; strip/collapse regexes JVM-side) — a "
+        "zero-exchange projection",
+        text_normalize(docs),
+        [
+            ("no exchange of any kind", r"Exchange", 0),
+            ("exactly one Arrow pass (the NFC UDF)", r"ArrowEvalPython", (1,)),
+            ("no row-at-a-time Python", r"BatchEvalPython", 0),
+        ],
+    )
+
+    ok &= grab(
+        "grouped_percentiles: per-group exact type-1 quantiles via the "
+        "per-(group, value) HISTOGRAM — window partitions are bounded "
+        "by a group's distinct values, never its row count",
+        grouped_percentiles(
+            docs.select((F.col("doc_id") % 3).alias("g"), F.length("text").alias("v")),
+            "g",
+            "v",
+            qs=(0.25, 0.5, 0.75),
+        ),
+        [
+            ("the corpus exchange is the (group, value) histogram agg; "
+             "the only other hash exchange re-keys the histogram on the group",
+             r"Exchange hashpartitioning\((?!_g)", 0),
+            ("map-side partial aggregation before the histogram exchange",
+             r"HashAggregate", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    ok &= grab(
+        "stratified_split: exact-quota per-stratum carve via the "
+        "GROUPED distributed rank (range-partitioned checkpoint shared "
+        "by the offsets and rank branches; broadcast PxS offset table; "
+        "per-partition windows only)",
+        stratified_split(
+            docs.select("doc_id", (F.col("doc_id") % 3).cast("string").alias("s")),
+            "s",
+            "doc_id",
+        ),
+        [
+            ("rank branch reads the checkpointed range-partitioned table",
+             r"Scan ExistingRDD", (1,)),
+            ("no corpus-wide hash exchange (offsets are broadcast; the "
+             "only hashpartitioning is the PxS offset window's)",
+             r"Exchange hashpartitioning\((?!_pid|_g)", 0),
+            ("offset table joins back as a broadcast",
+             r"BroadcastHashJoin", (1,)),
+            ("per-partition rank window is (pid, stratum)-keyed, never global",
+             r"Window.*_pid", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

@@ -1499,3 +1499,99 @@ def test_anchor_text_agg_golden(spark):
     assert (9, 4) not in out  # "rare" cut by k=3
     assert out[(8, 1)] == ("home", 1, 1, 1)
     assert len(out) == 4
+
+
+def test_text_normalize_golden(spark):
+    """NFC composition (incl. combining-mark reordering), zero-width +
+    control strip, whitespace collapse, ASCII fast path, code-point
+    lengths — checked against pure-Python unicodedata on every case."""
+    import re
+    import unicodedata
+
+    from walker_spark.operators.textstats import text_normalize
+
+    cases = [
+        "Café ​menu\tbody  text  fin\x07al  ",
+        "plain ascii",
+        "   \t\n  ",
+        "ḍ̇ot",  # canonical reordering: dot-below before dot-above
+        "Åring ﻿bom‌‍joined",
+        "x\x00y\x1fz\x7fw",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+
+    def ref(t):
+        n = unicodedata.normalize("NFC", t)
+        n = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f​‌‍﻿]", "", n)
+        return re.sub("[ \t\n\r]+", " ", n).strip()
+
+    got = {r["id"]: r for r in text_normalize(df).collect()}
+    for i, t in enumerate(cases):
+        exp = ref(t)
+        assert got[i]["text_norm"] == exp, (i, t)
+        assert got[i]["n_raw"] == len(t)
+        assert got[i]["n_norm"] == len(exp)
+        assert got[i]["changed"] == (exp != t)
+
+
+def test_grouped_percentiles_golden(spark):
+    """Type-1 rank selection per group with ties and q endpoints."""
+    from walker_spark.operators.textstats import grouped_percentiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 2, 3, 10]] + [("b", v) for v in [5, 5, 5]],
+        "g string, v long",
+    )
+    out = {
+        (r["g"], r["q"]): (r["value"], r["rank"], r["n"])
+        for r in grouped_percentiles(df, "g", "v", qs=(0.0, 0.5, 1.0)).collect()
+    }
+    # group a: n=5, targets floor(q*4)+1 = 1, 3, 5 -> values 1, 2, 10
+    assert out[("a", 0.0)] == (1, 1, 5)
+    assert out[("a", 0.5)] == (2, 3, 5)  # tie at 2: rank 3 still value 2
+    assert out[("a", 1.0)] == (10, 5, 5)
+    # group b: all equal
+    assert out[("b", 0.0)] == (5, 1, 3)
+    assert out[("b", 0.5)] == (5, 2, 3)
+    assert out[("b", 1.0)] == (5, 3, 3)
+    assert len(out) == 6
+
+
+def test_stratified_split_quotas(spark):
+    """Exact floor(f*n) quotas per stratum, rank is a 1..n bijection
+    within each stratum, and the whole split is deterministic."""
+    from pyspark.sql import functions as F
+
+    from walker_spark.operators.curation import stratified_split
+
+    docs = spark.range(1, 215).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("s")
+    )
+    out = stratified_split(
+        docs, "s", "doc_id", fractions=(("test", 0.15), ("val", 0.1))
+    ).collect()
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r["s"], []).append(r)
+    assert sum(len(v) for v in by_s.values()) == 214
+    for s_key, rows in by_s.items():
+        n = len(rows)
+        assert all(r["n"] == n for r in rows)
+        assert sorted(r["rank"] for r in rows) == list(range(1, n + 1))
+        counts = {}
+        for r in rows:
+            counts[r["split"]] = counts.get(r["split"], 0) + 1
+        t, v = int(0.15 * n), int(0.1 * n)
+        assert counts.get("test", 0) == t
+        assert counts.get("val", 0) == v
+        assert counts.get("train", 0) == n - t - v
+        # the carve follows rank order exactly
+        for r in rows:
+            exp = "test" if r["rank"] <= t else ("val" if r["rank"] <= t + v else "train")
+            assert r["split"] == exp
+    again = stratified_split(
+        docs, "s", "doc_id", fractions=(("test", 0.15), ("val", 0.1))
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -471,3 +471,92 @@ def dsir_select(
         .orderBy(F.col("dsir_score").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    fractions: tuple[tuple[str, float], ...] = (("test", 0.1), ("val", 0.1)),
+    salt: str = "split",
+    train_name: str = "train",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic EXACT-quota train/val/test split per stratum —
+    the held-out-set carve a hash-threshold sample
+    (:func:`deterministic_sample`) can't give: every stratum
+    contributes exactly ``floor(f * n)`` rows to each named split
+    (ranks 1..t1 -> first split, t1+1..t2 -> second, rest ->
+    ``train_name``), reproducible across runs, partitionings and
+    engines because rank order is (md5(salt||id), id).
+
+    Returns ``(id_col, strata_col, split, rank, n)`` with ``rank`` the
+    1-based position in the stratum's hash order and ``n`` the stratum
+    size.
+
+    Scale shape: the perplexity_buckets distributed-rank machinery
+    GROUPED — ``repartitionByRange`` on (stratum, hash, id)
+    (localCheckpointed ONCE; the offsets branch and the rank branch
+    must share the sampled partition assignment), per-partition
+    ``row_number`` keyed on (partition id, stratum), and a broadcast
+    P×S offset table whose per-stratum prefix sums run in pid order.
+    Two corpus exchanges total (the range partition inside the
+    checkpoint job, then the slim (partition-id, stratum) re-key the
+    rank window requires), no per-stratum global sort, no hot window
+    partition (the biggest window is one partition's slice of one
+    stratum). Quota thresholds are ``floor(literal * n)`` — the same
+    float-product-of-driver-literals pattern as exact_percentiles, so
+    the cut is cross-engine exact.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.select(
+            F.col(strata_col).alias("_g"),
+            F.col(id_col).alias("_id"),
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("_h"),
+        )
+        .repartitionByRange(p, "_g", "_h", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_all = Window.partitionBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = (
+        Window.partitionBy("_g")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("_pid", "_g")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            "_g",
+            F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off"),
+            F.sum("_cnt").over(w_all).alias("_n"),
+        )
+    )
+    w_pid = Window.partitionBy("_pid", "_g").orderBy("_h", "_id")
+    ranked = (
+        ranged.withColumn("_rn", F.row_number().over(w_pid))
+        .join(F.broadcast(offsets), ["_pid", "_g"])
+        .withColumn("_rank", (F.col("_off") + F.col("_rn")).cast("long"))
+    )
+    cum = F.lit(0).cast("long")
+    chain = None
+    for name, frac in fractions:
+        cum = cum + F.floor(F.lit(float(frac)) * F.col("_n")).cast("long")
+        cond = F.col("_rank") <= cum
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    split = chain.otherwise(train_name) if chain is not None else F.lit(train_name)
+    return ranked.select(
+        F.col("_id").alias(id_col),
+        F.col("_g").alias(strata_col),
+        split.alias("split"),
+        F.col("_rank").alias("rank"),
+        F.col("_n").cast("long").alias("n"),
+    )

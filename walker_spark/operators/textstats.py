@@ -9,6 +9,7 @@ plumbing + reproducibility, not model quality.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # Marker stopwords per language (tiny deterministic language ID).
@@ -1145,4 +1146,126 @@ def bpe_merges(
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
+    )
+
+
+# Unicode-hygiene regexes shared with the driver oracle (RE2 and Java
+# regex both parse \x{...}): non-whitespace C0/C1-ish controls + the
+# zero-width family; whitespace collapse is the explicit ASCII class
+# (never \s — Java and RE2 disagree on \x0b, which the strip class
+# removes first anyway).
+NORM_STRIP_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200b}\x{200c}\x{200d}\x{feff}]"
+NORM_WS_RE = r"[ \t\n\r]+"
+
+
+def text_normalize(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode-hygiene pass every web-text pipeline runs before any
+    hashing/tokenizing op (content keys, shingles, token counts all
+    change under NFC): canonical NFC composition, then strip
+    non-whitespace control chars + the zero-width family
+    (U+200B/C/D, U+FEFF), then collapse ``[ \\t\\n\\r]+`` runs to one
+    space and trim.
+
+    Returns ``(id, text_norm, n_raw, n_norm, changed)`` — lengths are
+    code-point counts, ``changed`` compares the normalized text to the
+    raw input.
+
+    Scale shape: a ZERO-exchange projection. NFC is the one step Spark
+    has no built-in for, so it runs as an Arrow pandas UDF with a
+    C-speed ``str.isascii()`` fast path (web corpora are mostly ASCII;
+    only non-ASCII strings pay the normalize call); the strip/collapse
+    regexes stay JVM-side so the Arrow batch carries each string
+    exactly once each way. Cross-engine exact: DuckDB's
+    ``nfc_normalize`` and Python's ``unicodedata`` both implement
+    UAX#15 canonical composition (parity incl. combining-mark
+    reordering is pytest-asserted).
+    """
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: x
+            if x is None or x.isascii()
+            else unicodedata.normalize("NFC", x)
+        )
+
+    raw = F.col(text_col)
+    stripped = F.regexp_replace(_nfc(raw), NORM_STRIP_RE, "")
+    norm = F.trim(F.regexp_replace(stripped, NORM_WS_RE, " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("text_norm"),
+        F.length(raw).cast("long").alias("n_raw"),
+        F.length(norm).cast("long").alias("n_norm"),
+        (norm != raw).alias("changed"),
+    )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT per-group type-1 percentiles (rank ``floor(q*(n-1)) + 1``
+    within each group's value order) — the per-language / per-source
+    corpus-profiling pass (length cutoffs per language, score
+    thresholds per domain) where a global :func:`exact_percentiles`
+    would mix distributions.
+
+    Returns ``(group_col, q, value, rank, n)``.
+
+    Scale shape: the corpus collapses to a per-(group, value)
+    HISTOGRAM in ONE map-side-combined exchange; the cumulative and
+    total windows then run per group on that aggregated table, so a
+    window partition is bounded by the group's DISTINCT values, not
+    its row count — a 10^9-doc language with a few thousand distinct
+    token counts is a few-thousand-row window. (For continuous
+    double-valued columns where distinct≈rows, quantize first or use
+    :func:`exact_percentiles` per group — this operator's contract is
+    discrete profiling columns.) Rank targets are pure integer math
+    off a float product of driver literals, so the selected value is
+    deterministic and cross-engine exact even with ties.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("_g")
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        hist.select(
+            "_g",
+            "_v",
+            "_cnt",
+            F.sum("_cnt").over(w_cum).alias("_cum"),
+            F.sum("_cnt").over(w_all).alias("_n"),
+        )
+        .select("_g", "_v", "_cnt", "_cum", "_n", F.explode(qarr).alias("q"))
+        .withColumn(
+            "_target",
+            (F.floor(F.col("q") * (F.col("_n") - 1)) + 1).cast("long"),
+        )
+        .filter(
+            (F.col("_target") > F.col("_cum") - F.col("_cnt"))
+            & (F.col("_target") <= F.col("_cum"))
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "q",
+            F.col("_v").alias("value"),
+            F.col("_target").alias("rank"),
+            F.col("_n").cast("long").alias("n"),
+        )
     )
