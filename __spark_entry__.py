@@ -932,6 +932,34 @@ def q_anchor_texts(spark, sf_dir):
     return anchor_text_agg(anchored, k=3)
 
 
+def q_phash_near_dups(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over the fake-decoded asset
+    table: for every doc_id % 7 == 0 a twin asset (+1000000) with ONE
+    bit flipped is planted, so the radius-2 hamming join must find
+    every planted twin (hamming 1) plus the corpus's exact-duplicate
+    assets (hamming 0). The xor shift reads the ORIGINAL asset_id —
+    both engines plant the identical twin."""
+    from walker_spark.operators.multimodal import (
+        assets_from_documents,
+        decode_and_extract,
+        hamming_near_dups,
+        phash_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ph = phash_assets(decode_and_extract(assets_from_documents(docs)))
+    twins = ph.filter(F.col("asset_id") % 7 == 0).select(
+        (F.col("asset_id") + 1000000).alias("asset_id"),
+        "kind",
+        F.col("phash")
+        .bitwiseXOR(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(asset_id % 60 AS INT))")
+        )
+        .alias("phash"),
+    )
+    return hamming_near_dups(ph.unionByName(twins), max_hamming=2)
+
+
 GP_QS = (0.1, 0.5, 0.9)
 
 
@@ -1097,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "grouped_percentiles": q_grouped_percentiles,
         "stratified_split": q_stratified_split,
+        "phash_near_dups": q_phash_near_dups,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1780,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _text_normalize_sql(),
         "grouped_percentiles": _grouped_percentiles_sql(),
         "stratified_split": _stratified_split_sql(),
+        "phash_near_dups": _phash_near_dups_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2756,3 +2786,27 @@ def _stratified_split_sql() -> str:
                     ELSE 'train' END AS split,
                rnk AS rank, n
         FROM r"""
+def _phash_near_dups_sql(max_hamming: int = 2) -> str:
+    """SQL replica of q_phash_near_dups: the 60-bit hash decoded
+    positionally from md5(text) (same strpos trick as the simhash
+    oracle — the Spark side is conv(substr(md5,1,15),16,10)), planted
+    twins via xor with a 1-bit shift of the original id, then
+    brute-force hamming pairs (pigeonhole banding has exact recall at
+    the radius, so banded == brute force)."""
+    hex_decode = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h15, {i}, 1)) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    return f"""
+        WITH f AS (SELECT doc_id AS asset_id, substr(md5(text), 1, 15) AS h15
+                   FROM documents),
+        h AS (SELECT asset_id, CAST(({hex_decode}) AS BIGINT) AS phash FROM f),
+        tw AS (SELECT asset_id + 1000000 AS asset_id,
+                      xor(phash, (1::BIGINT << CAST(asset_id % 60 AS INT))) AS phash
+               FROM h WHERE asset_id % 7 = 0),
+        all_h AS (SELECT asset_id, phash FROM h
+                  UNION ALL SELECT asset_id, phash FROM tw)
+        SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM all_h a JOIN all_h b ON a.asset_id < b.asset_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}"""

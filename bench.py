@@ -94,6 +94,7 @@ HEADLINE = [
     "text_normalize",
     "grouped_percentiles",
     "stratified_split",
+    "phash_near_dups",
 ]
 
 # crawl corpus sizing per benchmark scale

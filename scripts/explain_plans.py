@@ -992,6 +992,31 @@ def main():
         ],
     )
 
+    from walker_spark.operators.multimodal import hamming_near_dups
+
+    _ph = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("phash"),
+    )
+    ok &= grab(
+        "hamming_near_dups: perceptual-hash near-dup pairs — the banded "
+        "stream is ONE posexplode in the scan task (no per-band re-scan), "
+        "one self-join on (band_idx, band_value), popcount verify in the "
+        "join projection",
+        hamming_near_dups(_ph, max_hamming=2),
+        [
+            ("exchanges only on the band key or the pair-dedup key",
+             r"Exchange hashpartitioning\((?!_bidx|id_a)", 0),
+            ("single band self-join (no unioned per-band joins)",
+             r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", (1,)),
+            ("band fan-out is a Generate (posexplode), not a Union",
+             r"Generate posexplode", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

@@ -1595,3 +1595,76 @@ def test_stratified_split_quotas(spark):
         docs, "s", "doc_id", fractions=(("test", 0.15), ("val", 0.1))
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hamming_near_dups_golden(spark):
+    """Pairs within the radius found, beyond-radius excluded."""
+    from walker_spark.operators.multimodal import hamming_near_dups
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 6), (3, (1 << 59) | (1 << 30) | 7)],
+        "asset_id long, phash long",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dups(df, max_hamming=2).collect()
+    }
+    # h0=0b000, h1=0b001 (d=1), h2=0b110 (d(0,2)=2, d(1,2)=3)
+    assert out == {(0, 1): 1, (0, 2): 2}
+
+
+def test_hamming_near_dups_matches_brute_force(spark):
+    """Randomized parity: pigeonhole banding has exact recall at the
+    radius, so the banded join must equal the all-pairs scan."""
+    import random
+
+    from walker_spark.operators.multimodal import hamming_near_dups
+
+    rng = random.Random(42)
+    base = [rng.getrandbits(60) for _ in range(40)]
+    # plant near-dups: bit-flip variants at distances 1..4
+    hashes = list(base)
+    for i, h in enumerate(base[:12]):
+        flipped = h
+        for b in range(i % 4 + 1):
+            flipped ^= 1 << ((i * 13 + b * 7) % 60)
+        hashes.append(flipped)
+    rows = [(i, h) for i, h in enumerate(hashes)]
+    for radius in (1, 2, 3):
+        expect = {
+            (i, j): bin(hi ^ hj).count("1")
+            for i, hi in rows
+            for j, hj in rows
+            if i < j and bin(hi ^ hj).count("1") <= radius
+        }
+        df = spark.createDataFrame(rows, "asset_id long, phash long")
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_near_dups(df, max_hamming=radius).collect()
+        }
+        assert got == expect, radius
+
+
+def test_phash_assets_roundtrip(spark):
+    """The stand-in hash is the first 15 md5 hex digits of the payload
+    — non-negative, 60-bit, equal for byte-identical assets."""
+    import hashlib
+
+    from walker_spark.operators.multimodal import (
+        assets_from_documents,
+        decode_and_extract,
+        phash_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["asset_id"]: r["phash"]
+        for r in phash_assets(decode_and_extract(assets_from_documents(docs))).collect()
+    }
+    exp = int(hashlib.md5(b"same text").hexdigest()[:15], 16)
+    assert out[1] == out[2] == exp
+    assert out[3] == int(hashlib.md5(b"other").hexdigest()[:15], 16)
+    assert all(0 <= v < (1 << 60) for v in out.values())

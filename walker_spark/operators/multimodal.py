@@ -125,3 +125,80 @@ def sample_frames(
             (F.col("frame_idx") * every_ms).cast("long").alias("ts_ms"),
         )
     )
+
+
+def phash_assets(features: DataFrame) -> DataFrame:
+    """Per-asset 60-bit perceptual-hash column — the LAION-style image
+    near-dup key. A real dHash/pHash needs decoded pixels (PIL/ffmpeg,
+    absent in this container — same integration point
+    :func:`decode_and_extract` marks with ``strict=True``), so the
+    stand-in derives the 60 bits from the decode stage's checksum;
+    everything downstream of the decoder (hash width, banding, hamming
+    join) is real and oracle-checked.
+
+    Returns ``(asset_id, kind, phash)`` with ``phash`` a non-negative
+    60-bit long (15 hex digits — the same width/decode convention as
+    dedup.simhash_md5, so the hamming machinery is shared-by-contract).
+    """
+    return features.select(
+        "asset_id",
+        "kind",
+        F.conv(F.substring("checksum", 1, 15), 16, 10).cast("long").alias("phash"),
+    )
+
+
+def hamming_near_dups(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "asset_id",
+    max_hamming: int = 2,
+    bits: int = 60,
+) -> DataFrame:
+    """Generic hamming-radius near-dup pairs over ANY precomputed
+    perceptual-hash column: ``(id_a, id_b, hamming)`` for every pair
+    within ``max_hamming`` bit flips. Exact recall by the pigeonhole
+    principle: the hash splits into ``max_hamming + 1`` disjoint bit
+    bands, and two hashes within the radius must agree on at least one
+    whole band.
+
+    Scale shape: the banded stream is built by ONE ``posexplode`` in
+    the scan task (no per-band re-scan — dedup.simhash_md5_pairs'
+    band-loop unions k+1 joins; this is the single-join form), so the
+    whole operator is one self-join keyed on (band_idx, band_value)
+    plus the pair-dedup exchange. Candidate buckets are bounded by
+    band-value collisions — for random 60-bit hashes a bucket is the
+    true duplicate cluster plus noise ~n²/2^width; the exact popcount
+    verify runs inside the join projection. Pure JVM bit math, no
+    Python.
+    """
+    n_bands = max_hamming + 1
+    if bits // n_bands < 1:
+        raise ValueError(f"bits={bits} too narrow for max_hamming={max_hamming}")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col).cast("long")
+    band_arr = F.array(
+        *[
+            F.shiftrightunsigned(h, b * width).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    bands = df.select(
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.posexplode(band_arr).alias("_bidx", "_bval"),
+    )
+    a = bands.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "_bidx", "_bval"
+    )
+    b = bands.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "_bidx", "_bval"
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
+    return (
+        a.join(b, ["_bidx", "_bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
