@@ -932,6 +932,43 @@ def q_anchor_texts(spark, sf_dir):
     return anchor_text_agg(anchored, k=3)
 
 
+UNIMAX_BUDGET = 500
+UNIMAX_EPOCHS = 2
+
+
+def _planted_sources(docs):
+    """Deterministic head/middle/tail source split: ~60% web, ~30%
+    books, ~10% wiki — sized so UniMax exercises BOTH regimes (wiki
+    capped at max epochs, web/books subsampled below one epoch)."""
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, "web")
+        .when(F.col("doc_id") % 10 < 9, "books")
+        .otherwise("wiki")
+        .alias("source"),
+    )
+
+
+def q_unimax_allocation(spark, sf_dir):
+    """UniMax waterfilling allocation table (Chung et al. 2023) over
+    the planted source split: exact integer allocations summing to
+    min(budget, total capacity)."""
+    from walker_spark.operators.curation import unimax_allocation
+
+    docs = _planted_sources(_t(spark, sf_dir, "documents"))
+    return unimax_allocation(docs, budget=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS)
+
+
+def q_unimax_mix(spark, sf_dir):
+    """UniMax applied to the corpus: per-doc epoch counts (full epochs
+    + one md5-uniform fractional epoch against an exact integer
+    threshold)."""
+    from walker_spark.operators.curation import unimax_mix
+
+    docs = _planted_sources(_t(spark, sf_dir, "documents"))
+    return unimax_mix(docs, budget=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS)
+
+
 def q_phash_near_dups(spark, sf_dir):
     """Perceptual-hash near-dup pairs over the fake-decoded asset
     table: for every doc_id % 7 == 0 a twin asset (+1000000) with ONE
@@ -1126,6 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_percentiles": q_grouped_percentiles,
         "stratified_split": q_stratified_split,
         "phash_near_dups": q_phash_near_dups,
+        "unimax_allocation": q_unimax_allocation,
+        "unimax_mix": q_unimax_mix,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1810,6 +1849,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_percentiles": _grouped_percentiles_sql(),
         "stratified_split": _stratified_split_sql(),
         "phash_near_dups": _phash_near_dups_sql(),
+        "unimax_allocation": _unimax_allocation_sql(),
+        "unimax_mix": _unimax_mix_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2810,3 +2851,64 @@ def _phash_near_dups_sql(max_hamming: int = 2) -> str:
                CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
         FROM all_h a JOIN all_h b ON a.asset_id < b.asset_id
         WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}"""
+_UNIMAX_ALLOC_CTES = f'''
+        src AS (SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 6 THEN 'web'
+                            WHEN doc_id % 10 < 9 THEN 'books'
+                            ELSE 'wiki' END AS source
+                FROM documents),
+        c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+              FROM src GROUP BY source),
+        t AS (SELECT source, n_docs,
+                     CAST(n_docs * {UNIMAX_EPOCHS} AS BIGINT) AS capacity,
+                     CAST(row_number() OVER (
+                         ORDER BY n_docs * {UNIMAX_EPOCHS}, source) AS BIGINT) AS idx,
+                     CAST(sum(n_docs * {UNIMAX_EPOCHS}) OVER (
+                         ORDER BY n_docs * {UNIMAX_EPOCHS}, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS prefix,
+                     CAST(count(*) OVER () AS BIGINT) AS s
+              FROM c),
+        k AS (SELECT *, (capacity * (s - idx + 1) + (prefix - capacity))
+                        <= {UNIMAX_BUDGET} AS capped FROM t),
+        g AS (SELECT *,
+                     max(CASE WHEN capped THEN idx ELSE 0 END) OVER () AS kstar,
+                     max(CASE WHEN capped THEN prefix ELSE 0 END) OVER () AS prefix_k
+              FROM k),
+        al AS (SELECT source, n_docs, capacity,
+                      CAST(CASE WHEN capped THEN capacity
+                           ELSE (({UNIMAX_BUDGET} - prefix_k) // (s - kstar))
+                                + (CASE WHEN idx - kstar <=
+                                        (({UNIMAX_BUDGET} - prefix_k) % (s - kstar))
+                                   THEN 1 ELSE 0 END)
+                           END AS BIGINT) AS alloc
+               FROM g)'''
+
+
+def _unimax_allocation_sql() -> str:
+    '''SQL replica of curation.unimax_allocation: the waterfilling
+    closed form (largest capped prefix in (capacity, source) order,
+    floor + first-rem remainder spread) as window CTEs.'''
+    return f'''
+        WITH {_UNIMAX_ALLOC_CTES}
+        SELECT source, n_docs, capacity, alloc,
+               CAST((alloc * 1000000) // {UNIMAX_BUDGET} AS BIGINT) AS share_ppm
+        FROM al'''
+
+
+def _unimax_mix_sql() -> str:
+    '''SQL replica of curation.unimax_mix: full epochs = alloc // n,
+    fractional epoch decided by md5-u32 < (alloc mod n) * 2^32 // n
+    (integer floor division both engines).'''
+    u32 = _md5_hex_int_sql("CAST(s.doc_id AS VARCHAR)", 8)
+    return f'''
+        WITH {_UNIMAX_ALLOC_CTES},
+        probs AS (SELECT source, alloc // n_docs AS e,
+                         CAST(((alloc % n_docs) * 4294967296) // n_docs
+                              AS BIGINT) AS thr
+                  FROM al)
+        SELECT s.doc_id AS id, s.source,
+               CAST(p.e + (CASE WHEN ({u32}) < p.thr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeats
+        FROM src s JOIN probs p USING (source)
+        WHERE p.e + (CASE WHEN ({u32}) < p.thr THEN 1 ELSE 0 END) >= 1'''

@@ -95,6 +95,7 @@ HEADLINE = [
     "grouped_percentiles",
     "stratified_split",
     "phash_near_dups",
+    "unimax_mix",
 ]
 
 # crawl corpus sizing per benchmark scale

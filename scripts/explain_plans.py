@@ -1017,6 +1017,32 @@ def main():
     )
 
 
+    from walker_spark.operators.curation import unimax_mix
+
+    ok &= grab(
+        "unimax_mix: UniMax epoch-capped mixture — per-source counts "
+        "are ONE map-side-combined agg (rows = #sources), the "
+        "waterfilling windows run on that tiny table, and the "
+        "probability/threshold table broadcasts back so the corpus is "
+        "filtered map-side with no corpus shuffle",
+        unimax_mix(
+            docs.select(
+                "doc_id", (F.col("doc_id") % 5).cast("string").alias("source")
+            ),
+            budget=100,
+        ),
+        [
+            ("the only hash exchange is the per-source count agg "
+             "(tiny payload; waterfilling windows use single-partition "
+             "exchanges on the #sources-row table)",
+             r"Exchange hashpartitioning\((?!source)", 0),
+            ("threshold table joins back as a broadcast",
+             r"BroadcastHashJoin", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

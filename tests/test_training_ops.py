@@ -1668,3 +1668,75 @@ def test_phash_assets_roundtrip(spark):
     assert out[1] == out[2] == exp
     assert out[3] == int(hashlib.md5(b"other").hexdigest()[:15], 16)
     assert all(0 <= v < (1 << 60) for v in out.values())
+
+
+def test_unimax_allocation_properties(spark):
+    """Waterfilling invariants on randomized source sizes: allocations
+    are capped, sum exactly to min(budget, total capacity), and the
+    uncapped sources split the leftover evenly (within the +1
+    remainder spread)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from walker_spark.operators.curation import unimax_allocation
+
+    rng = random.Random(7)
+    for trial in range(4):
+        sizes = {f"s{i:02d}": rng.randint(1, 400) for i in range(rng.randint(2, 9))}
+        rows = [
+            (i + 10_000 * k, src)
+            for k, (src, n) in enumerate(sorted(sizes.items()))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        budget = rng.randint(50, 2 * sum(sizes.values()) + 100)
+        epochs = rng.choice([1, 2, 4])
+        out = {
+            r["source"]: r
+            for r in unimax_allocation(df, budget=budget, max_epochs=epochs).collect()
+        }
+        assert set(out) == set(sizes)
+        total_cap = sum(n * epochs for n in sizes.values())
+        for src, n in sizes.items():
+            r = out[src]
+            assert r["n_docs"] == n
+            assert r["capacity"] == n * epochs
+            assert 0 <= r["alloc"] <= r["capacity"]
+            assert r["share_ppm"] == r["alloc"] * 1_000_000 // budget
+        assert sum(r["alloc"] for r in out.values()) == min(budget, total_cap)
+        uncapped = [r["alloc"] for r in out.values() if r["alloc"] < r["capacity"]]
+        if uncapped:
+            assert max(uncapped) - min(uncapped) <= 1
+            # every capped source's capacity sits at/below the waterline
+            capped = [r["capacity"] for r in out.values() if r["alloc"] == r["capacity"]]
+            assert all(c <= max(uncapped) for c in capped) or not capped
+
+
+def test_unimax_mix_epochs(spark):
+    """Known three-source split: the tail source gets exactly
+    max_epochs repeats per doc, subsampled sources carry e full epochs
+    + an exact-threshold fractional epoch summing to their alloc
+    (binomial, but deterministic given the ids); reruns identical."""
+    from walker_spark.operators.curation import unimax_allocation, unimax_mix
+
+    rows = (
+        [(i, "web") for i in range(300)]
+        + [(i + 1000, "books") for i in range(150)]
+        + [(i + 5000, "wiki") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    alloc = {
+        r["source"]: r["alloc"]
+        for r in unimax_allocation(df, budget=500, max_epochs=2).collect()
+    }
+    assert alloc == {"wiki": 100, "books": 200, "web": 200}
+    out = unimax_mix(df, budget=500, max_epochs=2).collect()
+    wiki = [r for r in out if r["source"] == "wiki"]
+    assert len(wiki) == 50 and all(r["n_repeats"] == 2 for r in wiki)
+    books = [r for r in out if r["source"] == "books"]
+    assert len(books) == 150 and all(r["n_repeats"] in (1, 2) for r in books)
+    web = [r for r in out if r["source"] == "web"]
+    assert all(r["n_repeats"] == 1 for r in web) and len(web) < 300
+    again = unimax_mix(df, budget=500, max_epochs=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

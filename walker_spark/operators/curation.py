@@ -560,3 +560,131 @@ def stratified_split(
         F.col("_rank").alias("rank"),
         F.col("_n").cast("long").alias("n"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, ICLR — Algorithm 1
+    closed form): spread a total document budget as uniformly as
+    possible across sources, capping every source at ``max_epochs``
+    passes over its data. Sources sorted ascending by capacity
+    ``cap = max_epochs * n``; the largest prefix whose capacities fit
+    under an equal-share waterline is fully capped, the remainder
+    splits the leftover budget evenly (floor + first-``rem`` +1 in sort
+    order — pure integer math, so allocations are exact and sum to
+    ``min(budget, total capacity)``; the +1 remainder spread and the
+    (capacity, source) tie-break make the result deterministic).
+
+    Returns ``(source, n_docs, capacity, alloc, share_ppm)`` with
+    ``share_ppm = alloc * 1e6 div budget``.
+
+    Scale shape: ONE map-side-combined groupBy on the source key; the
+    waterfilling windows then run on the aggregated table whose row
+    count is the number of SOURCES (languages/domains — thousands at
+    most), so the global windows are driver-trivial by construction
+    (same tiny-table contract as temperature_mix's normalizer).
+    """
+    from pyspark.sql import Window
+
+    b = F.lit(int(budget)).cast("long")
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w_ord = Window.orderBy("capacity", "source")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = (
+        counts.withColumn(
+            "capacity", (F.col("n_docs") * F.lit(int(max_epochs))).cast("long")
+        )
+        .withColumn("_idx", F.row_number().over(w_ord).cast("long"))
+        .withColumn("_prefix", F.sum("capacity").over(w_cum))
+        .withColumn("_s", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_capped",
+            F.col("capacity") * (F.col("_s") - F.col("_idx") + 1)
+            + (F.col("_prefix") - F.col("capacity"))
+            <= b,
+        )
+        .withColumn(
+            "_kstar",
+            F.max(F.when(F.col("_capped"), F.col("_idx")).otherwise(0)).over(w_all),
+        )
+        .withColumn(
+            "_prefix_k",
+            F.max(F.when(F.col("_capped"), F.col("_prefix")).otherwise(0)).over(w_all),
+        )
+        .withColumn("_r", b - F.col("_prefix_k"))
+        .withColumn("_u", F.col("_s") - F.col("_kstar"))
+        .withColumn("_base", F.expr("CASE WHEN _u > 0 THEN _r div _u ELSE 0 END"))
+        .withColumn("_rem", F.expr("CASE WHEN _u > 0 THEN _r % _u ELSE 0 END"))
+    )
+    alloc = F.when(F.col("_capped"), F.col("capacity")).otherwise(
+        F.col("_base")
+        + F.when(F.col("_idx") - F.col("_kstar") <= F.col("_rem"), 1).otherwise(0)
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "capacity",
+        alloc.cast("long").alias("alloc"),
+    ).withColumn(
+        "share_ppm",
+        F.expr(f"(alloc * 1000000L) div CAST({int(budget)} AS BIGINT)"),
+    )
+
+
+def unimax_mix(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Apply a :func:`unimax_allocation` to the corpus: every document
+    gets ``n_repeats = alloc div n`` full epochs plus one more with
+    probability ``(alloc mod n) / n`` — decided by the deterministic
+    md5 uniform (u32 in [0, 2^32)) against a per-source integer
+    threshold, so membership is exact, replayable, and identical
+    across engines/retries/partitionings. Returns
+    ``(id, source, n_repeats)`` with ``n_repeats >= 1`` rows only
+    (the training mixture; repeat expansion is the loader's job).
+
+    Scale shape: the allocation table (rows = #sources) broadcasts
+    back onto the corpus — the 100 TB scan is filtered map-side with
+    no corpus shuffle. The fractional-epoch threshold is computed once
+    per source in DECIMAL(38,0) (``(alloc mod n) * 2^32 div n``), so
+    nothing overflows even at 10^10 docs/source, and the per-doc test
+    is a single long comparison.
+    """
+    probs = unimax_allocation(df, budget, max_epochs, source_col).select(
+        "source",
+        F.expr("alloc div n_docs").cast("long").alias("_e"),
+        F.expr(
+            "CAST(CAST(CAST(alloc % n_docs AS DECIMAL(38,0)) * 4294967296 "
+            "AS DECIMAL(38,0)) div CAST(n_docs AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("_thr"),
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("source"),
+            u32.alias("_u32"),
+        )
+        .join(F.broadcast(probs), "source")
+        .withColumn(
+            "n_repeats",
+            (F.col("_e") + (F.col("_u32") < F.col("_thr")).cast("long")).cast("long"),
+        )
+        .filter(F.col("n_repeats") >= 1)
+        .select("id", "source", "n_repeats")
+    )
