@@ -932,6 +932,20 @@ def q_anchor_texts(spark, sf_dir):
     return anchor_text_agg(anchored, k=3)
 
 
+def q_novelty_scores(spark, sf_dir):
+    """n-gram novelty audit: odd docs scored against the even-doc
+    reference corpus (same split convention as lm_quality_scores);
+    trigram types, integer ppm."""
+    from walker_spark.operators.textstats import novelty_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return novelty_scores(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        n=3,
+    )
+
+
 UNIMAX_BUDGET = 500
 UNIMAX_EPOCHS = 2
 
@@ -1165,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": q_phash_near_dups,
         "unimax_allocation": q_unimax_allocation,
         "unimax_mix": q_unimax_mix,
+        "novelty_scores": q_novelty_scores,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1851,6 +1866,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_dups": _phash_near_dups_sql(),
         "unimax_allocation": _unimax_allocation_sql(),
         "unimax_mix": _unimax_mix_sql(),
+        "novelty_scores": _novelty_scores_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2912,3 +2928,25 @@ def _unimax_mix_sql() -> str:
                     AS BIGINT) AS n_repeats
         FROM src s JOIN probs p USING (source)
         WHERE p.e + (CASE WHEN ({u32}) < p.thr THEN 1 ELSE 0 END) >= 1'''
+def _novelty_scores_sql(n: int = 3) -> str:
+    """SQL replica of q_novelty_scores: distinct positional-trigram
+    md5 keys per odd doc, left-joined against the distinct even-doc
+    reference gram set (same key derivation as dup_ngram_spans),
+    integer-ppm roll-up."""
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        dg AS (SELECT DISTINCT doc_id,
+                      md5(array_to_string(t[i+1:i+{n}], ' ')) AS gram_key
+               FROM toks, UNNEST(generate_series(0, len(t) - {n})) AS u(i)
+               WHERE doc_id % 2 = 1 AND len(t) >= {n}),
+        rg AS (SELECT DISTINCT md5(array_to_string(t[i+1:i+{n}], ' ')) AS gram_key
+               FROM toks, UNNEST(generate_series(0, len(t) - {n})) AS u(i)
+               WHERE doc_id % 2 = 0 AND len(t) >= {n})
+        SELECT dg.doc_id AS id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN rg.gram_key IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST((sum(CASE WHEN rg.gram_key IS NULL THEN 1 ELSE 0 END)
+                     * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+        FROM dg LEFT JOIN rg USING (gram_key)
+        GROUP BY dg.doc_id"""

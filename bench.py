@@ -96,6 +96,7 @@ HEADLINE = [
     "stratified_split",
     "phash_near_dups",
     "unimax_mix",
+    "novelty_scores",
 ]
 
 # crawl corpus sizing per benchmark scale

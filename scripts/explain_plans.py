@@ -1043,6 +1043,28 @@ def main():
         ],
     )
 
+    from walker_spark.operators.textstats import novelty_scores
+
+    ok &= grab(
+        "novelty_scores: n-gram novelty audit — both corpora collapse "
+        "to DISTINCT md5 gram keys in their scan tasks, ONE gram-keyed "
+        "membership join, ONE doc-keyed roll-up; the reference is "
+        "never broadcast or collected",
+        novelty_scores(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            n=3,
+        ),
+        [
+            ("exchanges only on the gram key or the doc id",
+             r"Exchange hashpartitioning\((?!gram_key|_id|id)", 0),
+            ("gram text never shuffles (keys are md5 in the scan "
+             "projection before any exchange)", r"Exchange.*text#", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

@@ -1740,3 +1740,38 @@ def test_unimax_mix_epochs(spark):
     assert all(r["n_repeats"] == 1 for r in web) and len(web) < 300
     again = unimax_mix(df, budget=500, max_epochs=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_novelty_scores_golden(spark):
+    """Hand-computable trigram-type novelty: overlap counted on
+    distinct gram TYPES, short docs emit no row, ppm is integer."""
+    from walker_spark.operators.textstats import novelty_scores
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # grams: "the quick brown", "quick brown fox" (both in ref),
+            # "brown fox sleeps" (novel) -> 1/3 novel
+            (1, "the quick brown fox sleeps"),
+            # fully novel
+            (2, "entirely new words here"),
+            # repeated gram counts once as a type; both types in ref
+            (3, "the quick brown the quick brown"),
+            # too short for trigrams -> no row
+            (4, "two words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_grams"], r["n_novel"], r["novelty_ppm"])
+        for r in novelty_scores(docs, ref, n=3).collect()
+    }
+    assert out[1] == (3, 1, 333333)
+    assert out[2] == (2, 2, 1000000)
+    # doc 3 grams: {the quick brown, quick brown the, brown the quick} —
+    # only the first is in ref
+    assert out[3] == (3, 2, 666666)
+    assert 4 not in out
+    assert len(out) == 3

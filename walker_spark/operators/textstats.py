@@ -1269,3 +1269,57 @@ def grouped_percentiles(
             F.col("_n").cast("long").alias("n"),
         )
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus — the
+    memorization-risk / train-test-overlap audit (the generation-side
+    twin of decontamination: Carlini et al. 2022 quantify memorization
+    by exactly this overlap; RAVEN-style novelty reports use the same
+    statistic): the fraction of a document's distinct n-gram TYPES
+    absent from the reference.
+
+    Returns ``(id, n_grams, n_novel, novelty_ppm)`` — all BIGINT
+    (``novelty_ppm = n_novel * 1e6 div n_grams``; no float anywhere).
+    Documents with fewer than ``n`` tokens emit no row (nothing to
+    audit); left-join back if they must be carried.
+
+    Scale shape: both corpora collapse to DISTINCT md5 gram keys in
+    their scan tasks (the shuffle moves 32-byte keys, never text —
+    same contract as dup_ngram_spans), the membership probe is one
+    gram-keyed left join, and the per-doc roll-up is one doc-keyed
+    aggregate. A reference of 10^11 grams is fine: it is never
+    broadcast, never collected, and the join key is uniform md5.
+    """
+    from walker_spark.operators.dedup import positional_ngrams
+
+    doc_g = (
+        positional_ngrams(df, id_col, text_col, n)
+        .select("_id", "gram_key")
+        .distinct()
+    )
+    ref_g = (
+        positional_ngrams(reference, ref_id_col, ref_text_col, n)
+        .select("gram_key")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        doc_g.join(ref_g, "gram_key", "left")
+        .groupBy(F.col("_id").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty_ppm", F.expr("(n_novel * 1000000L) div n_grams"))
+    )
