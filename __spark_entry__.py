@@ -946,6 +946,15 @@ def q_novelty_scores(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source trigram-type overlap matrix over the documents
+    table's real source column (S sources -> S*(S-1)/2 rows, integer
+    Jaccard ppm)."""
+    from walker_spark.operators.textstats import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), n=3)
+
+
 UNIMAX_BUDGET = 500
 UNIMAX_EPOCHS = 2
 
@@ -1180,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_allocation": q_unimax_allocation,
         "unimax_mix": q_unimax_mix,
         "novelty_scores": q_novelty_scores,
+        "source_overlap": q_source_overlap,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1867,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_allocation": _unimax_allocation_sql(),
         "unimax_mix": _unimax_mix_sql(),
         "novelty_scores": _novelty_scores_sql(),
+        "source_overlap": _source_overlap_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2950,3 +2961,27 @@ def _novelty_scores_sql(n: int = 3) -> str:
                      * 1000000) // count(*) AS BIGINT) AS novelty_ppm
         FROM dg LEFT JOIN rg USING (gram_key)
         GROUP BY dg.doc_id"""
+def _source_overlap_sql(n: int = 3) -> str:
+    """SQL replica of q_source_overlap: distinct (source, gram-md5)
+    pairs, pairwise common counts, integer Jaccard ppm."""
+    return f"""
+        WITH toks AS (SELECT source, {_TOKS_SQL} AS t FROM documents),
+        sg AS (SELECT DISTINCT source,
+                      md5(array_to_string(t[i+1:i+{n}], ' ')) AS gram_key
+               FROM toks, UNNEST(generate_series(0, len(t) - {n})) AS u(i)
+               WHERE len(t) >= {n}),
+        sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+                  FROM sg GROUP BY source),
+        cm AS (SELECT a.source AS source_a, b.source AS source_b,
+                      CAST(count(*) AS BIGINT) AS common
+               FROM sg a JOIN sg b
+                 ON a.gram_key = b.gram_key AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT cm.source_a, cm.source_b,
+               sa.n_grams AS grams_a, sb.n_grams AS grams_b, cm.common,
+               CAST((cm.common * 1000000)
+                    // (sa.n_grams + sb.n_grams - cm.common) AS BIGINT)
+                 AS jaccard_ppm
+        FROM cm
+        JOIN sizes sa ON sa.source = cm.source_a
+        JOIN sizes sb ON sb.source = cm.source_b"""

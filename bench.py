@@ -97,6 +97,7 @@ HEADLINE = [
     "phash_near_dups",
     "unimax_mix",
     "novelty_scores",
+    "source_overlap",
 ]
 
 # crawl corpus sizing per benchmark scale

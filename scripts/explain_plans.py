@@ -1065,6 +1065,27 @@ def main():
         ],
     )
 
+    from walker_spark.operators.textstats import source_overlap
+
+    ok &= grab(
+        "source_overlap: cross-source n-gram overlap matrix — corpus "
+        "collapses to DISTINCT (source, md5-gram) rows, per-gram "
+        "self-join fan-out bounded by #sources, totals broadcast onto "
+        "the S^2/2-row matrix",
+        source_overlap(
+            docs.select("doc_id", "text", (F.col("doc_id") % 4).cast("string").alias("source"))
+        ),
+        [
+            ("exchanges only on the gram key or the source pair",
+             r"Exchange hashpartitioning\((?!gram_key|source|_id)", 0),
+            ("gram text never shuffles", r"Exchange.*text#", 0),
+            ("both per-source totals join back as broadcasts",
+             r"BroadcastHashJoin", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

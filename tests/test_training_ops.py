@@ -1775,3 +1775,32 @@ def test_novelty_scores_golden(spark):
     assert out[3] == (3, 2, 666666)
     assert 4 not in out
     assert len(out) == 3
+
+
+def test_source_overlap_golden(spark):
+    """Hand-computed pairwise trigram-type Jaccard, ordering and
+    integer-ppm contract."""
+    from walker_spark.operators.textstats import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            # src a grams: {x y z, y z w}
+            (1, "a", "x y z w"),
+            # src b grams: {x y z} (shared with a), {p q r}
+            (2, "b", "x y z"),
+            (3, "b", "p q r"),
+            # src c: disjoint
+            (4, "c", "m n o"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (
+            r["grams_a"], r["grams_b"], r["common"], r["jaccard_ppm"]
+        )
+        for r in source_overlap(df, n=3).collect()
+    }
+    assert out[("a", "b")] == (2, 2, 1, 333333)  # 1 / (2+2-1)
+    # disjoint pairs are OMITTED (sparse matrix contract)
+    assert ("a", "c") not in out and ("b", "c") not in out
+    assert len(out) == 1

@@ -1323,3 +1323,68 @@ def novelty_scores(
         )
         .withColumn("novelty_ppm", F.expr("(n_novel * 1000000L) div n_grams"))
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise n-gram overlap matrix BETWEEN SOURCES — the dataset-
+    forensics pass that catches one dump re-packaging another (the
+    C4-inside-CommonCrawl / books-mirror problem) before mixture
+    weights are chosen on the assumption the sources are independent.
+    For every source pair: distinct n-gram type counts, the common-type
+    count, and Jaccard in integer ppm.
+
+    Returns ``(source_a, source_b, grams_a, grams_b, common,
+    jaccard_ppm)`` — all counts BIGINT, ``source_a < source_b``,
+    ``jaccard_ppm = common * 1e6 div (grams_a + grams_b - common)``.
+    Pairs sharing NO gram are omitted (the matrix is sparse — at
+    thousands of sources the zero cells dominate and carry nothing).
+
+    Scale shape: the corpus collapses to DISTINCT (source, md5-gram)
+    pairs in one gram-keyed exchange (text never shuffles); per-source
+    totals are a tiny agg off that table; the pair matrix is a gram-
+    keyed self-join whose per-gram fan-out is bounded by the number of
+    SOURCES carrying the gram (≤ S, i.e. dozens) — never a doc-level
+    blow-up — and the result aggregates to S²/2 rows. Totals broadcast
+    onto the matrix.
+    """
+    from walker_spark.operators.dedup import positional_ngrams
+
+    sg = (
+        positional_ngrams(df, source_col, text_col, n)
+        .select(F.col("_id").alias("source"), "gram_key")
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "gram_key")
+    b = sg.select(F.col("source").alias("source_b"), "gram_key")
+    common = (
+        a.join(b, "gram_key")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            "common",
+            F.expr("(common * 1000000L) div (grams_a + grams_b - common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
