@@ -1053,7 +1053,10 @@ def q_grouped_percentiles(spark, sf_dir):
         token_stats,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # the sandbox table is ONE parquet file -> one scan task; a real
+    # corpus arrives in many splits, so restore scan parallelism for
+    # the regex-heavy profiling projection (trivial text exchange here)
+    docs = _t(spark, sf_dir, "documents").repartition(32)
     j = language_id(docs).join(token_stats(docs), "id").select(
         F.col("predicted_lang").alias("lang"), "n_tokens"
     )

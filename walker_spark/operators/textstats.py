@@ -34,15 +34,28 @@ def _marker_hits(text_col, words: tuple[str, ...]):
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, predicted_lang, lang_score): argmax over languages of
     distinct marker-word hits; ties broken by language code order;
-    'und' when nothing matches."""
-    cols = {lang: _marker_hits(F.col(text_col), ws) for lang, ws in LANG_MARKERS.items()}
+    'und' when nothing matches.
+
+    The regex hit counts are materialized ONCE into int columns in a
+    first projection and the argmax/tie-break runs over those ints in
+    a second — without the split, a downstream join can inline the
+    when-chain and re-evaluate all 40 rlike's per branch (measured 9×
+    slower inside grouped_percentiles' composed plan)."""
+    hits = df.select(
+        F.col(id_col).alias("id"),
+        *[
+            _marker_hits(F.col(text_col), ws).cast("int").alias(f"_h_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    cols = {lang: F.col(f"_h_{lang}") for lang in LANG_MARKERS}
     best_score = F.greatest(*cols.values())
     pred = F.lit("und")
     for lang in sorted(LANG_MARKERS, reverse=True):
         pred = F.when(cols[lang] == best_score, F.lit(lang)).otherwise(pred)
     pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
-    return df.select(
-        F.col(id_col).alias("id"),
+    return hits.select(
+        "id",
         pred.alias("predicted_lang"),
         best_score.cast("int").alias("lang_score"),
     )
