@@ -955,6 +955,23 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_t(spark, sf_dir, "documents"), n=3)
 
 
+def q_quantile_filter(spark, sf_dir):
+    """CCNet-style per-language token-count trim: keep docs inside the
+    [0.1, 0.9] type-1 quantile values of their language's distribution
+    (cutoff table broadcast back; map-side filter)."""
+    from walker_spark.operators.textstats import (
+        language_id,
+        quantile_filter,
+        token_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    j = language_id(docs).join(token_stats(docs), "id").select(
+        "id", F.col("predicted_lang").alias("lang"), "n_tokens"
+    )
+    return quantile_filter(j, "lang", "n_tokens", lo_q=0.1, hi_q=0.9)
+
+
 UNIMAX_BUDGET = 500
 UNIMAX_EPOCHS = 2
 
@@ -1193,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mix": q_unimax_mix,
         "novelty_scores": q_novelty_scores,
         "source_overlap": q_source_overlap,
+        "quantile_filter": q_quantile_filter,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1881,6 +1899,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_mix": _unimax_mix_sql(),
         "novelty_scores": _novelty_scores_sql(),
         "source_overlap": _source_overlap_sql(),
+        "quantile_filter": _quantile_filter_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2988,3 +3007,36 @@ def _source_overlap_sql(n: int = 3) -> str:
         FROM cm
         JOIN sizes sa ON sa.source = cm.source_a
         JOIN sizes sb ON sb.source = cm.source_b"""
+def _quantile_filter_sql(lo_q: float = 0.1, hi_q: float = 0.9) -> str:
+    """SQL replica of q_quantile_filter: the grouped_percentiles rank
+    selection at lo_q/hi_q per language, cutoff values joined back,
+    inclusive filter."""
+    lang_hits = {lang: _hits_sql(ws) for lang, ws in _LANG_MARKER_SQL.items()}
+    best = "greatest(" + ", ".join(f"({h})" for h in lang_hits.values()) + ")"
+    return f"""
+        WITH lt AS (
+          SELECT doc_id AS id,
+                 CASE WHEN {best} = 0 THEN 'und'
+                      WHEN ({lang_hits['de']}) = {best} THEN 'de'
+                      WHEN ({lang_hits['en']}) = {best} THEN 'en'
+                      WHEN ({lang_hits['es']}) = {best} THEN 'es'
+                      ELSE 'fr' END AS lang,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (SELECT lang, n_tokens AS v,
+                     CAST(row_number() OVER (
+                         PARTITION BY lang ORDER BY n_tokens) AS BIGINT) AS rnk,
+                     CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+              FROM lt),
+        cuts AS (
+          SELECT lang,
+                 min(CASE WHEN rnk = CAST(floor(CAST({lo_q!r} AS DOUBLE)
+                         * (n - 1)) AS BIGINT) + 1 THEN v END) AS lo_value,
+                 max(CASE WHEN rnk = CAST(floor(CAST({hi_q!r} AS DOUBLE)
+                         * (n - 1)) AS BIGINT) + 1 THEN v END) AS hi_value
+          FROM r GROUP BY lang)
+        SELECT lt.id, lt.lang, lt.n_tokens, c.lo_value, c.hi_value
+        FROM lt JOIN cuts c USING (lang)
+        WHERE lt.n_tokens >= c.lo_value AND lt.n_tokens <= c.hi_value"""

@@ -98,6 +98,7 @@ HEADLINE = [
     "unimax_mix",
     "novelty_scores",
     "source_overlap",
+    "quantile_filter",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -1086,6 +1086,27 @@ def main():
         ],
     )
 
+    from walker_spark.operators.textstats import quantile_filter
+
+    ok &= grab(
+        "quantile_filter: per-group quantile trim — the cutoff table "
+        "(2 rows/group, from the grouped_percentiles histogram) "
+        "broadcasts back; the corpus filter is map-side",
+        quantile_filter(
+            docs.select((F.col("doc_id") % 3).alias("g"), F.length("text").alias("v")),
+            "g",
+            "v",
+        ),
+        [
+            ("cutoffs join back as a broadcast", r"BroadcastHashJoin", (1,)),
+            ("the only corpus-side hash exchanges are the histogram's "
+             "(group, value) agg and its group re-key",
+             r"Exchange hashpartitioning\((?!_g|g#)", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

@@ -1804,3 +1804,23 @@ def test_source_overlap_golden(spark):
     # disjoint pairs are OMITTED (sparse matrix contract)
     assert ("a", "c") not in out and ("b", "c") not in out
     assert len(out) == 1
+
+
+def test_quantile_filter_golden(spark):
+    """Inclusive per-group trim at exact type-1 cut values; ties at
+    the cut survive; groups trim independently."""
+    from walker_spark.operators.textstats import quantile_filter
+
+    rows = [("a", i, v) for i, v in enumerate([1, 2, 2, 3, 50, 60, 70, 80, 90, 100])]
+    rows += [("b", 100 + i, v) for i, v in enumerate([5, 6, 7])]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = quantile_filter(df, "g", "v", lo_q=0.1, hi_q=0.9).collect()
+    a = sorted(r["v"] for r in out if r["g"] == "a")
+    # n=10: lo rank floor(.1*9)+1=1 -> value 1; hi rank floor(.9*9)+1=9 -> 90
+    assert a == [1, 2, 2, 3, 50, 60, 70, 80, 90]
+    for r in out:
+        if r["g"] == "a":
+            assert (r["lo_value"], r["hi_value"]) == (1, 90)
+    b = sorted(r["v"] for r in out if r["g"] == "b")
+    # n=3: lo rank floor(.1*2)+1=1 -> 5; hi rank floor(.9*2)+1=2 -> 6
+    assert b == [5, 6]

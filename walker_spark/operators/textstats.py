@@ -1401,3 +1401,41 @@ def source_overlap(
             ),
         )
     )
+
+
+def quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group quantile trimming — the CCNet-style per-language
+    cleaning action built on :func:`grouped_percentiles`: keep only
+    rows whose ``value_col`` lies within the group's [lo_q, hi_q]
+    type-1 quantile VALUES (inclusive; equal values at the cut always
+    land on the same side, so the filter is deterministic under ties).
+    The per-language length trim that drops truncated snippets and
+    concatenation monsters without imposing one global cutoff.
+
+    Returns the input rows (all columns) plus ``lo_value``/``hi_value``
+    the row was tested against.
+
+    Scale shape: the cutoff table is ``grouped_percentiles`` output
+    (rows = 2 × #groups) broadcast back onto the corpus — the 100 TB
+    scan is filtered map-side; the only corpus exchange is the
+    histogram aggregate inside the percentile pass.
+    """
+    pct = grouped_percentiles(df, group_col, value_col, qs=(lo_q, hi_q))
+    lo = float(min(lo_q, hi_q))
+    cuts = pct.groupBy(group_col).agg(
+        F.min(F.when(F.col("q") == lo, F.col("value"))).alias("lo_value"),
+        F.max(F.when(F.col("q") != lo, F.col("value"))).alias("hi_value"),
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .filter(
+            (F.col(value_col) >= F.col("lo_value"))
+            & (F.col(value_col) <= F.col("hi_value"))
+        )
+    )
