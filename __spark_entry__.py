@@ -690,6 +690,7 @@ def _planted_c4_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        "source",
         F.replace(
             F.replace(
                 F.when(
@@ -972,6 +973,31 @@ def q_quantile_filter(spark, sf_dir):
     return quantile_filter(j, "lang", "n_tokens", lo_q=0.1, hi_q=0.9)
 
 
+def q_training_pipeline(spark, sf_dir):
+    """The END-TO-END curation pipeline over the planted-C4 corpus
+    (sentence structure exists there): quality gate -> exact dedup ->
+    4-gram decontamination vs the doc_id % 97 == 0 benchmark slice ->
+    temperature mix to ~100 docs -> 512-token global shards. One
+    composed lazy plan; the oracle chains every stage's SQL replica."""
+    from walker_spark.operators.curation import prepare_training_data
+
+    base = _planted_c4_docs(spark, sf_dir)
+    return prepare_training_data(
+        base.filter(F.col("doc_id") % 97 != 0),
+        base.filter(F.col("doc_id") % 97 == 0),
+        budget_docs=40,
+        shard_tokens=512,
+        decontam_ngram=4,
+        quality=dict(
+            c4_min_line_words=3,
+            c4_min_sentences=1,
+            min_stop_hits=0,
+            gopher_min_words=5,
+            min_prob=0.45,
+        ),
+    )
+
+
 UNIMAX_BUDGET = 500
 UNIMAX_EPOCHS = 2
 
@@ -1211,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_scores": q_novelty_scores,
         "source_overlap": q_source_overlap,
         "quantile_filter": q_quantile_filter,
+        "training_pipeline": q_training_pipeline,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1900,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "novelty_scores": _novelty_scores_sql(),
         "source_overlap": _source_overlap_sql(),
         "quantile_filter": _quantile_filter_sql(),
+        "training_pipeline": _training_pipeline_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -2674,19 +2702,18 @@ def _tokenize_ids_sql(top_v: int = 20) -> str:
         FROM tagged GROUP BY id"""
 
 
-def _quality_pipeline_sql(
-    c4_min_line_words: int = 3,
-    c4_min_sentences: int = 1,
-    min_stop_hits: int = 1,
-    gopher_min_words: int = 10,
-    min_prob: float = 0.5,
+def _quality_ctes(
+    c4_min_line_words: int,
+    c4_min_sentences: int,
+    min_stop_hits: int,
+    gopher_min_words: int,
     dim: int = 4096,
     seed: str = "qc1",
 ) -> str:
-    """SQL replica of the fused C4 -> Gopher -> classifier chain over
-    the q_c4_rules planted corpus: the C4 stage reuses that oracle's
-    CTE shape, then Gopher and the classifier judge the CLEANED text
-    (every fragment is the per-gate oracle's, re-pointed at ct)."""
+    """The fused C4 -> Gopher -> classifier verdict as a reusable CTE
+    chain reading a ``planted(doc_id, text)`` CTE and ending in
+    ``probt(id, c4_pass, gopher_pass, prob)`` — shared by
+    _quality_pipeline_sql and the end-to-end _training_pipeline_sql."""
     bad = (
         "(contains(lower(text), 'lorem ipsum')"
         " OR contains(lower(text), 'terms of use')"
@@ -2702,16 +2729,7 @@ def _quality_pipeline_sql(
     b_expr = f"({_md5_hex_int_sql('s', 8)}) % {dim}"
     w_arg = f"'{seed}:' || CAST(bk AS VARCHAR)"
     w_expr = f"((({_md5_hex_int_sql(w_arg, 8)}) % 2001) - 1000)"
-    return f"""
-        WITH planted AS (
-          SELECT doc_id,
-            replace(replace(
-              CASE WHEN doc_id % 13 = 0 THEN text || ' lorem ipsum'
-                   WHEN doc_id % 17 = 0 THEN '{{ ' || text
-                   ELSE text END,
-              ' table ', '.' || chr(10)), ' row ', ' javascript ') AS text
-          FROM documents
-        ), keptt AS (
+    return f"""keptt AS (
           SELECT doc_id, text,
             list_filter(
               list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0),
@@ -2788,7 +2806,33 @@ def _quality_pipeline_sql(
               THEN CAST(floor((20 * total + n) / (2.0 * n)) AS DOUBLE) / 10000.0
               ELSE 0.0 END))), 4) AS prob
           FROM w
-        )
+        )"""
+
+
+def _quality_pipeline_sql(
+    c4_min_line_words: int = 3,
+    c4_min_sentences: int = 1,
+    min_stop_hits: int = 1,
+    gopher_min_words: int = 10,
+    min_prob: float = 0.5,
+    dim: int = 4096,
+    seed: str = "qc1",
+) -> str:
+    """SQL replica of the fused C4 -> Gopher -> classifier chain over
+    the q_c4_rules planted corpus: the C4 stage reuses that oracle's
+    CTE shape, then Gopher and the classifier judge the CLEANED text
+    (every fragment is the per-gate oracle's, re-pointed at ct)."""
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+            replace(replace(
+              CASE WHEN doc_id % 13 = 0 THEN text || ' lorem ipsum'
+                   WHEN doc_id % 17 = 0 THEN '{{ ' || text
+                   ELSE text END,
+              ' table ', '.' || chr(10)), ' row ', ' javascript ') AS text
+          FROM documents
+        ), {_quality_ctes(c4_min_line_words, c4_min_sentences,
+                          min_stop_hits, gopher_min_words, dim, seed)}
         SELECT id, c4_pass, gopher_pass, prob,
           (c4_pass AND gopher_pass AND prob >= {min_prob!r}) AS quality_pass,
           concat_ws(',',
@@ -3040,3 +3084,73 @@ def _quantile_filter_sql(lo_q: float = 0.1, hi_q: float = 0.9) -> str:
         SELECT lt.id, lt.lang, lt.n_tokens, c.lo_value, c.hi_value
         FROM lt JOIN cuts c USING (lang)
         WHERE lt.n_tokens >= c.lo_value AND lt.n_tokens <= c.hi_value"""
+def _training_pipeline_sql(
+    budget_docs: int = 40, shard_tokens: int = 512, ngram: int = 4
+) -> str:
+    """SQL replica of q_training_pipeline: the _quality_ctes verdict
+    chain over the planted corpus minus the benchmark slice, then
+    exact dedup (min id per normalized text), n-gram decontamination
+    vs the slice, temperature mixture (same float expression as the
+    temperature_mix oracle) and the assign_shards global prefix sum."""
+    plant = """replace(replace(
+              CASE WHEN doc_id % 13 = 0 THEN text || ' lorem ipsum'
+                   WHEN doc_id % 17 = 0 THEN '{ ' || text
+                   ELSE text END,
+              ' table ', '.' || chr(10)), ' row ', ' javascript ')"""
+    u = _md5_hex_int_sql("CAST(c.doc_id AS VARCHAR)", 8)
+    return f"""
+        WITH planted AS (
+          SELECT doc_id, source, {plant} AS text
+          FROM documents WHERE doc_id % 97 <> 0
+        ), bench AS (
+          SELECT {plant} AS text FROM documents WHERE doc_id % 97 = 0
+        ), {_quality_ctes(3, 1, 0, 5)},
+        qk AS (SELECT id FROM probt
+               WHERE c4_pass AND gopher_pass AND prob >= 0.45),
+        passed AS (SELECT p.* FROM planted p JOIN qk ON qk.id = p.doc_id),
+        dd AS (SELECT min(doc_id) AS doc_id FROM passed
+               GROUP BY {_NORM_TEXT_SQL}),
+        survivors AS (SELECT p.* FROM passed p JOIN dd USING (doc_id)),
+        cg AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(0, greatest(len(toks) - {ngram}, 0) + 1),
+                i -> array_to_string(toks[i+1:i+{ngram}], ' '))) AS g
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM survivors))
+          WHERE length(g) > 0
+        ), bg AS (
+          SELECT DISTINCT g FROM (
+            SELECT unnest(list_transform(
+                range(0, greatest(len(toks) - {ngram}, 0) + 1),
+                i -> array_to_string(toks[i+1:i+{ngram}], ' '))) AS g
+            FROM (SELECT {_TOKS_SQL} AS toks FROM bench))
+          WHERE length(g) > 0
+        ), contaminated AS (
+          SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg)
+        ), clean AS (
+          SELECT * FROM survivors
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), mn AS (
+          SELECT source, count(*)::DOUBLE AS n FROM clean GROUP BY source
+        ), mz AS (SELECT sum(power(n, 0.5)) AS z FROM mn),
+        mp AS (
+          SELECT source,
+                 least(1.0, {float(budget_docs)!r} * power(n, 0.5)
+                       / (SELECT z FROM mz) / n) AS p
+          FROM mn
+        ), mixed AS (
+          SELECT c.* FROM clean c JOIN mp USING (source)
+          WHERE ({u}) / 4294967296.0 < mp.p
+        ), tok AS (
+          SELECT doc_id AS id, source,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END AS BIGINT) AS n_tokens
+          FROM mixed
+        )
+        SELECT id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                    ORDER BY id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // {shard_tokens} AS BIGINT) AS shard_id
+        FROM tok"""

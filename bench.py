@@ -99,6 +99,7 @@ HEADLINE = [
     "novelty_scores",
     "source_overlap",
     "quantile_filter",
+    "training_pipeline",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -1107,6 +1107,30 @@ def main():
         ],
     )
 
+    from walker_spark.operators.curation import prepare_training_data
+
+    ok &= grab(
+        "prepare_training_data: the END-TO-END curation chain as one "
+        "composed plan — zero-Python verdict, content-key dedup "
+        "exchange, broadcast benchmark grams + mixture thresholds, "
+        "checkpoint-once shard prefix sum",
+        prepare_training_data(
+            docs.select("doc_id", "text", (F.col("doc_id") % 4).cast("string").alias("source")),
+            docs.limit(5).select("doc_id", "text", F.lit("z").alias("source")),
+            budget_docs=100,
+            shard_tokens=256,
+            quality=dict(min_stop_hits=0, gopher_min_words=5, min_prob=0.0),
+        ),
+        [
+            ("benchmark grams and mixture thresholds join as broadcasts",
+             r"BroadcastHashJoin", (3,)),
+            ("shard prefix sum reads the checkpointed range partition",
+             r"Scan ExistingRDD", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

@@ -1824,3 +1824,49 @@ def test_quantile_filter_golden(spark):
     b = sorted(r["v"] for r in out if r["g"] == "b")
     # n=3: lo rank floor(.1*2)+1=1 -> 5; hi rank floor(.9*2)+1=2 -> 6
     assert b == [5, 6]
+
+
+def test_prepare_training_data_end_to_end(spark):
+    """Every stage acts on a hand-built corpus: quality drops the junk
+    doc, exact dedup keeps the min-id twin, decontamination drops the
+    benchmark-leaking doc, the mixture keeps everything under a big
+    budget, and shard ids follow the global token prefix sum."""
+    from walker_spark.operators.curation import prepare_training_data
+
+    good = "the quick brown fox jumps over the lazy dog today."
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota done."
+    docs = spark.createDataFrame(
+        [
+            (1, "A", good),
+            (2, "A", good),          # exact duplicate -> dropped (keeper=1)
+            (3, "B", leak),          # shares a 4-gram with the benchmark
+            (4, "B", "x"),           # fails every quality gate
+            (5, "B", "many fine words arrive in order and finish cleanly here."),
+        ],
+        "doc_id long, source string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "Z", "alpha beta gamma delta question mark.")],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["id"]: (r["source"], r["n_tokens"], r["shard_id"])
+        for r in prepare_training_data(
+            docs,
+            bench,
+            budget_docs=100,          # p clamps to 1 -> mixture keeps all
+            shard_tokens=12,
+            decontam_ngram=4,
+            quality=dict(
+                c4_min_line_words=3,
+                c4_min_sentences=1,
+                min_stop_hits=0,
+                gopher_min_words=5,
+                min_prob=0.0,         # disarm the hash classifier here
+            ),
+        ).collect()
+    }
+    assert set(out) == {1, 5}
+    assert out[1] == ("A", 10, 0)
+    # doc 5: 10 tokens, prefix 10 -> shard 10 div 12 = 0
+    assert out[5] == ("B", 10, 0)

@@ -688,3 +688,62 @@ def unimax_mix(
         .filter(F.col("n_repeats") >= 1)
         .select("id", "source", "n_repeats")
     )
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    budget_docs: int,
+    shard_tokens: int = 2048,
+    alpha: float = 0.5,
+    decontam_ngram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    quality: dict | None = None,
+) -> DataFrame:
+    """END-TO-END corpus curation — the FineWeb/RefinedWeb pipeline
+    shape as one composed plan: quality gate (fused C4 -> Gopher ->
+    classifier verdict) -> exact dedup (min id per 128-bit content
+    key) -> benchmark decontamination (n-gram leak anti-join) ->
+    temperature mixture (n^alpha source reweighting to ~budget docs)
+    -> global shard assignment (~``shard_tokens`` tokens per shard in
+    id order). Returns ``(id, source, n_tokens, shard_id)`` — the
+    loader-ready corpus manifest.
+
+    Every stage is an existing oracle-checked operator; this function
+    is the composition, and the whole chain stays one lazy plan (no
+    materialization barriers besides assign_shards' checkpoint-once
+    range partition). Scale shape inherits from the stages: the
+    quality verdict is a zero-exchange projection, dedup is one
+    content-key exchange, the benchmark side broadcasts, the mixture
+    threshold table broadcasts, and the shard prefix sum is the
+    distributed-rank machinery — corpus text is only ever exchanged by
+    the dedup groupBy's 32-byte keys and the final range partition.
+    """
+    from walker_spark.operators.dedup import exact_dedup
+    from walker_spark.operators.textstats import quality_pipeline
+
+    verdict = quality_pipeline(
+        docs, id_col=id_col, text_col=text_col, **(quality or {})
+    )
+    passed = docs.join(
+        verdict.filter(F.col("quality_pass")).select(F.col("id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    keepers = exact_dedup(passed, id_col, text_col)
+    survivors = passed.join(keepers, id_col, "left_semi")
+    bad = contaminated_docs(
+        survivors, benchmark, ngram=decontam_ngram, id_col=id_col, text_col=text_col
+    )
+    clean = survivors.join(
+        bad.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    mixed = temperature_mix(clean, budget_docs, alpha, id_col, source_col)
+    final = clean.join(
+        mixed.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    shards = assign_shards(final, shard_tokens, id_col, text_col)
+    src = final.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+    return shards.join(src, "id").select("id", "source", "n_tokens", "shard_id")
