@@ -998,6 +998,22 @@ def q_training_pipeline(spark, sf_dir):
     )
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Seed-personalized PageRank (TrustRank shape) on the planted doc
+    graph: seeds = nodes with node % 25 == 1, 4 iterations, exact
+    integer micro-unit ranks."""
+    from walker_spark.operators.graph import personalized_pagerank
+
+    edges = _planted_doc_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 25 == 1)
+    )
+    return personalized_pagerank(edges, seeds, iterations=4)
+
+
 UNIMAX_BUDGET = 500
 UNIMAX_EPOCHS = 2
 
@@ -1238,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "quantile_filter": q_quantile_filter,
         "training_pipeline": q_training_pipeline,
+        "personalized_pagerank": q_personalized_pagerank,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1928,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _source_overlap_sql(),
         "quantile_filter": _quantile_filter_sql(),
         "training_pipeline": _training_pipeline_sql(),
+        "personalized_pagerank": _ppr_sql(),
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
@@ -3154,3 +3172,37 @@ def _training_pipeline_sql(
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     // {shard_tokens} AS BIGINT) AS shard_id
         FROM tok"""
+def _ppr_sql(iterations: int = 4, num: int = 17, den: int = 20) -> str:
+    """SQL replica of graph.personalized_pagerank on the planted doc
+    graph (seeds: node % 25 == 1): the integer recurrence unrolled one
+    CTE per iteration; teleport + dangling mass deposit on seeds only."""
+    micro = 1_000_000
+    base = (micro * (den - num)) // den
+    its = []
+    for i in range(iterations):
+        its.append(f"""
+        r{i + 1} AS (
+          SELECT n.node, n.outdeg,
+            CAST(CASE WHEN n.node % 25 = 1
+                 THEN {base} + ((SELECT COALESCE(CAST(sum(r) AS BIGINT), 0)
+                                 FROM r{i} WHERE outdeg = 0) * {num})
+                              // ({den} * (SELECT cnt FROM ns))
+                 ELSE 0 END
+                 + COALESCE(c.s, 0) AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum((p.r * {num}) // ({den} * p.outdeg)) AS BIGINT) AS s
+            FROM r{i} p JOIN edges e ON e.src = p.node
+            WHERE p.outdeg > 0
+            GROUP BY e.dst) c ON c.node = n.node
+        )""")
+    return f"""
+        WITH {_PLANTED_GRAPH_CTES},
+        ns AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes
+               WHERE node % 25 = 1),
+        r0 AS (SELECT node, outdeg,
+                      CAST(CASE WHEN node % 25 = 1 THEN {micro} ELSE 0 END
+                           AS BIGINT) AS r
+               FROM nodes),
+        {", ".join(its)}
+        SELECT node, r AS rank_micro FROM r{iterations}"""

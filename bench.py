@@ -100,6 +100,7 @@ HEADLINE = [
     "source_overlap",
     "quantile_filter",
     "training_pipeline",
+    "personalized_pagerank",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -1131,6 +1131,31 @@ def main():
         ],
     )
 
+    from walker_spark.operators.graph import _ppr_step
+
+    _ppr_nodes = pr_nodes.select(
+        "node", "outdeg", (F.col("node") % 5 == 0).alias("is_seed")
+    )
+    _ppr_state = _ppr_nodes.withColumn(
+        "rank_micro",
+        F.when(F.col("is_seed"), F.lit(1_000_000)).otherwise(F.lit(0)).cast("long"),
+    )
+    ok &= grab(
+        "personalized_pagerank iteration (_ppr_step): same shape as the "
+        "pagerank step — edge-keyed join + dst-keyed agg, dangling mass "
+        "a broadcast one-row aggregate, seed deposit a flag column on "
+        "the checkpointed node table, pure int64",
+        _ppr_step(_ppr_nodes, pr_edges, _ppr_state, 3, 17, 20, 150000),
+        [
+            ("exchanges keyed on node/src/dst only",
+             r"Exchange hashpartitioning\((?!node|src|dst)", 0),
+            ("dangling scalar is a broadcast one-row cross join",
+             r"BroadcastNestedLoopJoin", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

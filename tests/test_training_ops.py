@@ -1870,3 +1870,27 @@ def test_prepare_training_data_end_to_end(spark):
     assert out[1] == ("A", 10, 0)
     # doc 5: 10 tokens, prefix 10 -> shard 10 div 12 = 0
     assert out[5] == ("B", 10, 0)
+
+
+def test_personalized_pagerank_chain(spark):
+    """Hand-computed 3-node chain (1 -> 2 -> 3, 3 dangling, seed {1}):
+    teleport + dangling mass deposit on the seed only; exact integer
+    micro-units at every iteration."""
+    import pytest as _pytest
+
+    from walker_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["rank_micro"]
+        for r in personalized_pagerank(edges, seeds, iterations=3).collect()
+    }
+    # r1 = {1: 150000, 2: 850000, 3: 0}
+    # r2 = {1: 150000, 2: 127500, 3: 722500}
+    # r3: dangling 722500 -> seed share (722500*17) div 20 = 614125
+    assert out == {1: 150000 + 614125, 2: 127500, 3: 108375}
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            edges, spark.createDataFrame([(99,)], "node long"), iterations=1
+        ).collect()

@@ -309,3 +309,127 @@ def anchor_text_agg(
             F.col("total_inlinks").cast("long").alias("total_inlinks"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Seed-personalized PageRank (random walk with restart to the
+    seed set — the TrustRank shape, Gyöngyi et al. 2004): teleport
+    mass and dangling mass return ONLY to the seeds, so rank measures
+    closeness to the trusted set. The crawler-prioritization variant
+    of :func:`pagerank` (seed-biased frontier ordering, spam
+    down-weighting away from trusted hubs).
+
+    Integer recurrence (``base = (MICRO * (den - num)) div den``,
+    ``S`` = seeds present in the graph; seeds not in the edge set are
+    ignored)::
+
+        r_0(v)     = MICRO if v in S else 0
+        share_i    = (dang_i * num) div (den * S)
+        r_{i+1}(v) = [v in S] * (base + share_i)
+                     + sum over edges (u -> v), outdeg(u) > 0, of
+                         (r_i(u) * num) div (den * outdeg(u))
+
+    Returns ``(node, rank_micro)``. Same scale shape as
+    :func:`pagerank`: S and N are one-count driver scalars, the seed
+    flag rides the checkpointed node table, dangling mass is a
+    broadcast one-row aggregate, ONE localCheckpoint job/iteration.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("damping must satisfy 0 < num < den")
+    num, den = damping_num, damping_den
+
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).localCheckpoint()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    seed_set = seeds.select(
+        F.col(seed_col).cast("long").alias("node")
+    ).distinct().withColumn("_seed", F.lit(True))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(outdeg, "node", "left")
+        .join(F.broadcast(seed_set), "node", "left")
+        .select(
+            "node",
+            F.coalesce("outdeg", F.lit(0).cast("long")).alias("outdeg"),
+            F.coalesce("_seed", F.lit(False)).alias("is_seed"),
+        )
+        .localCheckpoint()
+    )
+    n_seeds = nodes.filter(F.col("is_seed")).count()
+    if n_seeds == 0:
+        raise ValueError("no seed is present in the edge set")
+    base = (MICRO * (den - num)) // den
+
+    ranks = nodes.select(
+        "node",
+        "outdeg",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(MICRO).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rank_micro"),
+    )
+    for _ in range(iterations):
+        ranks = _ppr_step(nodes, e, ranks, n_seeds, num, den, base).localCheckpoint()
+    return ranks.select("node", "rank_micro")
+
+
+def _ppr_step(
+    nodes: DataFrame,
+    e: DataFrame,
+    ranks: DataFrame,
+    n_seeds: int,
+    num: int,
+    den: int,
+    base: int,
+) -> DataFrame:
+    """One un-checkpointed personalized-PageRank iteration (factored
+    out so explain_plans.py asserts the real iteration plan)."""
+    dang = ranks.filter(F.col("outdeg") == 0).agg(
+        F.coalesce(F.sum("rank_micro"), F.lit(0).cast("long")).alias("_dang")
+    )
+    contrib = (
+        ranks.filter(F.col("outdeg") > 0)
+        .join(e, ranks["node"] == e["src"])
+        .select(
+            F.col("dst").alias("node"),
+            F.expr(f"(rank_micro * {num}L) div ({den}L * outdeg)").alias("_c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("_c").alias("_in"))
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "node",
+            "outdeg",
+            "is_seed",
+            (
+                F.when(
+                    F.col("is_seed"),
+                    F.lit(base)
+                    + F.expr(f"(_dang * {num}L) div ({den}L * {n_seeds}L)"),
+                ).otherwise(F.lit(0).cast("long"))
+                + F.coalesce(F.col("_in"), F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("rank_micro"),
+        )
+    )
