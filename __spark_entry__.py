@@ -1014,6 +1014,47 @@ def q_personalized_pagerank(spark, sf_dir):
     return personalized_pagerank(edges, seeds, iterations=4)
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source surface: documents exported as a deterministic
+    two-file WARC fixture (plain + per-record gzip; fixture GENERATION
+    collects the bounded 500-doc table — the read path is the real
+    binaryFile + mapInPandas parser), read back and projected; the
+    oracle predicts the parsed rows directly from documents, so the
+    whole framing/HTTP/gzip path is value-checked."""
+    import os
+
+    from walker_spark.sources.warc import build_warc_bytes, read_warc
+
+    rows = sorted(
+        _t(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    recs = [
+        (
+            f"http://ex.org/doc/{r['doc_id']}",
+            "2024-01-01T00:00:00Z",
+            404 if r["doc_id"] % 10 == 0 else 200,
+            "text/html",
+            (r["text"] or "").encode("utf-8"),
+        )
+        for r in rows
+    ]
+    d = "/tmp/spark_graft_warc_fixture"
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "even.warc"), "wb") as f:
+        f.write(build_warc_bytes([t for t, r in zip(recs, rows) if r["doc_id"] % 2 == 0]))
+    with open(os.path.join(d, "odd.warc.gz"), "wb") as f:
+        f.write(
+            build_warc_bytes(
+                [t for t, r in zip(recs, rows) if r["doc_id"] % 2 == 1],
+                gzip_members=True,
+            )
+        )
+    return read_warc(spark, d).select(
+        "record_type", "url", "http_status", "mime", "n_bytes", "checksum"
+    )
+
+
 UNIMAX_BUDGET = 500
 UNIMAX_EPOCHS = 2
 
@@ -1255,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": q_quantile_filter,
         "training_pipeline": q_training_pipeline,
         "personalized_pagerank": q_personalized_pagerank,
+        "warc_roundtrip": q_warc_roundtrip,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1946,6 +1988,15 @@ def oracle_sql() -> dict[str, str]:
         "quantile_filter": _quantile_filter_sql(),
         "training_pipeline": _training_pipeline_sql(),
         "personalized_pagerank": _ppr_sql(),
+        "warc_roundtrip": """
+            SELECT 'response' AS record_type,
+                   'http://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END
+                        AS INT) AS http_status,
+                   'text/html' AS mime,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents""",
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),

@@ -1894,3 +1894,34 @@ def test_personalized_pagerank_chain(spark):
         personalized_pagerank(
             edges, spark.createDataFrame([(99,)], "node long"), iterations=1
         ).collect()
+
+
+def test_warc_roundtrip(spark, tmp_path):
+    """WARC write -> read roundtrip, plain and per-record gzip:
+    record framing, HTTP status/mime extraction, body payload bytes,
+    multi-member gzip decode."""
+    from walker_spark.sources.warc import build_warc_bytes, read_warc
+
+    recs = [
+        ("http://a.example/1", "2024-01-01T00:00:00Z", 200, "text/html",
+         b"<html>hello</html>"),
+        ("http://a.example/2", "2024-01-01T00:00:01Z", 404, "text/plain",
+         b"gone"),
+        ("http://a.example/3", "2024-01-01T00:00:02Z", 200, "text/html",
+         b"body with \r\n\r\n inside"),
+    ]
+    (tmp_path / "a.warc").write_bytes(build_warc_bytes(recs))
+    (tmp_path / "b.warc.gz").write_bytes(build_warc_bytes(recs, gzip_members=True))
+    for fname in ("a.warc", "b.warc.gz"):
+        out = {
+            r["url"]: r
+            for r in read_warc(spark, str(tmp_path / fname)).collect()
+        }
+        assert len(out) == 3, fname
+        for url, _d, status, mime, body in recs:
+            r = out[url]
+            assert r["record_type"] == "response"
+            assert r["http_status"] == status
+            assert r["mime"] == mime
+            assert bytes(r["payload"]) == body
+            assert r["n_bytes"] == len(body)

@@ -1,0 +1,171 @@
+"""WARC source: read ISO 28500 web-archive files into the engine's
+table model — the standard interchange format between crawlers
+(wget/Heritrix/CommonCrawl) and training-data pipelines (reference:
+walker persists fetches to its pages table, fetcher.go; WARC is the
+export/import surface a user swapping crawlers needs).
+
+Format subset (public spec, ISO 28500 / IIPC warc-specifications):
+records are ``WARC/1.0`` header blocks terminated by CRLFCRLF, a body
+of exactly ``Content-Length`` bytes, then CRLFCRLF; ``response``
+records carry an HTTP message (status line, headers, body) as the
+block. ``.warc.gz`` files are the usual per-record gzip members —
+decoded as a multi-member stream.
+
+Scale shape: one task per WARC file (``binaryFile`` source — WARC's
+record framing has no split points without an index, so the FILE is
+the parallelism unit; shard archives into many ~1 GB files, exactly
+how CommonCrawl ships). Parsing is one ``mapInPandas`` pass; payload
+bytes are born in the scan task and never shuffle (same contract as
+the pages table's html).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType(), False),
+        StructField("record_type", StringType(), True),
+        StructField("url", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("http_status", IntegerType(), True),
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("checksum", StringType(), False),
+    ]
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the .warc.gz
+    convention: one member per record). gzip.decompress stops after
+    the FIRST member, so loop a raw zlib stream instead."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        data = d.unused_data
+        if not d.eof:  # truncated trailing member
+            break
+    return b"".join(out)
+
+
+def _parse_warc_bytes(name: str, data: bytes):
+    """Yield WARC_SCHEMA dicts from raw (already-decompressed) bytes."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        header = data[pos:hdr_end].decode("utf-8", "replace")
+        lines = header.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break
+        fields = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get("content-length", "0"))
+        except ValueError:
+            break
+        block = data[hdr_end + 4 : hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        rtype = fields.get("warc-type")
+        url = fields.get("warc-target-uri")
+        wdate = fields.get("warc-date")
+        status = None
+        mime = None
+        payload = block
+        if rtype == "response" and block.startswith(b"HTTP/"):
+            he = block.find(_CRLF2)
+            if he >= 0:
+                hlines = block[:he].decode("utf-8", "replace").split("\r\n")
+                parts = hlines[0].split(" ", 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                for ln in hlines[1:]:
+                    k, _, v = ln.partition(":")
+                    if k.strip().lower() == "content-type":
+                        mime = v.strip()
+                payload = block[he + 4 :]
+        yield {
+            "warc_file": name,
+            "record_type": rtype,
+            "url": url,
+            "warc_date": wdate,
+            "http_status": status,
+            "mime": mime,
+            "payload": payload,
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+        }
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC (or per-record-gzipped .warc.gz) files into a
+    DataFrame of WARC_SCHEMA rows — one row per record, ``payload``
+    the HTTP body for response records (raw block otherwise)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in WARC_SCHEMA.fields}
+            for name, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if name.endswith(".gz"):
+                    data = _gunzip_members(data)
+                for rec in _parse_warc_bytes(name, data):
+                    for k, v in rec.items():
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(parse, WARC_SCHEMA)
+
+
+def build_warc_bytes(records, gzip_members: bool = False) -> bytes:
+    """Serialize ``(url, date, status, mime, body_bytes)`` tuples as a
+    WARC response stream (deterministic — the test/fixture writer and
+    the export path share it)."""
+    import gzip as _gzip
+
+    out = []
+    for url, date, status, mime, body in records:
+        http = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {mime}\r\n\r\n"
+        ).encode() + body
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{hashlib.md5(url.encode()).hexdigest()}>\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        rec = hdr + http + _CRLF2
+        out.append(_gzip.compress(rec) if gzip_members else rec)
+    return b"".join(out)
