@@ -1055,6 +1055,50 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+# Shared by warc_roundtrip (fixture -> read) and warc_export
+# (distributed write -> read): both must round-trip to exactly the
+# rows this SQL predicts from the source table.
+_WARC_ORACLE_SQL = """
+    SELECT 'response' AS record_type,
+           'http://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END
+                AS INT) AS http_status,
+           'text/html' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents"""
+
+
+def q_warc_export(spark, sf_dir):
+    """Distributed WARC export sink: documents become WARC records
+    entirely JVM-side (url/status synthesized from doc_id, payload =
+    encode(text)), repartitioned to 8 shards, written by write_warc's
+    per-partition mapInPandas writer, then read back through the real
+    binaryFile parser — the oracle predicts the round-tripped rows
+    from the source table, so the distributed write path itself is
+    value-checked (a lost/partial/duplicated shard breaks the hash)."""
+    import shutil
+
+    from walker_spark.sources.warc import read_warc, write_warc
+
+    recs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://ex.org/doc/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+        .alias("http_status"),
+        F.lit("text/html").alias("mime"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+    )
+    out = "/tmp/spark_graft_warc_export"
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc(recs.repartition(8, "url"), out)
+    return read_warc(spark, out).select(
+        "record_type", "url", "http_status", "mime", "n_bytes", "checksum"
+    )
+
+
 UNIMAX_BUDGET = 500
 UNIMAX_EPOCHS = 2
 
@@ -1297,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "personalized_pagerank": q_personalized_pagerank,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_export": q_warc_export,
         "phrase_search": q_phrase_search,
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
@@ -1988,15 +2033,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_filter": _quantile_filter_sql(),
         "training_pipeline": _training_pipeline_sql(),
         "personalized_pagerank": _ppr_sql(),
-        "warc_roundtrip": """
-            SELECT 'response' AS record_type,
-                   'http://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
-                   CAST(CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END
-                        AS INT) AS http_status,
-                   'text/html' AS mime,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   md5(text) AS checksum
-            FROM documents""",
+        "warc_roundtrip": _WARC_ORACLE_SQL,
+        "warc_export": _WARC_ORACLE_SQL,
         "phrase_search": _phrase_search_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),

@@ -1925,3 +1925,50 @@ def test_warc_roundtrip(spark, tmp_path):
             assert r["mime"] == mime
             assert bytes(r["payload"]) == body
             assert r["n_bytes"] == len(body)
+
+
+def test_warc_export_sink(spark, tmp_path):
+    """Distributed write_warc: one shard per non-empty partition,
+    atomic rename (no .tmp leftovers), manifest totals, warc_date
+    passthrough, and full read-back parity in both gzip and plain
+    modes."""
+    from pyspark.sql import functions as F
+
+    from walker_spark.sources.warc import read_warc, write_warc
+
+    df = (
+        spark.range(0, 37)
+        .select(
+            F.concat(F.lit("http://s.test/"), F.col("id").cast("string")).alias(
+                "url"
+            ),
+            F.lit(200).alias("http_status"),
+            F.lit("text/plain").alias("mime"),
+            F.encode(
+                F.concat(F.lit("body-"), F.col("id").cast("string")), "UTF-8"
+            ).alias("payload"),
+            F.concat(
+                F.lit("2024-02-0"),
+                (F.col("id") % 9 + 1).cast("string"),
+                F.lit("T00:00:00Z"),
+            ).alias("warc_date"),
+        )
+        # 5 hash partitions of 37 rows: some partitions may be empty
+        .repartition(5, "url")
+    )
+    for gz in (True, False):
+        out = tmp_path / ("gz" if gz else "plain")
+        manifest = write_warc(df, str(out), gzip_members=gz).collect()
+        files = sorted(p.name for p in out.iterdir())
+        assert all(not n.endswith(".tmp") for n in files)
+        assert sorted(m["warc_file"].rsplit("/", 1)[1] for m in manifest) == files
+        assert sum(m["n_records"] for m in manifest) == 37
+        back = {r["url"]: r for r in read_warc(spark, str(out)).collect()}
+        assert len(back) == 37
+        for i in range(37):
+            r = back[f"http://s.test/{i}"]
+            assert bytes(r["payload"]) == f"body-{i}".encode()
+            assert r["warc_date"] == f"2024-02-0{i % 9 + 1}T00:00:00Z"
+        assert sum(m["payload_bytes"] for m in manifest) == sum(
+            len(f"body-{i}") for i in range(37)
+        )

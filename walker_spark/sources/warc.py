@@ -146,10 +146,107 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(parse, WARC_SCHEMA)
 
 
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType(), False),
+        StructField("n_records", LongType(), False),
+        StructField("file_bytes", LongType(), False),
+        StructField("payload_bytes", LongType(), False),
+    ]
+)
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    gzip_members: bool = True,
+    date: str = "1970-01-01T00:00:00Z",
+) -> DataFrame:
+    """Distributed WARC export: every partition of ``df`` (columns
+    ``url``, ``http_status``, ``mime``, ``payload``; optional
+    ``warc_date`` overriding ``date``) becomes ONE ``part-NNNNN.warc``
+    (``.gz`` with per-record gzip members, mtime=0, when
+    ``gzip_members``) shard in ``out_dir`` — the CommonCrawl sharding
+    convention, so the file count IS the read-side parallelism. Shards
+    are written to a dot-tmp name then atomically renamed (task retry
+    leaves no partial shard); empty partitions write nothing. Eager:
+    runs one job and returns the collected per-file manifest as a
+    (tiny) DataFrame. Payload bytes stay in the task that owns the
+    partition — repartition upstream to choose shard count/size.
+    Reference parity: walker persists fetches to its pages table
+    (fetcher.go); this is the export half of the WARC interchange
+    surface, read_warc the import half."""
+    import os
+
+    spark = df.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    has_date = "warc_date" in df.columns
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = os.path.join(out_dir, f".part-{pid:05d}{ext}.tmp")
+        n_rec = 0
+        n_payload = 0
+        f = None
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if f is None:
+                    f = open(tmp, "wb")
+                dates = pdf["warc_date"] if has_date else None
+                recs = [
+                    (
+                        u,
+                        dates.iloc[i] if dates is not None else date,
+                        int(s),
+                        m,
+                        bytes(p),
+                    )
+                    for i, (u, s, m, p) in enumerate(
+                        zip(
+                            pdf["url"],
+                            pdf["http_status"],
+                            pdf["mime"],
+                            pdf["payload"],
+                        )
+                    )
+                ]
+                f.write(build_warc_bytes(recs, gzip_members=gzip_members))
+                n_rec += len(recs)
+                n_payload += int(sum(len(r[4]) for r in recs))
+            if f is not None:
+                f.close()
+                f = None
+                os.replace(tmp, final)
+                yield pd.DataFrame(
+                    {
+                        "warc_file": [final],
+                        "n_records": [n_rec],
+                        "file_bytes": [os.path.getsize(final)],
+                        "payload_bytes": [n_payload],
+                    }
+                )
+        finally:
+            if f is not None:
+                f.close()
+
+    cols = ["url", "http_status", "mime", "payload"] + (
+        ["warc_date"] if has_date else []
+    )
+    manifest = df.select(*cols).mapInPandas(writer, MANIFEST_SCHEMA).collect()
+    return spark.createDataFrame(manifest, MANIFEST_SCHEMA)
+
+
 def build_warc_bytes(records, gzip_members: bool = False) -> bytes:
     """Serialize ``(url, date, status, mime, body_bytes)`` tuples as a
     WARC response stream (deterministic — the test/fixture writer and
-    the export path share it)."""
+    the export path share it; gzip members use mtime=0 so shard bytes
+    are bit-reproducible)."""
     import gzip as _gzip
 
     out = []
@@ -167,5 +264,5 @@ def build_warc_bytes(records, gzip_members: bool = False) -> bytes:
             f"Content-Length: {len(http)}\r\n\r\n"
         ).encode()
         rec = hdr + http + _CRLF2
-        out.append(_gzip.compress(rec) if gzip_members else rec)
+        out.append(_gzip.compress(rec, mtime=0) if gzip_members else rec)
     return b"".join(out)
