@@ -1234,6 +1234,23 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=BPE_MERGE_STEPS)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Run the trained tokenizer over its own training corpus: the 8
+    bpe_merges merges applied per document (greedy min-rank Arrow
+    stage with a per-worker word cache — no word join, one doc-keyed
+    exchange). Symbols emitted space-joined (symbols are substrings of
+    whitespace-free words, so the join is unambiguous); the oracle
+    re-derives the merge recurrence carrying the word through each
+    step and join-encodes the position-indexed token stream."""
+    from walker_spark.operators.textstats import bpe_encode, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bpe_encode(docs, bpe_merges(docs, n_merges=BPE_MERGE_STEPS))
+    return out.select(
+        "id", F.array_join("syms", " ").alias("syms_sp"), "n_tokens"
+    )
+
+
 # Query-by-example documents for the hybrid RRF driver check — any ids
 # in the documents ∩ embeddings key range work; fixed for determinism.
 HYBRID_EXAMPLE_IDS: tuple[int, ...] = (3, 57, 211)
@@ -1328,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "anchor_texts": q_anchor_texts,
         "text_normalize": q_text_normalize,
         "grouped_percentiles": q_grouped_percentiles,
@@ -2021,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _hybrid_rrf_sql(),
         "winnow_fingerprints": _winnow_fingerprints_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "anchor_texts": _anchor_texts_sql(),
         "text_normalize": _text_normalize_sql(),
         "grouped_percentiles": _grouped_percentiles_sql(),
@@ -2519,6 +2538,59 @@ def _bpe_merges_sql(n_merges: int = BPE_MERGE_STEPS) -> str:
         w0 AS MATERIALIZED (SELECT string_split_regex(w, '') AS syms, cnt FROM wc),
         {",".join(its)}
         {outs}"""
+
+
+def _bpe_encode_sql(n_merges: int = BPE_MERGE_STEPS) -> str:
+    """SQL replica of textstats.bpe_encode: the _bpe_merges_sql
+    recurrence with the word carried through every step (so w{n} maps
+    each distinct word to its final symbol sequence), join-encoded
+    onto the position-indexed token stream and reassembled per doc.
+    Greedy-vs-step-order equivalence of the Spark side is
+    pytest-asserted (test_bpe_apply_greedy_equals_sequential)."""
+    d = "chr(31)"
+    dd = f"{d}||{d}"
+    its = []
+    for i in range(n_merges):
+        its.append(f"""
+        pc{i} AS (
+          SELECT l1, l2, CAST(sum(cnt) AS BIGINT) AS pc
+          FROM (SELECT cnt, syms[j] AS l1, syms[j + 1] AS l2
+                FROM w{i}, unnest(range(1, len(syms))) AS t(j))
+          GROUP BY 1, 2
+        ),
+        m{i} AS MATERIALIZED (SELECT l1, l2, l1 || l2 AS merged, pc
+                 FROM pc{i} ORDER BY pc DESC, l1 ASC, l2 ASC LIMIT 1),
+        w{i + 1} AS MATERIALIZED (
+          SELECT w, string_split(
+                   trim(replace({d} || array_to_string(syms, {dd}) || {d},
+                                {d} || (SELECT l1 FROM m{i}) || {dd}
+                                    || (SELECT l2 FROM m{i}) || {d},
+                                {d} || (SELECT merged FROM m{i}) || {d}),
+                        chr(31)),
+                   {dd}) AS syms,
+                 cnt
+          FROM w{i}
+        )""")
+    return f"""
+        WITH wc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest({_FILTERED_TOKS_SQL}) AS w FROM documents)
+          GROUP BY w
+        ),
+        w0 AS MATERIALIZED (
+          SELECT w, string_split_regex(w, '') AS syms, cnt FROM wc),
+        {",".join(its)},
+        toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents),
+        posx AS (SELECT doc_id, unnest(t) AS w,
+                        unnest(range(1, len(t) + 1)) AS pos
+                 FROM toks WHERE len(t) > 0),
+        enc AS (SELECT p.doc_id, p.pos, e.syms
+                FROM posx p JOIN w{n_merges} e USING (w))
+        SELECT doc_id AS id,
+               array_to_string(flatten(list(syms ORDER BY pos)), ' ')
+                 AS syms_sp,
+               CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+        FROM enc GROUP BY doc_id"""
 
 
 def _winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:

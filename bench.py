@@ -86,6 +86,7 @@ HEADLINE = [
     "vocab_coverage",
     "tokenize_ids",
     "bpe_merges",
+    "bpe_encode",
     "quality_pipeline",
     "pagerank",
     "hits",

@@ -821,7 +821,11 @@ def main():
         ],
     )
 
-    from walker_spark.operators.textstats import _bpe_pair_counts, _bpe_word_table
+    from walker_spark.operators.textstats import (
+        _bpe_pair_counts,
+        _bpe_word_table,
+        bpe_merges,
+    )
 
     _words = _bpe_word_table(docs, "text").localCheckpoint()
     ok &= grab(
@@ -856,6 +860,31 @@ def main():
              r"TakeOrderedAndProject", 1),
             ("no Python stage anywhere",
              r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.textstats import bpe_encode
+
+    ok &= grab(
+        "bpe encode (merge table rides the UDF closure as a rank dict "
+        "— the corpus is never joined by word; tokens posexplode in "
+        "the scan task, the per-word merge application is ONE Arrow "
+        "batch stage with a per-worker word cache, and the ONLY "
+        "exchange is the doc-keyed reassembly with a map-side partial "
+        "collect)",
+        bpe_encode(docs, bpe_merges(docs, n_merges=3)),
+        [
+            ("exactly one exchange, keyed on the doc id",
+             r"Exchange hashpartitioning\(id#", 1),
+            ("no other exchange", r"Exchange hashpartitioning\((?!id#)", 0),
+            ("no join anywhere (the merge table is closure state)",
+             r"Join", 0),
+            ("token fan-out is posexplode in the scan stage",
+             r"Generate posexplode", 1),
+            ("ONE Arrow stage, below the exchange",
+             r"ArrowEvalPython", 1),
+            ("map-side partial collect (two-phase ObjectHashAggregate)",
+             r"ObjectHashAggregate", 2),
         ],
     )
 

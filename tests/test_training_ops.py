@@ -1471,6 +1471,91 @@ def test_bpe_merges_pure_python(spark):
     assert got == ref(6)
 
 
+def _bpe_seq_apply(word, merges):
+    """Training-order replay: one left-to-right non-overlapping pass
+    per merge, in step order — the fold bpe_merges applies."""
+    syms = list(word)
+    for a, b in merges:
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_apply_greedy_equals_sequential():
+    """Greedy min-rank application == step-order application, on
+    randomized merge tables that include chained merges (a merge whose
+    side is itself a merged symbol)."""
+    import random
+
+    from walker_spark.operators.textstats import bpe_apply
+
+    rng = random.Random(7)
+    alphabet = "abc"
+    for trial in range(200):
+        # grow a random but well-formed merge table: each new pair is
+        # built from symbols available so far (chars + prior merges)
+        avail = list(alphabet)
+        merges = []
+        for _ in range(rng.randint(0, 10)):
+            a, b = rng.choice(avail), rng.choice(avail)
+            if (a, b) in merges:
+                continue
+            merges.append((a, b))
+            avail.append(a + b)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for _ in range(5):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            assert bpe_apply(w, ranks) == _bpe_seq_apply(w, merges), (
+                w,
+                merges,
+            )
+
+
+def test_bpe_encode_end_to_end(spark):
+    """Train merges on a randomized corpus, encode the same corpus,
+    and replay the whole pipeline in pure Python (trainer + step-order
+    application). Also pins the no-token-doc and single-char-word
+    contracts."""
+    import random
+
+    from walker_spark.operators.textstats import bpe_encode, bpe_merges
+
+    rng = random.Random(31)
+    alphabet = "abcd"
+    corpus = [
+        (i, " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(0, 10))
+        ))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    mdf = bpe_merges(df, n_merges=5)
+    merges = [
+        (r["left"], r["right"]) for r in mdf.orderBy("step").collect()
+    ]
+    got = {
+        r["id"]: (list(r["syms"]), r["n_tokens"])
+        for r in bpe_encode(df, mdf).collect()
+    }
+    for doc_id, text in corpus:
+        want = []
+        for w in text.lower().split():
+            if w:
+                want.extend(_bpe_seq_apply(w, merges))
+        if not want:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == (want, len(want)), doc_id
+
+
 def test_anchor_text_agg_golden(spark):
     """Counts, distinct-source counts, tie-break ordering, top-k cut
     and per-node totals on a hand-built anchored edge list."""

@@ -1162,6 +1162,98 @@ def bpe_merges(
     )
 
 
+def bpe_apply(word: str, ranks: dict) -> list:
+    """Greedy min-rank BPE application (the GPT-2 encoder.py shape,
+    public code): repeatedly merge every left-to-right non-overlapping
+    occurrence of the lowest-ranked adjacent pair present. Equivalent
+    to applying the merge table one step at a time in training order
+    — a merge can never create a new adjacency between two symbols
+    that both existed at an earlier step (the new symbol sits between
+    its neighbours), so step-order and rank-greedy visit the same
+    pairs in the same order; the randomized pytest replays both."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best = None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best is None or r < best[0]):
+                best = (r, p)
+        if best is None:
+            break
+        a, b = best[1]
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run the trained tokenizer over the corpus: apply a
+    :func:`bpe_merges` merge table to every document, returning
+    ``(id, syms, n_tokens)`` where ``syms`` is the position-ordered
+    ``array<string>`` of subword symbols (documents with no tokens
+    emit no row — the :func:`tokenize_ids` contract).
+
+    Scale shape: the merge table is KBs–MBs (32k merges ≈ 1 MB) and
+    rides the UDF closure as a rank dict; tokens posexplode in the
+    scan task and the per-word merge application is ONE Arrow batch
+    stage over the token stream with a per-worker word cache (Zipf
+    law makes the hit rate ~99% — the word-cache trick every
+    production tokenizer uses), so the corpus is never joined or
+    shuffled by word; the ONE exchange is the doc-keyed reassembly
+    aggregate, identical to tokenize_ids. Output independent of
+    partitioning (sort_array over (pos, syms) structs)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    from walker_spark.operators.dedup import tokens
+
+    mrows = merges.orderBy("step").select("left", "right").collect()
+    ranks = {(r["left"], r["right"]): i for i, r in enumerate(mrows)}
+    cache: dict = {}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def enc(words: pd.Series) -> pd.Series:
+        def one(w):
+            got = cache.get(w)
+            if got is None:
+                if len(cache) > 1 << 18:  # bound worker memory
+                    cache.clear()
+                got = bpe_apply(w, ranks)
+                cache[w] = got
+            return got
+
+        return words.map(one)
+
+    toks = F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+    stream = docs.select(F.col(id_col).alias("id"), toks.alias("_t")).select(
+        "id", F.posexplode("_t").alias("pos", "term")
+    )
+    tagged = stream.select("id", "pos", enc("term").alias("_s"))
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "_s"))),
+                    lambda s: s["_s"],
+                )
+            ).alias("syms")
+        )
+        .select("id", "syms", F.size("syms").cast("long").alias("n_tokens"))
+    )
+
+
 # Unicode-hygiene regexes shared with the driver oracle (RE2 and Java
 # regex both parse \x{...}): non-whitespace C0/C1-ish controls + the
 # zero-width family; whitespace collapse is the explicit ASCII class
