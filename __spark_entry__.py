@@ -254,6 +254,93 @@ def q_event_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_asof_attribution(spark, sf_dir):
+    """As-of join (the temporal join Spark lacks as a primitive; DuckDB
+    oracle uses its native ASOF LEFT JOIN): every purchase event is
+    attributed to the same user's most recent prior-or-equal view.
+    Spark side is the union+window rewrite — ONE exchange on the key,
+    no self-join (walker_spark.operators.joins.asof_join)."""
+    from walker_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases, views, "user_id", "ts", "vts", tiebreak="view_event_id"
+    )
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    # unmatched-left nulls coalesce to -1 sentinels on BOTH sides: a
+    # nullable BIGINT turns float64 under the driver's pandas fetch
+    # (the domain_stats r1-r3 dtype-divergence class)
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_ms.alias("ts_ms"),
+        F.coalesce("view_event_id", F.lit(-1)).alias("view_event_id"),
+        F.coalesce("view_value", F.lit(-1.0)).alias("view_value"),
+        F.coalesce(ts_ms - F.col("_asof_time_ms"), F.lit(-1)).alias("gap_ms"),
+    )
+
+
+# deterministic md5-derived campaign windows for the range-join driver
+# check: 48 windows inside events' one-month span, 30 min - 24 h long.
+RANGE_WINDOWS_N = 48
+RANGE_BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+
+def _range_windows(spark):
+    k = F.col("id").cast("string")
+    u1 = F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("long")
+    u2 = F.conv(
+        F.substring(F.md5(F.concat(k, F.lit("d"))), 1, 8), 16, 10
+    ).cast("long")
+    start_min = u1 % F.lit(41760)  # <= 29 days in
+    dur_min = F.lit(30) + u2 % F.lit(1410)  # 30 min .. ~24 h
+    return spark.range(RANGE_WINDOWS_N).select(
+        F.col("id").alias("wid"),
+        F.timestamp_millis(
+            F.lit(RANGE_BASE_MS) + start_min * 60_000
+        ).alias("ws"),
+        F.timestamp_millis(
+            F.lit(RANGE_BASE_MS) + (start_min + dur_min) * 60_000
+        ).alias("we"),
+    )
+
+
+def q_range_join_windows(spark, sf_dir):
+    """Point-in-interval range join (walker_spark.operators.joins.
+    range_join): events vs 48 deterministic overlapping campaign
+    windows, aggregated per window. The Spark plan is the bucketed
+    equi-join rewrite (never a BroadcastNestedLoopJoin); the oracle is
+    DuckDB's plain inequality join — the per-window count + exact
+    cents sum verify pair multiplicity."""
+    from walker_spark.operators.joins import range_join
+
+    events = _t(spark, sf_dir, "events").select("ts", "value")
+    joined = range_join(
+        events,
+        _range_windows(spark),
+        "ts",
+        "ws",
+        "we",
+        bucket_ms=4 * 3_600_000,
+        broadcast_intervals=True,
+    )
+    return joined.groupBy("wid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (ST6 — batch form of the
     applyInPandasWithState streaming sessionizer in
@@ -1300,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": q_orders_rollup,
         "event_hourly_rollup": q_event_hourly_rollup,
         "sessionize": q_sessionize,
+        "asof_attribution": q_asof_attribution,
+        "range_join_windows": q_range_join_windows,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1614,6 +1703,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid""",
+        # DuckDB's NATIVE ASOF JOIN is the oracle for the union+window
+        # rewrite — two entirely different algorithms, same contract.
+        # (ties among right rows can't occur here: microsecond event
+        # timestamps are unique per (user, type) in the generator;
+        # tie-break semantics are pinned by pytest instead.)
+        "asof_attribution": """
+            SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+                   COALESCE(v.event_id, -1) AS view_event_id,
+                   COALESCE(v.value, -1.0) AS view_value,
+                   COALESCE(epoch_ms(p.ts) - epoch_ms(v.ts), -1) AS gap_ms
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts""",
+        "range_join_windows": _range_join_windows_sql(),
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY {_NORM_TEXT_SQL}""",
@@ -2270,6 +2373,28 @@ def _md5_hex_int_sql(expr: str, n_hex: int) -> str:
         f"(strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1) * {16 ** (n_hex - i)}"
         for i in range(1, n_hex + 1)
     )
+
+
+def _range_join_windows_sql() -> str:
+    """SQL replica of q_range_join_windows: the SAME md5-derived window
+    table (integer-ms endpoints), but joined with DuckDB's plain
+    inequality join instead of Spark's bucketed-equi-join rewrite —
+    per-window counts + exact cents sums verify pair multiplicity."""
+    u1 = _md5_hex_int_sql("CAST(k AS VARCHAR)", 8)
+    u2 = _md5_hex_int_sql("CAST(k AS VARCHAR) || 'd'", 8)
+    return f"""
+        WITH w AS (
+          SELECT k AS wid,
+                 {RANGE_BASE_MS} + (({u1}) % 41760) * 60000 AS ws_ms,
+                 {RANGE_BASE_MS} + ((({u1}) % 41760) + 30 + ({u2}) % 1410)
+                   * 60000 AS we_ms
+          FROM range({RANGE_WINDOWS_N}) t(k))
+        SELECT w.wid, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM events e
+        JOIN w ON epoch_ms(e.ts) >= w.ws_ms AND epoch_ms(e.ts) < w.we_ms
+        GROUP BY w.wid"""
 
 
 def _frame_sampling_sql(every_ms: int = 10_000, max_frames: int = 32) -> str:

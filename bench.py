@@ -44,6 +44,8 @@ HEADLINE = [
     "orders_rollup",
     "event_hourly_rollup",
     "sessionize",
+    "asof_attribution",
+    "range_join_windows",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

@@ -1185,6 +1185,80 @@ def main():
         ],
     )
 
+    # 13. temporal joins: as-of must be ONE key-keyed window (never a
+    # self-join / broadcast of the right history); range join must be a
+    # hash equi-join on the time bucket (never a nested loop).
+    from walker_spark.operators.joins import asof_join, range_join
+
+    _aleft = spark.createDataFrame(
+        [(1, 10_000, "a")], "uid long, tms long, pid string"
+    ).select("uid", F.timestamp_millis("tms").alias("ts"), "pid")
+    _aright = spark.createDataFrame(
+        [(1, 5_000, 7)], "uid long, tms long, rid long"
+    ).select("uid", F.timestamp_millis("tms").alias("rts"), "rid")
+    ok &= grab(
+        "asof_join (union+window rewrite: both sides tagged and "
+        "unioned, ONE exchange on the equality keys, the match is "
+        "last(payload, ignorenulls) over (time, side, tiebreak) — the "
+        "right history is never self-joined or broadcast)",
+        asof_join(_aleft, _aright, "uid", "ts", "rts", tiebreak="rid"),
+        [
+            ("exactly one exchange, keyed on the join key",
+             r"Exchange hashpartitioning\(uid", 1),
+            ("no other exchange", r"Exchange hashpartitioning\((?!uid)", 0),
+            ("one window does the matching", r"\bWindow\b", 1),
+            ("union of the two tagged sides", r"\bUnion\b", 1),
+            ("no join node anywhere", r"Join", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+    _ivs = spark.createDataFrame(
+        [(1, 0, 7_200_000)], "wid long, sms long, ems long"
+    ).select(
+        "wid",
+        F.timestamp_millis("sms").alias("ws"),
+        F.timestamp_millis("ems").alias("we"),
+    )
+    ok &= grab(
+        "range_join, broadcast mode (intervals explode to overlapped "
+        "buckets in the scan task; the join is a BroadcastHashJoin on "
+        "the bucket with the interval predicate as residual — never "
+        "the O(P x I) BroadcastNestedLoopJoin Spark gives a raw "
+        "inequality join)",
+        range_join(
+            _aleft.select("pid", "ts"), _ivs, "ts", "ws", "we",
+            bucket_ms=3_600_000, broadcast_intervals=True,
+        ),
+        [
+            ("hash equi-join on the bucket",
+             r"BroadcastHashJoin \[.*_bucket", 1),
+            ("never a nested loop", r"BroadcastNestedLoopJoin", 0),
+            ("interval bucket fan-out is a Generate in the scan stage",
+             r"Generate explode", 1),
+            ("zero exchange in broadcast mode",
+             r"Exchange hashpartitioning", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+    ok &= grab(
+        "range_join, shuffle mode (both sides exchange ONCE on the "
+        "bucket — the plan for interval tables too big to broadcast)",
+        range_join(
+            _aleft.select("pid", "ts"), _ivs, "ts", "ws", "we",
+            bucket_ms=3_600_000,
+        ),
+        [
+            ("shuffled equi-join on the bucket",
+             r"SortMergeJoin \[.*_bucket|ShuffledHashJoin \[.*_bucket", 1),
+            ("never a nested loop", r"BroadcastNestedLoopJoin", 0),
+            ("one exchange per side", r"Exchange hashpartitioning", 2),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"
