@@ -341,6 +341,30 @@ def q_range_join_windows(spark, sf_dir):
     )
 
 
+def q_hll_token_distinct(spark, sf_dir):
+    """Per-source distinct-token HyperLogLog (operators/sketches.py):
+    the sketch itself is md5-deterministic, so the DuckDB oracle
+    replays the IDENTICAL registers and estimate — an exact gate on an
+    approximate operator. exact_distinct rides along so the artifact
+    shows estimate-vs-truth; hll_s / hll_zero_regs are the bit-exact
+    integer sketch state."""
+    from walker_spark.operators.dedup import tokens
+    from walker_spark.operators.sketches import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda s: F.length(s) > 0)
+        ).alias("item"),
+    )
+    est = hll_distinct(toks, ["source"], "item", b=6)
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("item").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "source")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (ST6 — batch form of the
     applyInPandasWithState streaming sessionizer in
@@ -1389,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_attribution": q_asof_attribution,
         "range_join_windows": q_range_join_windows,
+        "hll_token_distinct": q_hll_token_distinct,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1717,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON p.user_id = v.user_id AND p.ts >= v.ts""",
         "range_join_windows": _range_join_windows_sql(),
+        "hll_token_distinct": _hll_token_distinct_sql(),
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY {_NORM_TEXT_SQL}""",
@@ -2395,6 +2421,59 @@ def _range_join_windows_sql() -> str:
         FROM events e
         JOIN w ON epoch_ms(e.ts) >= w.ws_ms AND epoch_ms(e.ts) < w.we_ms
         GROUP BY w.wid"""
+
+
+def _hll_token_distinct_sql(b: int = 6) -> str:
+    """SQL replica of q_hll_token_distinct: the IDENTICAL HyperLogLog
+    registers (md5-u32 top-b-bit bucket, leading-zero rank via bin()
+    — DuckDB's bin() drops leading zeros exactly like Spark's) and
+    estimate (integer S, linear-counting branch, same double literals,
+    round 3)."""
+    m = 1 << b
+    rem_bits = 32 - b
+    k = rem_bits + 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    const = alpha * m * m * (1 << k)
+    h32 = _md5_hex_int_sql("item", 8)
+    return f"""
+        WITH toks AS (
+          SELECT source, unnest({_FILTERED_TOKS_SQL}) AS item
+          FROM documents),
+        h AS (
+          SELECT source,
+                 ({h32}) // {1 << rem_bits} AS bucket,
+                 ({h32}) % {1 << rem_bits} AS rem
+          FROM toks),
+        regs AS (
+          SELECT source, bucket,
+                 max(CASE WHEN rem = 0 THEN {k}
+                          ELSE {k} - length(bin(rem)) END) AS reg
+          FROM h GROUP BY 1, 2),
+        rolled AS (
+          SELECT source,
+                 CAST(sum(CAST(1 AS BIGINT) << ({k} - reg)) AS BIGINT)
+                   AS sp,
+                 count(*) AS nb
+          FROM regs GROUP BY 1),
+        est AS (
+          SELECT source,
+                 CAST(sp + ({m} - nb) * {1 << k} AS BIGINT) AS hll_s,
+                 CAST({m} - nb AS BIGINT) AS hll_zero_regs
+          FROM rolled)
+        SELECT e.source, e.hll_s, e.hll_zero_regs,
+               round(CASE WHEN CAST({const!r} AS DOUBLE)
+                              / CAST(e.hll_s AS DOUBLE) <= {2.5 * m!r}
+                          AND e.hll_zero_regs > 0
+                     THEN {float(m)!r} * ln({float(m)!r}
+                            / CAST(e.hll_zero_regs AS DOUBLE))
+                     ELSE CAST({const!r} AS DOUBLE)
+                          / CAST(e.hll_s AS DOUBLE) END,
+                     3) AS est_r3,
+               x.exact_distinct
+        FROM est e
+        JOIN (SELECT source,
+                     CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct
+              FROM toks GROUP BY 1) x USING (source)"""
 
 
 def _frame_sampling_sql(every_ms: int = 10_000, max_frames: int = 32) -> str:

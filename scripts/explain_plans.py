@@ -1185,6 +1185,33 @@ def main():
         ],
     )
 
+    # 12b. HLL distinct sketch: the map-side partial max must collapse
+    # each task's items to <= m register rows per group BEFORE the
+    # exchange — the shuffle is O(groups x m), never O(distinct items).
+    from walker_spark.operators.sketches import hll_distinct
+
+    _hits = docs.select(
+        (F.col("doc_id") % 3).alias("g"),
+        F.explode(F.split(F.col("text"), " ")).alias("item"),
+    )
+    ok &= grab(
+        "hll_distinct (deterministic-md5 HyperLogLog: register build is "
+        "a two-phase hash agg on (group, bucket) — partial max map-side "
+        "— then a tiny per-group rollup; sketch state is plain rows, "
+        "mergeable by max)",
+        hll_distinct(_hits, ["g"], "item"),
+        [
+            ("two exchanges: (group, bucket) then group",
+             r"Exchange hashpartitioning", 2),
+            ("both aggs two-phase (map-side partials)",
+             r"HashAggregate", 4),
+            ("token fan-out is a Generate in the scan stage",
+             r"Generate explode", 1),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 13. temporal joins: as-of must be ONE key-keyed window (never a
     # self-join / broadcast of the right history); range join must be a
     # hash equi-join on the time bucket (never a nested loop).

@@ -1,0 +1,91 @@
+"""HyperLogLog sketch: exact register parity with a pure-Python
+replay (same md5 math), merge-by-max law, estimate formula pins."""
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from walker_spark.operators.sketches import (
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+B = 6
+M = 1 << B
+K = 32 - B + 1
+
+
+def _py_registers(items):
+    regs = {}
+    for it in items:
+        h32 = int(hashlib.md5(str(it).encode()).hexdigest()[:8], 16)
+        bucket = h32 >> (32 - B)
+        rem = h32 & ((1 << (32 - B)) - 1)
+        rho = (32 - B) + 1 if rem == 0 else (32 - B) + 1 - rem.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _py_estimate(regs):
+    v = M - len(regs)
+    s = sum(1 << (K - r) for r in regs.values()) + v * (1 << K)
+    raw = 0.709 * M * M * (1 << K) / float(s)
+    if raw <= 2.5 * M and v > 0:
+        return s, v, round(float(M) * math.log(float(M) / v), 3)
+    return s, v, round(raw, 3)
+
+
+def test_hll_registers_and_estimate_vs_python(spark):
+    rng = random.Random(3)
+    rows = [
+        (g, f"tok{rng.randint(0, int(true))}")
+        for g, true in (("a", 2000), ("b", 40), ("c", 900))
+        for _ in range(int(true) * 3)
+    ]
+    df = spark.createDataFrame(rows, "g string, item string")
+    got_regs = {
+        (r["g"], r["bucket"]): r["reg"]
+        for r in hll_registers(df, ["g"], "item", b=B).collect()
+    }
+    by_group = {}
+    for g, item in rows:
+        by_group.setdefault(g, []).append(item)
+    want_regs = {
+        (g, b): r
+        for g, items in by_group.items()
+        for b, r in _py_registers(items).items()
+    }
+    assert got_regs == want_regs
+
+    got_est = {
+        r["g"]: (r["hll_s"], r["hll_zero_regs"], r["est_r3"])
+        for r in hll_distinct(df, ["g"], "item", b=B).collect()
+    }
+    want_est = {g: _py_estimate(_py_registers(it)) for g, it in by_group.items()}
+    assert got_est == want_est
+    # sanity: estimates within ~3 sigma (1.04/sqrt(64) ~ 13%) of truth
+    for g, items in by_group.items():
+        true = len(set(items))
+        assert abs(got_est[g][2] - true) / true < 0.4, (g, got_est[g], true)
+
+
+def test_hll_merge_by_max(spark):
+    rows = [("g", f"i{i % 700}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    h1 = hll_registers(df.filter(F.crc32("item") % 3 == 0), ["g"], "item")
+    h2 = hll_registers(df.filter(F.crc32("item") % 3 != 0), ["g"], "item")
+    merged = (
+        h1.unionByName(h2).groupBy("g", "bucket").agg(F.max("reg").alias("reg"))
+    )
+    whole = sorted(map(tuple, hll_distinct(df, ["g"], "item").collect()))
+    assert sorted(map(tuple, hll_estimate(merged, ["g"]).collect())) == whole
+
+
+def test_hll_bad_b_raises(spark):
+    df = spark.createDataFrame([("g", "x")], "g string, item string")
+    with pytest.raises(ValueError):
+        hll_registers(df, ["g"], "item", b=2)

@@ -1,0 +1,126 @@
+"""Mergeable distinct-count sketches (HyperLogLog, Flajolet et al.
+2007) built from deterministic md5 hashing so the sketch itself is
+cross-engine reproducible: DuckDB replays the identical registers and
+estimate, giving an EXACT oracle for an approximate operator.
+
+Why not ``approx_count_distinct``: Spark's built-in HLL++ is opaque
+(no register access, engine-private hashing), so its results can't be
+oracle-checked, merged outside Spark, or persisted as a sketch table.
+Here the registers are plain rows — the canonical 100 TB pattern of a
+per-partition sketch TABLE that later rolls up by ``max`` (register
+merge) instead of re-scanning raw data.
+
+Shapes:
+- the register build is a two-phase hash aggregate on
+  (group, bucket): map-side partial ``max`` collapses each task's
+  items to at most ``m`` rows per group BEFORE the exchange, so the
+  shuffle is O(groups x m), never O(distinct items);
+- the estimate is a per-group rollup of the m-row register sets
+  (integer S = sum 2^(K-M) — exact BIGINT — plus the standard
+  linear-counting small-range correction).
+
+All math is integer except the final alpha*m^2*2^K/S division and the
+linear-counting ln — both deterministic IEEE double ops, emitted
+rounded(3) (the cosine precedent for cross-engine float columns).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# alpha_m bias-correction constants from Flajolet et al. 2007 §4
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    b: int = 6,
+) -> DataFrame:
+    """Per-group HyperLogLog registers: ``(group..., bucket, reg)``
+    with ``bucket`` the top ``b`` bits of the 32-bit md5 prefix of the
+    item and ``reg = max(rho)`` where rho is the 1-based position of
+    the leading set bit of the remaining ``32-b`` bits (``32-b+1``
+    when they are all zero). Buckets no item hashed into are ABSENT
+    (register 0) — :func:`hll_estimate` accounts for them.
+
+    Registers are the mergeable form: ``max(reg)`` over any union of
+    register sets (per-day sketches, per-partition sketches) is the
+    sketch of the union — pytest asserts this. Cross-engine exact:
+    bucket/rho are pure integer functions of md5 hex.
+    """
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16]: {b}")
+    rem_bits = 32 - b
+    h32 = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    bucket = F.floor(h32 / F.lit(1 << rem_bits)).cast("int")
+    rem = h32 % F.lit(1 << rem_bits)
+    # bin() drops leading zeros, so bit-length == length(bin(x)); the
+    # all-zero remainder maps to rho = rem_bits + 1 by convention
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(rem))
+    ).cast("int")
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: Sequence[str], b: int = 6
+) -> DataFrame:
+    """Roll per-group registers up to the cardinality estimate:
+    ``(group..., hll_s, hll_zero_regs, est_r3)`` where ``hll_s`` is
+    the exact integer ``sum_j 2^(K - M_j)`` over all ``m = 2^b``
+    buckets (absent bucket => M=0 => 2^K) with ``K = 32 - b + 1``,
+    ``hll_zero_regs`` the number of zero registers, and ``est_r3`` the
+    HLL estimate (linear counting when raw <= 2.5m and zeros exist),
+    rounded to 3 decimals. ``hll_s``/``hll_zero_regs`` are BIGINT and
+    bit-exact cross-engine; the estimate's two float ops are
+    deterministic IEEE doubles."""
+    m = 1 << b
+    k = 32 - b + 1
+    # variable-shift shiftleft must go through expr (CLAUDE.md gotcha:
+    # F.shiftleft only takes a literal shift) — keeps S pure integer
+    rolled = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k} - reg)")).alias("_sp"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    v = (F.lit(m) - F.col("_nb")).cast("long")
+    s = (F.col("_sp") + v * F.lit(1 << k)).cast("long")
+    raw = F.lit(_alpha(m) * m * m * (1 << k)) / s.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return rolled.select(
+        *group_cols,
+        s.alias("hll_s"),
+        v.alias("hll_zero_regs"),
+        F.round(est, 3).alias("est_r3"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    b: int = 6,
+) -> DataFrame:
+    """One-shot per-group distinct-count estimate (registers +
+    estimate). ``b=6`` (64 buckets) gives ~13% standard error — the
+    register table is what you'd persist at scale and re-merge."""
+    return hll_estimate(
+        hll_registers(df, group_cols, item_col, b=b), group_cols, b=b
+    )
