@@ -365,6 +365,49 @@ def q_hll_token_distinct(spark, sf_dir):
     return est.join(exact, "source")
 
 
+def q_cms_token_freq(spark, sf_dir):
+    """Per-source token frequencies point-queried from a Count-Min
+    sketch (operators/sketches.py): the sketch cells are
+    md5-deterministic integer counts, so the DuckDB oracle replays the
+    IDENTICAL cells and min-over-depth estimates — exact BIGINT
+    end-to-end. Candidates = global top-12 tokens (count desc, token
+    asc — deterministic tie-break); exact_cnt rides along so the
+    artifact shows the overestimate bound holding."""
+    from walker_spark.operators.dedup import tokens
+    from walker_spark.operators.sketches import cms_counts, cms_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda s: F.length(s) > 0)
+        ).alias("item"),
+    )
+    cms = cms_counts(toks, ["source"], "item", depth=4, width=256)
+    cands = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("item"))
+        .limit(12)
+        .select("item")
+    )
+    per_source = (
+        toks.select("source").distinct().crossJoin(F.broadcast(cands))
+    )
+    est = cms_lookup(cms, per_source, ["source"], "item", depth=4, width=256)
+    exact = (
+        toks.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("source", "item")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    return est.join(exact, ["source", "item"], "left").select(
+        "source",
+        "item",
+        "est_cnt",
+        F.coalesce(F.col("exact_cnt"), F.lit(0)).cast("long").alias("exact_cnt"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (ST6 — batch form of the
     applyInPandasWithState streaming sessionizer in
@@ -1414,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "range_join_windows": q_range_join_windows,
         "hll_token_distinct": q_hll_token_distinct,
+        "cms_token_freq": q_cms_token_freq,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1743,6 +1787,7 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = v.user_id AND p.ts >= v.ts""",
         "range_join_windows": _range_join_windows_sql(),
         "hll_token_distinct": _hll_token_distinct_sql(),
+        "cms_token_freq": _cms_token_freq_sql(),
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY {_NORM_TEXT_SQL}""",
@@ -2474,6 +2519,45 @@ def _hll_token_distinct_sql(b: int = 6) -> str:
         JOIN (SELECT source,
                      CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct
               FROM toks GROUP BY 1) x USING (source)"""
+
+
+def _cms_token_freq_sql(depth: int = 4, width: int = 256) -> str:
+    """SQL replica of q_cms_token_freq: the IDENTICAL Count-Min cells
+    (md5-u32 of ``item || '#' || d`` mod width, per-(source, d,
+    bucket) counts) and min-over-depth point estimates for the global
+    top-12 tokens. Pure integer — bit-exact cross-engine."""
+    h_build = _md5_hex_int_sql("item || '#' || CAST(ds.d AS VARCHAR)", 8)
+    h_probe = _md5_hex_int_sql("c.item || '#' || CAST(ds.d AS VARCHAR)", 8)
+    return f"""
+        WITH toks AS (
+          SELECT source, unnest({_FILTERED_TOKS_SQL}) AS item
+          FROM documents),
+        ds AS (SELECT unnest(range({depth})) AS d),
+        cand AS (
+          SELECT item FROM toks GROUP BY item
+          ORDER BY count(*) DESC, item LIMIT 12),
+        cms AS (
+          SELECT source, ds.d, ({h_build}) % {width} AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM toks CROSS JOIN ds
+          GROUP BY 1, 2, 3),
+        probe AS (
+          SELECT s.source, c.item, ds.d, ({h_probe}) % {width} AS bucket
+          FROM (SELECT DISTINCT source FROM toks) s
+          CROSS JOIN cand c CROSS JOIN ds),
+        est AS (
+          SELECT p.source, p.item,
+                 CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS est_cnt
+          FROM probe p LEFT JOIN cms m
+            ON m.source = p.source AND m.d = p.d AND m.bucket = p.bucket
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT source, item, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM toks SEMI JOIN cand USING (item)
+          GROUP BY 1, 2)
+        SELECT e.source, e.item, e.est_cnt,
+               CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
+        FROM est e LEFT JOIN exact x USING (source, item)"""
 
 
 def _frame_sampling_sql(every_ms: int = 10_000, max_frames: int = 32) -> str:

@@ -1212,6 +1212,30 @@ def main():
         ],
     )
 
+    # 12c. Count-Min sketch: the depth fan-out happens in the scan
+    # task (Generate), the two-phase agg collapses map-side to
+    # <= depth x width rows per group — shuffle O(groups x d x w).
+    from walker_spark.operators.sketches import cms_counts, cms_lookup
+
+    _cms = cms_counts(_hits, ["g"], "item", depth=4, width=64)
+    _cands = _hits.limit(5)
+    ok &= grab(
+        "cms_counts + cms_lookup (mergeable Count-Min frequency sketch: "
+        "depth fan-out in the scan task, two-phase (group,d,bucket) agg, "
+        "point query = equi-join on (group,d,bucket) + min-over-depth)",
+        cms_lookup(_cms, _cands, ["g"], "item", depth=4, width=64),
+        [
+            ("hash fan-out is a Generate (explode), not a join",
+             r"Generate explode", (2,)),
+            ("sketch build and lookup aggs are two-phase",
+             r"HashAggregate", (4,)),
+            ("no nested-loop anywhere",
+             r"NestedLoop|CartesianProduct", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 13. temporal joins: as-of must be ONE key-keyed window (never a
     # self-join / broadcast of the right history); range join must be a
     # hash equi-join on the time bucket (never a nested loop).

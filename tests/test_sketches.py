@@ -9,6 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from walker_spark.operators.sketches import (
+    cms_counts,
+    cms_lookup,
     hll_distinct,
     hll_estimate,
     hll_registers,
@@ -83,6 +85,80 @@ def test_hll_merge_by_max(spark):
     )
     whole = sorted(map(tuple, hll_distinct(df, ["g"], "item").collect()))
     assert sorted(map(tuple, hll_estimate(merged, ["g"]).collect())) == whole
+
+
+DEPTH, WIDTH = 4, 64
+
+
+def _cms_hash(item, d):
+    return int(
+        hashlib.md5(f"{item}#{d}".encode()).hexdigest()[:8], 16
+    ) % WIDTH
+
+
+def _py_cms(items):
+    cells = {}
+    for it in items:
+        for d in range(DEPTH):
+            key = (d, _cms_hash(it, d))
+            cells[key] = cells.get(key, 0) + 1
+    return cells
+
+
+def test_cms_counts_and_lookup_vs_python(spark):
+    rng = random.Random(7)
+    # zipf-ish: token i appears ~ 1000/i times
+    items = [f"w{i}" for i in range(1, 60) for _ in range(1000 // i)]
+    rng.shuffle(items)
+    df = spark.createDataFrame(
+        [("g", it) for it in items], "g string, item string"
+    )
+    cms = cms_counts(df, ["g"], "item", depth=DEPTH, width=WIDTH)
+    got_cells = {
+        (r["d"], r["bucket"]): r["cnt"] for r in cms.collect()
+    }
+    assert got_cells == _py_cms(items)
+
+    cands = spark.createDataFrame(
+        [("g", f"w{i}") for i in (1, 2, 7, 30, 59)] + [("g", "absent")],
+        "g string, item string",
+    )
+    got_est = {
+        r["item"]: r["est_cnt"]
+        for r in cms_lookup(
+            cms, cands, ["g"], "item", depth=DEPTH, width=WIDTH
+        ).collect()
+    }
+    cells = _py_cms(items)
+    from collections import Counter
+
+    exact = Counter(items)
+    for it, est in got_est.items():
+        want = min(
+            cells.get((d, _cms_hash(it, d)), 0) for d in range(DEPTH)
+        )
+        assert est == want, (it, est, want)
+        assert est >= exact.get(it, 0)  # CMS never underestimates
+
+
+def test_cms_merge_by_sum(spark):
+    rows = [("g", f"i{i % 300}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    c1 = cms_counts(df.filter(F.crc32("item") % 2 == 0), ["g"], "item")
+    c2 = cms_counts(df.filter(F.crc32("item") % 2 != 0), ["g"], "item")
+    merged = (
+        c1.unionByName(c2)
+        .groupBy("g", "d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sorted(map(tuple, cms_counts(df, ["g"], "item").collect()))
+    assert sorted(map(tuple, merged.collect())) == whole
+
+
+def test_cms_bad_shape_raises(spark):
+    df = spark.createDataFrame([("g", "x")], "g string, item string")
+    with pytest.raises(ValueError):
+        cms_counts(df, ["g"], "item", depth=0)
 
 
 def test_hll_bad_b_raises(spark):

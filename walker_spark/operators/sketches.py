@@ -60,9 +60,7 @@ def hll_registers(
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16]: {b}")
     rem_bits = 32 - b
-    h32 = F.conv(
-        F.substring(F.md5(F.col(item_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h32 = _md5_u32(F.col(item_col))
     bucket = F.floor(h32 / F.lit(1 << rem_bits)).cast("int")
     rem = h32 % F.lit(1 << rem_bits)
     # bin() drops leading zeros, so bit-length == length(bin(x)); the
@@ -109,6 +107,99 @@ def hll_estimate(
         s.alias("hll_s"),
         v.alias("hll_zero_regs"),
         F.round(est, 3).alias("est_r3"),
+    )
+
+
+def cms_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-group Count-Min sketch (Cormode & Muthukrishnan 2005):
+    ``(group..., d, bucket, cnt)`` — for each of ``depth`` independent
+    md5 hash rows, the number of items that hashed into each of
+    ``width`` buckets. Mergeable by ``sum(cnt)`` over any union of
+    sketch tables (per-day/per-partition sketches) — pytest asserts
+    the merge law. Cells no item hashed into are ABSENT (cnt 0);
+    :func:`cms_lookup` coalesces them.
+
+    Scale shape: the item fan-out (x depth) happens in the scan task
+    and the two-phase hash agg collapses each task map-side to at most
+    ``depth x width`` rows per group BEFORE the exchange — the shuffle
+    is O(groups x d x w), never O(items). Hash d of an item is the
+    32-bit md5 prefix of ``item || '#' || d`` mod width: pure integer,
+    replayed bit-exactly by the DuckDB oracle."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"bad CMS shape: depth={depth} width={width}")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("d"),
+                _md5_u32(F.concat(F.col(item_col), F.lit(f"#{j}")))
+                .__mod__(F.lit(width))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(rows).alias("h"))
+        .select(*group_cols, "h.d", "h.bucket")
+        .groupBy(*group_cols, "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    candidates: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: for each candidate row (which must
+    carry the group columns plus ``item_col``) return
+    ``(group..., item, est_cnt)`` = min over the ``depth`` rows of the
+    candidate's bucket count (absent cell => 0). CMS guarantees
+    ``est_cnt >= true count`` always and ``<= true + eps*N`` w.h.p.
+    (eps ~ e/width). The candidate side is the small side — the join
+    is a plain equi-join on (group, d, bucket) so Catalyst/AQE picks
+    broadcast when candidates are tiny and a co-partitioned hash join
+    when both sides are big."""
+    expanded = candidates.select(
+        *group_cols,
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("d"),
+                        _md5_u32(F.concat(F.col(item_col), F.lit(f"#{j}")))
+                        .__mod__(F.lit(width))
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("h"),
+    ).select(*group_cols, "item", "h.d", "h.bucket")
+    joined = expanded.join(cms, [*group_cols, "d", "bucket"], "left")
+    return joined.groupBy(*group_cols, "item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt")
+    )
+
+
+def _md5_u32(col) -> F.Column:
+    """First 8 hex digits of md5 as an unsigned 32-bit integer — the
+    repo-wide deterministic hash (same construction as the DuckDB
+    oracle's _md5_hex_int_sql)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
     )
 
 
