@@ -1032,6 +1032,16 @@ def q_hits(spark, sf_dir):
     return hits(_planted_doc_edges(spark, sf_dir), iterations=3)
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts on the planted doc graph via the
+    degree-ordered node-iterator (graph.triangle_counts — Suri &
+    Vassilvitskii 2011). Pure BIGINT; the oracle triple-joins the
+    canonical undirected edge table in DuckDB."""
+    from walker_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_planted_doc_edges(spark, sf_dir))
+
+
 # Percentile grid for the exact_percentiles driver check.
 PCTL_QS: tuple[float, ...] = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -1523,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": q_tokenize_ids,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "triangle_counts": q_triangle_counts,
         "exact_percentiles": q_exact_percentiles,
     }
 
@@ -2233,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_ids": _tokenize_ids_sql(),
         "pagerank": _pagerank_sql(),
         "hits": _hits_graph_sql(),
+        "triangle_counts": _triangle_counts_sql(),
         "exact_percentiles": _exact_percentiles_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
@@ -3041,6 +3053,36 @@ def _vocab_coverage_sql(top_v: int = 50) -> str:
         SELECT rank, term, cnt, cum_cnt,
                (cum_cnt * 1000000) // total_t AS coverage_ppm
         FROM curve, total"""
+
+
+def _triangle_counts_sql() -> str:
+    """SQL replica of q_triangle_counts: DuckDB counts each triangle
+    once by the canonical u < v < w triple-join over the undirected
+    simple edge table, then fans each triangle out to its three
+    corners — an entirely different algorithm from Spark's
+    degree-ordered node-iterator, same exact BIGINT contract."""
+    return f"""
+        WITH {_PLANTED_GRAPH_CTES},
+        ue AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM edges WHERE src <> dst),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
+          GROUP BY node),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM ue e1
+          JOIN ue e2 ON e2.u = e1.v
+          JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v),
+        pn AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS triangles
+          FROM (SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+                UNION ALL SELECT c AS node FROM tri)
+          GROUP BY node)
+        SELECT d.node, d.degree,
+               CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+        FROM deg d LEFT JOIN pn p ON p.node = d.node"""
 
 
 def _pagerank_sql(iterations: int = PAGERANK_ITERS, num: int = 17, den: int = 20) -> str:

@@ -1236,6 +1236,32 @@ def main():
         ],
     )
 
+    # 12d. triangle counting: wedges come from the ORIENTED edge
+    # self-join (degree-ordered, hub fan-out bounded) and close via an
+    # equi semi-join — never a nested loop, never Python.
+    from walker_spark.operators.graph import triangle_counts
+
+    _tri_edges = spark.createDataFrame(
+        [(i, (i * 7 + j) % 40) for i in range(40) for j in (1, 2, 3)],
+        "src long, dst long",
+    )
+    ok &= grab(
+        "triangle_counts (degree-ordered node-iterator: orient by "
+        "(degree, node), wedge self-join on the low endpoint, close "
+        "with ONE equi semi-join on the oriented (b, c) key)",
+        triangle_counts(_tri_edges),
+        [
+            ("wedge close is a semi-join",
+             r"LeftSemi", (1,)),
+            ("all joins are hash equi-joins, no nested loop",
+             r"NestedLoop|CartesianProduct", 0),
+            ("degree/triangle aggs are two-phase",
+             r"HashAggregate", (4,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 13. temporal joins: as-of must be ONE key-keyed window (never a
     # self-join / broadcast of the right history); range join must be a
     # hash equi-join on the time bucket (never a nested loop).

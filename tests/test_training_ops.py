@@ -2057,3 +2057,66 @@ def test_warc_export_sink(spark, tmp_path):
         assert sum(m["payload_bytes"] for m in manifest) == sum(
             len(f"body-{i}") for i in range(37)
         )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered node-iterator)
+# ---------------------------------------------------------------------------
+
+
+def _py_triangles(edge_list):
+    import itertools
+
+    adj = {}
+    es = set()
+    for s, d in edge_list:
+        if s == d:
+            continue
+        u, v = min(s, d), max(s, d)
+        if (u, v) in es:
+            continue
+        es.add((u, v))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in adj}
+    for u, v in es:
+        for w in adj[u] & adj[v]:
+            if w > v:  # count each triangle once at its max vertex pair
+                tri[u] += 1
+                tri[v] += 1
+                tri[w] += 1
+    return {n: (len(adj[n]), tri[n]) for n in adj}
+
+
+def test_triangle_counts_random_parity(spark):
+    import random
+
+    from walker_spark.operators.graph import triangle_counts
+
+    rng = random.Random(11)
+    # dense-ish so triangles are plentiful, plus dups/self-loops/both
+    # directions to exercise canonicalization
+    edge_list = [
+        (rng.randint(0, 39), rng.randint(0, 39)) for _ in range(400)
+    ]
+    edge_list += [(b, a) for a, b in edge_list[:50]] + edge_list[:30]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got == _py_triangles(edge_list)
+    assert sum(t for _, t in got.values()) % 3 == 0  # each tri counted 3x
+
+
+def test_triangle_counts_star_has_none(spark):
+    from walker_spark.operators.graph import triangle_counts
+
+    # a pure star: the hub is exactly the curse-of-the-last-reducer
+    # shape — no triangles anywhere
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 20)], "src long, dst long"
+    )
+    rows = triangle_counts(df).collect()
+    assert all(r["triangles"] == 0 for r in rows)
+    assert {r["node"]: r["degree"] for r in rows}[0] == 19

@@ -433,3 +433,76 @@ def _ppr_step(
             .alias("rank_micro"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph
+    induced by the edge list (direction, duplicates, and self-loops
+    dropped): ``(node, degree, triangles)``, all BIGINT.
+
+    Degree-ordered node-iterator (Suri & Vassilvitskii, WWW 2011 — the
+    "curse of the last reducer" fix; reference has no graph analytics,
+    this is the LLM-pipeline link-graph tier): every edge is oriented
+    from its lower endpoint to its higher endpoint in the total order
+    (degree, node), so a degree-d hub only ever SOURCES wedges among
+    higher-ordered neighbors — per-node wedge fan-out is bounded by
+    O(sqrt(m)) choose 2 instead of d choose 2, which is the difference
+    between a web-scale star domain finishing and its reduce task
+    running forever. Wedges close via ONE equi-join back on the
+    oriented edge key. Everything is plain joins/aggs — no Python, no
+    nested loop; the oracle triple-joins the canonical edge table
+    (u < v < w) in DuckDB and must agree exactly."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(y, F.col("x.a") == F.col("y.a")).where(
+        (F.col("x.db") < F.col("y.db"))
+        | ((F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b")))
+    ).select(
+        F.col("x.a").alias("ta"),
+        F.col("x.b").alias("tb"),
+        F.col("y.b").alias("tc"),
+    )
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("tb"), F.col("b").alias("tc")),
+        ["tb", "tc"],
+        "left_semi",
+    )
+    per_node = (
+        closed.select(F.col("ta").alias("node"))
+        .unionAll(closed.select(F.col("tb").alias("node")))
+        .unionAll(closed.select(F.col("tc").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )
