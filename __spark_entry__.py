@@ -1032,6 +1032,18 @@ def q_hits(spark, sf_dir):
     return hits(_planted_doc_edges(spark, sf_dir), iterations=3)
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-150 bigram collocations by PMI (textstats.pmi_collocations)
+    — ranked by the exact-integer lift_ppm (monotone in PMI), so the
+    whole query is BIGINT end-to-end and the DuckDB oracle (HUGEINT
+    // replay) must agree bit-for-bit including the top-k boundary."""
+    from walker_spark.operators.textstats import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=150
+    )
+
+
 def q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts on the planted doc graph via the
     degree-ordered node-iterator (graph.triangle_counts — Suri &
@@ -1534,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "triangle_counts": q_triangle_counts,
+        "pmi_collocations": q_pmi_collocations,
         "exact_percentiles": q_exact_percentiles,
     }
 
@@ -2245,6 +2258,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "hits": _hits_graph_sql(),
         "triangle_counts": _triangle_counts_sql(),
+        "pmi_collocations": _pmi_collocations_sql(),
         "exact_percentiles": _exact_percentiles_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
@@ -3053,6 +3067,35 @@ def _vocab_coverage_sql(top_v: int = 50) -> str:
         SELECT rank, term, cnt, cum_cnt,
                (cum_cnt * 1000000) // total_t AS coverage_ppm
         FROM curve, total"""
+
+
+def _pmi_collocations_sql(min_count: int = 5, top_k: int = 150) -> str:
+    """SQL replica of q_pmi_collocations: identical unigram/bigram
+    counts, lift_ppm = floor(1e6*c_ab*N^2/(B*c_a*c_b)) in HUGEINT //
+    (== Spark's DECIMAL(38,0) div — all terms positive), same
+    (lift_ppm desc, w1, w2) tie-broken top-k."""
+    return f"""
+        WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+        tt AS (SELECT t FROM toks WHERE len(t) >= 1 AND t[1] <> ''),
+        uni AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(t) AS w FROM tt) GROUP BY w),
+        nt AS (SELECT CAST(sum(c) AS HUGEINT) AS N FROM uni),
+        bi AS (
+          SELECT t[i+1] AS w1, t[i+2] AS w2,
+                 CAST(count(*) AS BIGINT) AS c_ab
+          FROM tt, UNNEST(generate_series(0, len(t)-2)) AS u(i)
+          WHERE len(t) >= 2 GROUP BY 1, 2),
+        bt AS (SELECT CAST(sum(c_ab) AS HUGEINT) AS B FROM bi)
+        SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+               CAST((CAST(b.c_ab AS HUGEINT) * N * N * 1000000)
+                    // (B * ua.c * ub.c) AS BIGINT) AS lift_ppm
+        FROM bi b
+        JOIN uni ua ON ua.w = b.w1
+        JOIN uni ub ON ub.w = b.w2
+        CROSS JOIN nt CROSS JOIN bt
+        WHERE b.c_ab >= {min_count}
+        ORDER BY lift_ppm DESC, b.w1, b.w2 LIMIT {top_k}"""
 
 
 def _triangle_counts_sql() -> str:

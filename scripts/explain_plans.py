@@ -1262,6 +1262,26 @@ def main():
         ],
     )
 
+    # 12e. PMI collocations: two two-phase count aggs, broadcast
+    # scalar totals, hash equi-joins for c_a/c_b, TakeOrdered top-k —
+    # never a global sort, never Python.
+    from walker_spark.operators.textstats import pmi_collocations
+
+    ok &= grab(
+        "pmi_collocations (exact-integer lift ranking: unigram/bigram "
+        "two-phase aggs, totals as broadcast one-row scalars, top-k is "
+        "TakeOrdered per-partition heaps)",
+        pmi_collocations(docs, min_count=1, top_k=10),
+        [
+            ("top-k is TakeOrdered, not a global Sort+Limit",
+             r"TakeOrderedAndProject", (1,)),
+            ("scalar totals are broadcast one-row joins",
+             r"BroadcastNestedLoopJoin", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 13. temporal joins: as-of must be ONE key-keyed window (never a
     # self-join / broadcast of the right history); range join must be a
     # hash equi-join on the time bucket (never a nested loop).

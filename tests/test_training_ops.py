@@ -2120,3 +2120,60 @@ def test_triangle_counts_star_has_none(spark):
     rows = triangle_counts(df).collect()
     assert all(r["triangles"] == 0 for r in rows)
     assert {r["node"]: r["degree"] for r in rows}[0] == 19
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (exact-integer lift ranking)
+# ---------------------------------------------------------------------------
+
+
+def _py_pmi(texts, min_count, top_k):
+    import re
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for txt in texts:
+        ts = re.sub(r"\s+", " ", txt.lower()).strip().split(" ")
+        if ts == [""]:
+            continue
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    n, b = sum(uni.values()), sum(bi.values())
+    rows = [
+        (w1, w2, c, uni[w1], uni[w2], c * n * n * 1_000_000 // (b * uni[w1] * uni[w2]))
+        for (w1, w2), c in bi.items()
+        if c >= min_count
+    ]
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return rows[:top_k]
+
+
+def test_pmi_collocations_random_parity(spark):
+    import random
+
+    from walker_spark.operators.textstats import pmi_collocations
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(120)
+    ]
+    # plant a strong collocation: rare pair that always co-occurs
+    texts += ["xx yy"] * 4
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        tuple(r)
+        for r in pmi_collocations(df, min_count=2, top_k=40).collect()
+    ]
+    want = _py_pmi(texts, 2, 40)
+    assert got == want
+    assert got[0][:2] == ("xx", "yy")  # the planted pair tops the list
+
+
+def test_pmi_collocations_validates(spark):
+    from walker_spark.operators.textstats import pmi_collocations
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError):
+        pmi_collocations(df, min_count=0)

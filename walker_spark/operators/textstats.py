@@ -1531,3 +1531,83 @@ def quantile_filter(
             & (F.col(value_col) <= F.col("hi_value"))
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations ranked by pointwise mutual
+    information (Church & Hanks 1990), computed EXACTLY in integers:
+
+        lift_ppm = floor(1e6 * c_ab * N^2 / (B * c_a * c_b))
+
+    with N total tokens, B total bigrams, c_* corpus counts. PMI =
+    ln(lift_ppm / 1e6) is monotone in the lift, so ranking by the
+    integer IS ranking by PMI — no float (and no engine-``ln``
+    divergence risk) anywhere. ``(w1, w2, c_ab, c_a, c_b, lift_ppm)``,
+    all BIGINT, ordered/tie-broken (lift_ppm desc, w1, w2).
+
+    Scale shape: two two-phase count aggs (unigram, bigram — shuffle
+    keys are tokens/pairs, AQE absorbs stopword skew), the two corpus
+    totals ride the plan as broadcast one-row aggregates, the c_a/c_b
+    attach is a pair of hash equi-joins, and the final top-k is a
+    sort-limit (TakeOrdered — per-partition heaps, never a full sort).
+    The big products run in DECIMAL(38,0) with integer ``div``
+    (ANSI-safe; a BIGINT product overflows at web scale)."""
+    from walker_spark.operators.dedup import tokens
+
+    if min_count < 1 or top_k < 1:
+        raise ValueError(f"bad params: min_count={min_count} top_k={top_k}")
+    t = tokens(F.col(text_col))
+    toks = docs.select(t.alias("_t")).filter(
+        (F.size("_t") >= 1) & (F.element_at("_t", 1) != "")
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").cast("decimal(38,0)").alias("_N"))
+    bi = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_t", i + 1).alias("w1"),
+                        F.element_at("_t", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("_b")
+        )
+        .select("_b.w1", "_b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    b_tot = bi.agg(F.sum("c_ab").cast("decimal(38,0)").alias("_B"))
+    scored = (
+        bi.filter(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(b_tot))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "(CAST(c_ab AS DECIMAL(38,0)) * _N * _N * 1000000)"
+                " div (_B * CAST(c_a AS DECIMAL(38,0))"
+                " * CAST(c_b AS DECIMAL(38,0)))"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")
+    ).limit(top_k)
