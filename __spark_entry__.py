@@ -1032,6 +1032,28 @@ def q_hits(spark, sf_dir):
     return hits(_planted_doc_edges(spark, sf_dir), iterations=3)
 
 
+def q_zorder_events(spark, sf_dir):
+    """Z-order layout keys over events (layout.zorder_keys, 8 bits per
+    dim on (user_id, ts_ms)), rolled up per 256-key bucket with each
+    dimension's min/max — the per-file bounding boxes a parquet footer
+    would carry, i.e. the file-skipping evidence. Pure BIGINT; the
+    oracle replays the grid scaling + Morton interleave bit-for-bit."""
+    from walker_spark.operators.layout import zorder_keys
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    keyed = zorder_keys(ev, ["user_id", "ts_ms"], bits=8)
+    return keyed.groupBy(F.shiftright("zkey", 8).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("user_id").cast("long").alias("min_user"),
+        F.max("user_id").cast("long").alias("max_user"),
+        F.min("ts_ms").cast("long").alias("min_ts"),
+        F.max("ts_ms").cast("long").alias("max_ts"),
+    )
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top-150 bigram collocations by PMI (textstats.pmi_collocations)
     — ranked by the exact-integer lift_ppm (monotone in PMI), so the
@@ -1547,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "triangle_counts": q_triangle_counts,
         "pmi_collocations": q_pmi_collocations,
+        "zorder_events": q_zorder_events,
         "exact_percentiles": q_exact_percentiles,
     }
 
@@ -2259,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_graph_sql(),
         "triangle_counts": _triangle_counts_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
+        "zorder_events": _zorder_events_sql(),
         "exact_percentiles": _exact_percentiles_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
@@ -3067,6 +3091,38 @@ def _vocab_coverage_sql(top_v: int = 50) -> str:
         SELECT rank, term, cnt, cum_cnt,
                (cum_cnt * 1000000) // total_t AS coverage_ppm
         FROM curve, total"""
+
+
+def _zorder_events_sql(bits: int = 8) -> str:
+    """SQL replica of q_zorder_events: identical grid scaling
+    ((v - mn) * (2^bits - 1) // max(1, span), HUGEINT product ==
+    Spark's DECIMAL(38,0) div) and Morton interleave (dim i bit j ->
+    key bit j*2 + i), identical per-bucket rollup."""
+    grid = (1 << bits) - 1
+    interleave = " + ".join(
+        f"(((s{d} >> {j}) & 1) << {j * 2 + i})"
+        for j in range(bits)
+        for i, d in enumerate(("u", "t"))
+    )
+    return f"""
+        WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        b AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+                     min(ts_ms) AS mnt, max(ts_ms) AS mxt FROM ev),
+        s AS (
+          SELECT user_id, ts_ms,
+                 CAST((CAST(user_id - mnu AS HUGEINT) * {grid})
+                      // greatest(mxu - mnu, 1) AS BIGINT) AS su,
+                 CAST((CAST(ts_ms - mnt AS HUGEINT) * {grid})
+                      // greatest(mxt - mnt, 1) AS BIGINT) AS st
+          FROM ev CROSS JOIN b),
+        k AS (SELECT user_id, ts_ms, ({interleave}) AS zkey FROM s)
+        SELECT zkey // 256 AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(user_id) AS BIGINT) AS min_user,
+               CAST(max(user_id) AS BIGINT) AS max_user,
+               CAST(min(ts_ms) AS BIGINT) AS min_ts,
+               CAST(max(ts_ms) AS BIGINT) AS max_ts
+        FROM k GROUP BY 1"""
 
 
 def _pmi_collocations_sql(min_count: int = 5, top_k: int = 150) -> str:

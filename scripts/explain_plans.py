@@ -1282,6 +1282,34 @@ def main():
         ],
     )
 
+    # 12f. Z-order layout: bounds are ONE broadcast one-row agg, the
+    # key is pure codegen arithmetic, and the layout op is exactly one
+    # range Exchange + within-partition sort (never a global sort).
+    from walker_spark.operators.layout import zorder_layout
+
+    _zdf = spark.createDataFrame(
+        [(i, (i * 37) % 101, (i * 53) % 997) for i in range(200)],
+        "id long, x long, y long",
+    )
+    ok &= grab(
+        "zorder_layout (Morton-interleaved file layout: broadcast "
+        "scalar bounds, codegen key, ONE rangepartitioning exchange, "
+        "sort within partitions only)",
+        zorder_layout(_zdf, ["x", "y"], bits=8, num_partitions=8),
+        [
+            ("exactly one range-partition exchange",
+             r"Exchange rangepartitioning", 1),
+            ("no hash-partition exchange anywhere",
+             r"Exchange hashpartitioning", 0),
+            ("bounds ride as a broadcast one-row agg",
+             r"BroadcastNestedLoopJoin", 1),
+            ("sort is within partitions (global flag false)",
+             r"Sort \[zkey[^\]]*\], false", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 13. temporal joins: as-of must be ONE key-keyed window (never a
     # self-join / broadcast of the right history); range join must be a
     # hash equi-join on the time bucket (never a nested loop).

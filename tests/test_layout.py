@@ -1,0 +1,80 @@
+"""Z-order layout keys: exact parity with a pure-Python Morton
+interleave, and the locality property that is the entire point —
+range-partitioned Z-ordered files cover tight bounding boxes in BOTH
+dimensions, unsorted files don't."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from walker_spark.operators.layout import zorder_keys, zorder_layout
+
+BITS = 8
+
+
+def _py_zkey(vals, bounds, bits=BITS):
+    n = len(vals)
+    key = 0
+    for i, (v, (mn, mx)) in enumerate(zip(vals, bounds)):
+        s = 0 if v is None else (v - mn) * ((1 << bits) - 1) // max(1, mx - mn)
+        for j in range(bits):
+            key |= ((s >> j) & 1) << (j * n + i)
+    return key
+
+
+def test_zorder_keys_match_python(spark):
+    rng = random.Random(5)
+    rows = [
+        (i, rng.randint(-500, 10_000), rng.randint(0, 3_000_000))
+        for i in range(400)
+    ] + [(400, None, 7)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"]: r["zkey"] for r in zorder_keys(df, ["x", "y"], bits=BITS).collect()}
+    xs = [x for _, x, _ in rows if x is not None]
+    ys = [y for _, _, y in rows]
+    bounds = [(min(xs), max(xs)), (min(ys), max(ys))]
+    want = {i: _py_zkey((x, y), bounds) for i, x, y in rows}
+    assert got == want
+
+
+def test_zorder_layout_locality(spark):
+    rng = random.Random(9)
+    rows = [(rng.randint(0, 1 << 20), rng.randint(0, 1 << 20)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def bbox_cost(pdf_rows):
+        # sum over partitions of the bounding-box half-perimeter:
+        # proxy for "how much of each dim a file's min/max spans"
+        by_part = {}
+        for p, x, y in pdf_rows:
+            by_part.setdefault(p, []).append((x, y))
+        tot = 0
+        for pts in by_part.values():
+            xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+            tot += (max(xs) - min(xs)) + (max(ys) - min(ys))
+        return tot
+
+    z = (
+        zorder_layout(df, ["x", "y"], bits=10, num_partitions=64)
+        .select(F.spark_partition_id().alias("p"), "x", "y")
+        .collect()
+    )
+    base = (
+        df.repartition(64)
+        .select(F.spark_partition_id().alias("p"), "x", "y")
+        .collect()
+    )
+    z_cost = bbox_cost([tuple(r) for r in z])
+    b_cost = bbox_cost([tuple(r) for r in base])
+    # hash-partitioned files span ~the full range in both dims;
+    # z-ordered files must be dramatically tighter
+    assert z_cost < b_cost / 3, (z_cost, b_cost)
+
+
+def test_zorder_validates(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError):
+        zorder_keys(df, ["x"])
+    with pytest.raises(ValueError):
+        zorder_keys(df, ["x", "y"], bits=40)

@@ -1,0 +1,91 @@
+"""Multi-dimensional data-layout keys: Z-order (Morton) curve
+interleaving for co-clustering rows on several dimensions at once.
+
+Why this is an engine feature, not a query: at 100 TB the win from a
+scan is mostly FILE SKIPPING — parquet footers carry per-file min/max
+for every column, and the planner prunes files whose range can't
+match the predicate. A table range-partitioned on one column skips
+perfectly on that column and not at all on any other; writing the
+table ordered by a Z-key makes every file a tight HYPER-RECTANGLE in
+all the interleaved dimensions, so predicates on ANY of them prune
+(the Delta/Iceberg `OPTIMIZE ZORDER BY` pattern — implemented here
+with plain public Spark: repartitionByRange + sortWithinPartitions).
+
+All math is integer (grid scaling uses DECIMAL(38,0) products with
+integer ``div`` so web-scale value ranges can't overflow), so the
+DuckDB oracle replays keys bit-for-bit, and the whole key expression
+is JVM whole-stage-codegen — no Python, no shuffle beyond the final
+range partition.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Max bits per dimension: total interleaved key must fit a BIGINT.
+_MAX_TOTAL_BITS = 62
+
+
+def zorder_keys(
+    df: DataFrame, cols: Sequence[str], bits: int = 12
+) -> DataFrame:
+    """Add a ``zkey`` BIGINT column: the Morton interleave of each
+    dimension scaled onto a ``2^bits`` grid between its corpus min and
+    max. Scaling: ``(v - mn) * (2^bits - 1) div max(1, mx - mn)`` —
+    exact integer, computed against per-column min/max that ride the
+    plan as ONE broadcast one-row aggregate (no collect, no second
+    job). Bit ``j`` of dimension ``i`` lands at key bit
+    ``j * n_dims + i``.
+
+    Input columns must be integral (cast timestamps to epoch ms
+    first). NULLs map below the grid (bit pattern 0) so they cluster
+    together in the first file(s)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 dimensions")
+    if bits < 1 or bits * n > _MAX_TOTAL_BITS:
+        raise ValueError(f"bits*dims must be in [1, {_MAX_TOTAL_BITS}]: {bits}x{n}")
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"_mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"_mx_{c}"))
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    # scaled expressions go through expr strings so `div` (integer
+    # decimal division) is available
+    sel = [df[c2] for c2 in df.columns]
+    zparts = []
+    for i, c in enumerate(cols):
+        s_expr = (
+            f"CAST((CAST(`{c}` AS DECIMAL(38,0)) - CAST(`_mn_{c}` AS DECIMAL(38,0)))"
+            f" * {(1 << bits) - 1}"
+            f" div CAST(greatest(`_mx_{c}` - `_mn_{c}`, 1) AS DECIMAL(38,0))"
+            f" AS BIGINT)"
+        )
+        null_safe = f"coalesce({s_expr}, 0)"
+        zparts.extend(
+            f"(shiftleft(shiftright({null_safe}, {j}) & 1, {j * n + i}))"
+            for j in range(bits)
+        )
+    zkey = F.expr(" + ".join(zparts)).cast("long").alias("zkey")
+    return out.select(*sel, zkey)
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 12,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """The write-side layout op: rows range-partitioned and sorted by
+    the Z-key, so each output file covers a tight hyper-rectangle in
+    every interleaved dimension (parquet min/max footers then prune on
+    any of them). ONE exchange (the range partition); the sort is
+    within partitions only — never a global sort."""
+    keyed = zorder_keys(df, cols, bits=bits)
+    return keyed.repartitionByRange(num_partitions, "zkey").sortWithinPartitions(
+        "zkey"
+    )
