@@ -104,6 +104,11 @@ HEADLINE = [
     "quantile_filter",
     "training_pipeline",
     "personalized_pagerank",
+    "hll_token_distinct",
+    "cms_token_freq",
+    "triangle_counts",
+    "pmi_collocations",
+    "zorder_events",
 ]
 
 # crawl corpus sizing per benchmark scale
