@@ -1032,6 +1032,28 @@ def q_hits(spark, sf_dir):
     return hits(_planted_doc_edges(spark, sf_dir), iterations=3)
 
 
+def q_log_hist_quantiles(spark, sf_dir):
+    """Per-source token-count quantiles from the mergeable log-bucket
+    histogram (sketches.log_histogram — DDSketch family): bucket index
+    and rank math are pure integers, so the DuckDB oracle replays the
+    sketch AND the quantile walk bit-for-bit. Complements
+    exact_percentiles with the persist-and-merge tier."""
+    from walker_spark.operators.dedup import tokens
+    from walker_spark.operators.sketches import (
+        log_histogram,
+        log_histogram_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.filter(tokens(F.col("text")), lambda s: F.length(s) > 0))
+        .cast("long")
+        .alias("v"),
+    )
+    hist = log_histogram(docs, ["source"], "v", mantissa_bits=5)
+    return log_histogram_quantiles(hist, ["source"], PCTL_QS, mantissa_bits=5)
+
+
 def q_zorder_events(spark, sf_dir):
     """Z-order layout keys over events (layout.zorder_keys, 8 bits per
     dim on (user_id, ts_ms)), rolled up per 256-key bucket with each
@@ -1570,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "pmi_collocations": q_pmi_collocations,
         "zorder_events": q_zorder_events,
+        "log_hist_quantiles": q_log_hist_quantiles,
         "exact_percentiles": q_exact_percentiles,
     }
 
@@ -2283,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _triangle_counts_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "zorder_events": _zorder_events_sql(),
+        "log_hist_quantiles": _log_hist_quantiles_sql(),
         "exact_percentiles": _exact_percentiles_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
@@ -3091,6 +3115,43 @@ def _vocab_coverage_sql(top_v: int = 50) -> str:
         SELECT rank, term, cnt, cum_cnt,
                (cum_cnt * 1000000) // total_t AS coverage_ppm
         FROM curve, total"""
+
+
+def _log_hist_quantiles_sql(s: int = 5) -> str:
+    """SQL replica of q_log_hist_quantiles: identical log-bucket index
+    (small values exact below 2^(s+1), else ((e-s)<<s) + top mantissa
+    bits), identical integer rank (q_ppm*n + 999999) // 1e6, identical
+    lower-bound inversion — BIGINT end-to-end."""
+    lo = 1 << (s + 1)
+    m = 1 << s
+    q_list = ", ".join(str(int(round(q * 1_000_000))) for q in PCTL_QS)
+    return f"""
+        WITH vals AS (
+          SELECT source, CAST(len({_FILTERED_TOKS_SQL}) AS BIGINT) AS v
+          FROM documents),
+        hist AS (
+          SELECT source,
+                 CASE WHEN v < {lo} THEN v
+                      ELSE (length(bin(v)) - 1 - {s}) * {m}
+                           + (v >> (length(bin(v)) - 1 - {s})) END AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM vals GROUP BY 1, 2),
+        cum AS (
+          SELECT source, bucket,
+                 sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS c,
+                 sum(cnt) OVER (PARTITION BY source) AS n
+          FROM hist),
+        qs AS (SELECT unnest([{q_list}]) AS q_ppm),
+        r AS (
+          SELECT source, q_ppm, min(bucket) AS bucket
+          FROM cum CROSS JOIN qs
+          WHERE c >= (q_ppm * n + 999999) // 1000000
+          GROUP BY 1, 2)
+        SELECT source, CAST(q_ppm AS BIGINT) AS q_ppm,
+               CAST(CASE WHEN bucket < {lo} THEN bucket
+                    ELSE ((bucket % {m}) + {m}) << ((bucket // {m}) - 1)
+                    END AS BIGINT) AS est
+        FROM r"""
 
 
 def _zorder_events_sql(bits: int = 8) -> str:

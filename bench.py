@@ -109,6 +109,7 @@ HEADLINE = [
     "triangle_counts",
     "pmi_collocations",
     "zorder_events",
+    "log_hist_quantiles",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -1310,6 +1310,33 @@ def main():
         ],
     )
 
+    # 12g. log-bucket histogram: the sketch build is a two-phase agg
+    # on (group, bucket) — the shuffle carries at most ~64*s rows per
+    # group; the quantile walk windows over those bounded rows only.
+    from walker_spark.operators.sketches import (
+        log_histogram,
+        log_histogram_quantiles,
+    )
+
+    _lh = log_histogram(
+        docs.select((F.col("doc_id") % 3).alias("g"),
+                    F.length("text").cast("long").alias("v")),
+        ["g"], "v",
+    )
+    ok &= grab(
+        "log_histogram + quantiles (mergeable DDSketch-style buckets: "
+        "two-phase (group,bucket) agg, quantile walk windows over the "
+        "bounded bucket rows, q grid broadcast)",
+        log_histogram_quantiles(_lh, ["g"], (0.5, 0.9)),
+        [
+            ("histogram agg is two-phase", r"HashAggregate", (2,)),
+            ("q grid rides as a broadcast one-row-ish join",
+             r"BroadcastNestedLoopJoin", 1),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 13. temporal joins: as-of must be ONE key-keyed window (never a
     # self-join / broadcast of the right history); range join must be a
     # hash equi-join on the time bucket (never a nested loop).

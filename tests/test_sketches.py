@@ -165,3 +165,87 @@ def test_hll_bad_b_raises(spark):
     df = spark.createDataFrame([("g", "x")], "g string, item string")
     with pytest.raises(ValueError):
         hll_registers(df, ["g"], "item", b=2)
+
+
+S = 5  # mantissa bits for log_histogram tests
+
+
+def _py_bucket(v):
+    if v < (1 << (S + 1)):
+        return v
+    e = v.bit_length() - 1
+    return ((e - S) << S) + (v >> (e - S))
+
+
+def _py_lb(b):
+    if b < (1 << (S + 1)):
+        return b
+    return ((b % (1 << S)) + (1 << S)) << ((b // (1 << S)) - 1)
+
+
+def test_log_histogram_vs_python(spark):
+    import random
+
+    from walker_spark.operators.sketches import (
+        log_histogram,
+        log_histogram_quantiles,
+    )
+
+    rng = random.Random(13)
+    vals = (
+        [0, 1, 2, (1 << (S + 1)) - 1, 1 << (S + 1), (1 << 62) - 7]
+        + [rng.randint(0, 10**9) for _ in range(3000)]
+        + [rng.randint(0, 200) for _ in range(1000)]
+    )
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    hist = log_histogram(df, ["g"], "v", mantissa_bits=S)
+    got = {r["bucket"]: r["cnt"] for r in hist.collect()}
+    want = {}
+    for v in vals:
+        want[_py_bucket(v)] = want.get(_py_bucket(v), 0) + 1
+    assert got == want
+
+    qs = (0.01, 0.25, 0.5, 0.9, 0.99)
+    ests = {
+        r["q_ppm"]: r["est"]
+        for r in log_histogram_quantiles(hist, ["g"], qs, mantissa_bits=S).collect()
+    }
+    sv = sorted(vals)
+    for q in qs:
+        rank = -(-int(q * 1_000_000) * len(sv) // 1_000_000)  # ceil
+        true = sv[max(rank - 1, 0)]
+        est = ests[int(q * 1_000_000)]
+        # est is the lower bound of true's bucket: within relative 2^-S
+        assert est == _py_lb(_py_bucket(true))
+        if true > 0:
+            assert est <= true and true - est <= max(true >> S, 1)
+
+
+def test_log_histogram_merge_by_sum(spark):
+    from pyspark.sql import functions as FF
+
+    from walker_spark.operators.sketches import log_histogram
+
+    df = spark.createDataFrame(
+        [("g", (i * 2654435761) % 100_000) for i in range(3000)],
+        "g string, v long",
+    )
+    h1 = log_histogram(df.filter(FF.col("v") % 3 == 0), ["g"], "v", mantissa_bits=S)
+    h2 = log_histogram(df.filter(FF.col("v") % 3 != 0), ["g"], "v", mantissa_bits=S)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("g", "bucket")
+        .agg(FF.sum("cnt").alias("cnt"))
+    )
+    whole = sorted(map(tuple, log_histogram(df, ["g"], "v", mantissa_bits=S).collect()))
+    assert sorted(map(tuple, merged.collect())) == whole
+
+
+def test_log_histogram_negative_raises(spark):
+    from walker_spark.operators.sketches import log_histogram
+
+    df = spark.createDataFrame([("g", -1)], "g string, v long")
+    with pytest.raises(Exception, match="negative value"):
+        log_histogram(df, ["g"], "v").collect()
+    with pytest.raises(ValueError):
+        log_histogram(df, ["g"], "v", mantissa_bits=0)

@@ -215,3 +215,113 @@ def hll_distinct(
     return hll_estimate(
         hll_registers(df, group_cols, item_col, b=b), group_cols, b=b
     )
+
+
+def log_histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    mantissa_bits: int = 5,
+) -> DataFrame:
+    """Per-group mergeable log-bucket histogram (the DDSketch /
+    HdrHistogram family — Masson et al. 2019): non-negative integer
+    values map to buckets with bounded RELATIVE width 2^-s (s =
+    ``mantissa_bits``), so a single tiny table covers values from 0 to
+    2^63 with ~s*64 buckets per group. ``(group..., bucket, cnt)``,
+    mergeable by ``sum(cnt)`` (pytest asserts the law) — the quantile
+    tier you can persist per day/partition and roll up without
+    re-scanning, unlike ``approx_percentile`` whose state is opaque.
+
+    Bucket index (monotone in v, contiguous, pure integer bit math —
+    the oracle replays it exactly):
+
+        v < 2^(s+1):  bucket = v                      (small values exact)
+        else:         bucket = ((e - s) << s) + (v >> (e - s))
+                      with e = bit_length(v) - 1
+
+    Negative values raise at query time (raise_error branch); use an
+    offset upstream for signed data."""
+    s = mantissa_bits
+    if not 1 <= s <= 16:
+        raise ValueError(f"mantissa_bits must be in [1, 16]: {s}")
+    v = F.col(value_col).cast("long")
+    e = (F.length(F.bin(v)) - 1).cast("long")  # floor(log2(v)) for v>=1
+    big = (
+        ((e - s) * F.lit(1 << s))
+        + F.expr(f"shiftright(CAST(`{value_col}` AS BIGINT), "
+                 f"CAST(length(bin(CAST(`{value_col}` AS BIGINT))) - 1 - {s} AS INT))")
+    )
+    bucket = (
+        F.when(
+            v < 0,
+            F.raise_error(
+                F.lit("log_histogram: negative value — offset signed data upstream")
+            ).cast("long"),
+        )
+        .when(v < F.lit(1 << (s + 1)), v)
+        .otherwise(big)
+        .cast("long")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def log_histogram_quantiles(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    mantissa_bits: int = 5,
+) -> DataFrame:
+    """Per-group type-1 (nearest-rank) quantile ESTIMATES from the
+    merged histogram: for each q, the LOWER BOUND of the bucket
+    holding rank ceil(q*n) — an integer within relative 2^-s of the
+    true value. ``(group..., q_ppm, est)``; q rides as integer
+    parts-per-million and the rank is ``(q_ppm*n + 999999) div 1e6``,
+    so there is NO float anywhere and the oracle is bit-exact.
+
+    The rank walk is a window cumulative sum over the per-group bucket
+    rows — partitions are bounded by the bucket count (~64*s), never
+    by data volume, so this tiny rollup is the only post-sketch work."""
+    from pyspark.sql import Window
+
+    s = mantissa_bits
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = hist.select(
+        *group_cols,
+        "bucket",
+        F.sum("cnt").over(w).cast("long").alias("_cum"),
+        F.sum("cnt")
+        .over(
+            Window.partitionBy(*group_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("_n"),
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(int(round(q * 1_000_000)),) for q in qs], "q_ppm long"
+    )
+    ranked = cum.crossJoin(F.broadcast(qdf)).filter(
+        F.col("_cum")
+        >= F.expr("(q_ppm * _n + 999999) div 1000000")
+    )
+    # bucket lower bound inverts the index map: bucket = ((e-s)<<s)+m
+    # with m in [2^s, 2^(s+1)), so bucket div 2^s = e-s+1 and the
+    # smallest v in the bucket is m << (e-s)
+    lb = F.when(
+        F.col("bucket") < F.lit(1 << (s + 1)), F.col("bucket")
+    ).otherwise(
+        F.expr(
+            f"shiftleft((bucket % {1 << s}) + {1 << s}, "
+            f"CAST(bucket div {1 << s} AS INT) - 1)"
+        )
+    )
+    return (
+        ranked.groupBy(*group_cols, "q_ppm")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(*group_cols, "q_ppm", lb.cast("long").alias("est"))
+    )
