@@ -1032,6 +1032,28 @@ def q_hits(spark, sf_dir):
     return hits(_planted_doc_edges(spark, sf_dir), iterations=3)
 
 
+def q_kmv_source_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary overlap from KMV (theta) sketches
+    (sketches.kmv_sketch/kmv_overlap): jaccard/union/intersection
+    estimates computed ONLY from the k-minimum-value tables — the set
+    algebra HLL can't do. Sketch rows are exact md5 integers, so the
+    DuckDB oracle replays every estimate bit-for-bit. Complements the
+    exact textstats.source_overlap with the sketch tier (overlap
+    matrices at 100 TB never re-read text)."""
+    from walker_spark.operators.dedup import tokens
+    from walker_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda s: F.length(s) > 0)
+        ).alias("item"),
+    )
+    sk = kmv_sketch(toks, ["source"], "item", k=128)
+    return kmv_overlap(sk, ["source"], k=128)
+
+
 def q_log_hist_quantiles(spark, sf_dir):
     """Per-source token-count quantiles from the mergeable log-bucket
     histogram (sketches.log_histogram — DDSketch family): bucket index
@@ -1593,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "zorder_events": q_zorder_events,
         "log_hist_quantiles": q_log_hist_quantiles,
+        "kmv_source_overlap": q_kmv_source_overlap,
         "exact_percentiles": q_exact_percentiles,
     }
 
@@ -2307,6 +2330,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _pmi_collocations_sql(),
         "zorder_events": _zorder_events_sql(),
         "log_hist_quantiles": _log_hist_quantiles_sql(),
+        "kmv_source_overlap": _kmv_source_overlap_sql(),
         "exact_percentiles": _exact_percentiles_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
@@ -3115,6 +3139,53 @@ def _vocab_coverage_sql(top_v: int = 50) -> str:
         SELECT rank, term, cnt, cum_cnt,
                (cum_cnt * 1000000) // total_t AS coverage_ppm
         FROM curve, total"""
+
+
+def _kmv_source_overlap_sql(k: int = 128) -> str:
+    """SQL replica of q_kmv_source_overlap: identical per-source
+    k-minimum md5-u32 value sets (QUALIFY row_number), identical union
+    top-k / match counting / integer estimators."""
+    h32 = _md5_hex_int_sql("item", 8)
+    est = f"CASE WHEN ku < {k} THEN ku ELSE CAST(({k} - 1) * 4294967296 // hk AS BIGINT) END"
+    return f"""
+        WITH toks AS (
+          SELECT source, unnest({_FILTERED_TOKS_SQL}) AS item
+          FROM documents),
+        hs AS (SELECT DISTINCT source, ({h32}) AS h FROM toks),
+        sk AS (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM hs QUALIFY rn <= {k}),
+        ps AS (
+          SELECT a.source AS ga, b.source AS gb
+          FROM (SELECT DISTINCT source FROM sk) a,
+               (SELECT DISTINCT source FROM sk) b
+          WHERE a.source < b.source),
+        un AS (
+          SELECT ps.ga, ps.gb, s.h FROM ps JOIN sk s ON s.source = ps.ga
+          UNION
+          SELECT ps.ga, ps.gb, s.h FROM ps JOIN sk s ON s.source = ps.gb),
+        uk AS (
+          SELECT ga, gb, h,
+                 row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+          FROM un QUALIFY rn <= {k}),
+        m AS (
+          SELECT uk.ga, uk.gb, uk.rn, uk.h,
+                 CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                      THEN 1 ELSE 0 END AS mt
+          FROM uk
+          LEFT JOIN sk sa ON sa.source = uk.ga AND sa.h = uk.h
+          LEFT JOIN sk sb ON sb.source = uk.gb AND sb.h = uk.h),
+        rolled AS (
+          SELECT ga, gb, CAST(count(*) AS BIGINT) AS ku,
+                 CAST(sum(mt) AS BIGINT) AS matches,
+                 max(CASE WHEN rn = {k} THEN h END) AS hk
+          FROM m GROUP BY 1, 2)
+        SELECT ga AS source, gb AS source_2, ku, matches,
+               CAST(matches * 1000000 // ku AS BIGINT) AS jaccard_ppm,
+               CAST({est} AS BIGINT) AS union_est,
+               CAST(matches * ({est}) // ku AS BIGINT) AS inter_est
+        FROM rolled WHERE matches > 0"""
 
 
 def _log_hist_quantiles_sql(s: int = 5) -> str:

@@ -110,6 +110,7 @@ HEADLINE = [
     "pmi_collocations",
     "zorder_events",
     "log_hist_quantiles",
+    "kmv_source_overlap",
 ]
 
 # crawl corpus sizing per benchmark scale

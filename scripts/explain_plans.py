@@ -1337,6 +1337,25 @@ def main():
         ],
     )
 
+    # 12h. KMV sketch: top-k selection must be the TWO-LEVEL window
+    # (salt shard first, then group) so no task ranks a whole group's
+    # distinct set; distinct is a two-phase agg.
+    from walker_spark.operators.sketches import kmv_sketch
+
+    ok &= grab(
+        "kmv_sketch (theta sketch build: two-phase distinct on "
+        "(group, h), then salted window + group window top-k — hub "
+        "groups never rank their full distinct set in one task)",
+        kmv_sketch(_hits, ["g"], "item", k=16),
+        [
+            ("two window passes (salt shard, then group)",
+             r"Window \[row_number", 2),
+            ("distinct agg is two-phase", r"HashAggregate", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 13. temporal joins: as-of must be ONE key-keyed window (never a
     # self-join / broadcast of the right history); range join must be a
     # hash equi-join on the time bucket (never a nested loop).

@@ -249,3 +249,108 @@ def test_log_histogram_negative_raises(spark):
         log_histogram(df, ["g"], "v").collect()
     with pytest.raises(ValueError):
         log_histogram(df, ["g"], "v", mantissa_bits=0)
+
+
+KMV_K = 64
+
+
+def _py_kmv(items, k=KMV_K):
+    hs = sorted(
+        {int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in items}
+    )
+    return hs[:k]
+
+
+def test_kmv_sketch_and_estimate_vs_python(spark):
+    from walker_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    rng = random.Random(17)
+    rows = [
+        (g, f"t{rng.randint(0, n)}")
+        for g, n in (("a", 5000), ("b", 30))
+        for _ in range(3 * n)
+    ]
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_sketch(df, ["g"], "item", k=KMV_K)
+    got = {}
+    for r in sk.collect():
+        got.setdefault(r["g"], []).append((r["rn"], r["h"]))
+    by_g = {}
+    for g, it in rows:
+        by_g.setdefault(g, []).append(it)
+    for g, items in by_g.items():
+        want = [(i + 1, h) for i, h in enumerate(_py_kmv(items))]
+        assert sorted(got[g]) == want, g
+
+    est = {
+        r["g"]: (r["kmv_n"], r["est"])
+        for r in kmv_estimate(sk, ["g"], k=KMV_K).collect()
+    }
+    for g, items in by_g.items():
+        true = len(set(items))
+        hs = _py_kmv(items)
+        if len(hs) < KMV_K:
+            assert est[g] == (len(hs), len(hs))  # exact below k
+        else:
+            want = (KMV_K - 1) * (1 << 32) // hs[KMV_K - 1]
+            assert est[g] == (KMV_K, want)
+            assert abs(want - true) / true < 0.5  # ~1/sqrt(k) sigma
+    assert est["b"][1] == len(set(by_g["b"]))
+
+
+def test_kmv_merge_law(spark):
+    from pyspark.sql import Window
+
+    from walker_spark.operators.sketches import kmv_sketch
+
+    rows = [("g", f"i{i % 900}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    s1 = kmv_sketch(df.filter(F.crc32("item") % 2 == 0), ["g"], "item", k=KMV_K)
+    s2 = kmv_sketch(df.filter(F.crc32("item") % 2 != 0), ["g"], "item", k=KMV_K)
+    w = Window.partitionBy("g").orderBy("h")
+    merged = (
+        s1.select("g", "h")
+        .unionByName(s2.select("g", "h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("g", "h", F.col("rn").cast("int").alias("rn"))
+    )
+    whole = sorted(map(tuple, kmv_sketch(df, ["g"], "item", k=KMV_K).collect()))
+    assert sorted(map(tuple, merged.collect())) == whole
+
+
+def test_kmv_overlap_planted(spark):
+    from walker_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    # a and b share exactly half their items; c is disjoint from both
+    rows = (
+        [("a", f"s{i}") for i in range(600)]
+        + [("a", f"ax{i}") for i in range(600)]
+        + [("b", f"s{i}") for i in range(600)]
+        + [("b", f"bx{i}") for i in range(600)]
+        + [("c", f"cx{i}") for i in range(600)]
+    )
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_sketch(df, ["g"], "item", k=KMV_K)
+    got = {
+        (r["g"], r["g_2"]): r
+        for r in kmv_overlap(sk, ["g"], k=KMV_K).collect()
+    }
+    ab = got[("a", "b")]
+    # true jaccard = 600/1800 = 1/3; KMV sigma ~ 1/sqrt(64) => loose band
+    assert 150_000 < ab["jaccard_ppm"] < 520_000, ab
+    assert 1000 < ab["union_est"] < 2800, ab
+    assert 250 < ab["inter_est"] < 1100, ab
+    # sparse contract: disjoint pairs omitted (no shared union-k match)
+    assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_kmv_validates(spark):
+    from walker_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    df = spark.createDataFrame([("g", "x")], "g string, item string")
+    with pytest.raises(ValueError):
+        kmv_sketch(df, ["g"], "item", k=1)
+    with pytest.raises(ValueError):
+        kmv_overlap(df, ["g", "h"])

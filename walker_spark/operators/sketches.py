@@ -325,3 +325,145 @@ def log_histogram_quantiles(
         .agg(F.min("bucket").alias("bucket"))
         .select(*group_cols, "q_ppm", lb.cast("long").alias("est"))
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV ("k minimum values" / theta) sketch (Bar-Yossef
+    et al. 2002; Beyer et al. 2007): the ``k`` smallest DISTINCT
+    md5-u32 hashes of the items — ``(group..., h, rn)`` with ``rn``
+    the 1-based rank. Unlike HLL this sketch supports SET ALGEBRA:
+    the union sketch is the k smallest of the concatenation (pytest
+    asserts the merge law), and intersections estimate via matching
+    values (:func:`kmv_overlap`).
+
+    Scale shape: distinct is a two-phase agg on (group, h); the top-k
+    selection is TWO bounded window passes — first within
+    (group, salt-of-h) so no single task ever ranks more than one
+    salt-shard of a group's distinct set, then over the <= 64*k
+    survivors per group. Deterministic (salt is a hash of h), so the
+    oracle replays rows exactly."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    h = _md5_u32(F.col(item_col))
+    dist = (
+        df.select(*group_cols, h.alias("h"))
+        .groupBy(*group_cols, "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    salt = (F.col("h") % F.lit(64)).alias("_salt")
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("h")
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        dist.select(*group_cols, "h", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(*group_cols, "h", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: Sequence[str], k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: if the group holds
+    fewer than ``k`` values the count is EXACT (the sketch is the
+    whole hash set); else ``est = (k-1) * 2^32 div h_k`` (the k-th
+    smallest hash), pure BIGINT. ``(group..., kmv_n, est)``."""
+    rolled = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("kmv_n"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_hk"),
+    )
+    return rolled.select(
+        *group_cols,
+        "kmv_n",
+        F.when(F.col("kmv_n") < k, F.col("kmv_n"))
+        .otherwise(F.expr(f"CAST(({k} - 1) * 4294967296 div _hk AS BIGINT)"))
+        .cast("long")
+        .alias("est"),
+    )
+
+
+def kmv_overlap(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set overlap between groups from their KMV sketches
+    (Beyer et al. 2007 §4): for each unordered group pair, build the
+    union KMV (k smallest of both sketches' values), count how many of
+    those are present in BOTH sketches, and estimate
+
+        jaccard_ppm = matches * 1e6 div ku
+        inter_est   = matches * union_est div ku
+
+    with ku the union sketch size and union_est from
+    :func:`kmv_estimate`'s formula. Sparse contract: pairs whose union
+    sketch shares nothing are omitted. Only sketch rows move — the
+    pair join is O(groups^2 * k) WITHOUT touching raw data, which is
+    the point: cross-corpus overlap matrices at 100 TB run entirely on
+    KB-sized sketch tables. Single group column only (``g``)."""
+    from pyspark.sql import Window
+
+    if len(group_cols) != 1:
+        raise ValueError("kmv_overlap takes exactly one group column")
+    g = group_cols[0]
+    a = sketch.select(F.col(g).alias("ga"), "h")
+    b = sketch.select(F.col(g).alias("gb"), "h")
+    both = a.join(b, "h").filter(F.col("ga") < F.col("gb"))
+    un = (
+        a.join(b.select("gb").distinct(), F.lit(True))
+        .filter(F.col("ga") < F.col("gb"))
+        .select("ga", "gb", "h")
+        .unionByName(
+            b.join(a.select("ga").distinct(), F.lit(True))
+            .filter(F.col("ga") < F.col("gb"))
+            .select("ga", "gb", "h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    union_k = un.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    matched = union_k.join(
+        both.select("ga", "gb", "h", F.lit(1).alias("_m")),
+        ["ga", "gb", "h"],
+        "left",
+    )
+    rolled = matched.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("long").alias("ku"),
+        F.sum(F.coalesce(F.col("_m"), F.lit(0))).cast("long").alias("matches"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_hk"),
+    )
+    union_est = (
+        F.when(F.col("ku") < k, F.col("ku"))
+        .otherwise(F.expr(f"CAST(({k} - 1) * 4294967296 div _hk AS BIGINT)"))
+        .cast("long")
+    )
+    return (
+        rolled.filter(F.col("matches") > 0)
+        .select(
+            F.col("ga").alias(g),
+            F.col("gb").alias(f"{g}_2"),
+            "ku",
+            "matches",
+            F.expr("CAST(matches * 1000000 div ku AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+            union_est.alias("union_est"),
+            F.expr(
+                f"CAST(matches * (CASE WHEN ku < {k} THEN ku"
+                f" ELSE CAST(({k} - 1) * 4294967296 div _hk AS BIGINT) END)"
+                f" div ku AS BIGINT)"
+            ).alias("inter_est"),
+        )
+    )
