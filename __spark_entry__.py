@@ -1032,6 +1032,22 @@ def q_hits(spark, sf_dir):
     return hits(_planted_doc_edges(spark, sf_dir), iterations=3)
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (layout.compaction_plan) over a
+    synthetic file inventory derived from documents (path from doc_id,
+    bytes from text length + parquet overhead, partition = source):
+    greedy prefix-sum bucketing into ~48 KB rewrite groups. Pure
+    integer; the oracle replays the window math exactly."""
+    from walker_spark.operators.layout import compaction_plan
+
+    inv = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.format_string("part-%08d.parquet", F.col("doc_id")).alias("path"),
+        (F.length("text") + F.lit(1024)).cast("long").alias("bytes"),
+    )
+    return compaction_plan(inv, ["source"], target_bytes=48 * 1024)
+
+
 def q_kmv_source_overlap(spark, sf_dir):
     """Pairwise source-vocabulary overlap from KMV (theta) sketches
     (sketches.kmv_sketch/kmv_overlap): jaccard/union/intersection
@@ -1616,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "log_hist_quantiles": q_log_hist_quantiles,
         "kmv_source_overlap": q_kmv_source_overlap,
+        "compaction_plan": q_compaction_plan,
         "exact_percentiles": q_exact_percentiles,
     }
 
@@ -2331,6 +2348,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": _zorder_events_sql(),
         "log_hist_quantiles": _log_hist_quantiles_sql(),
         "kmv_source_overlap": _kmv_source_overlap_sql(),
+        "compaction_plan": _compaction_plan_sql(),
         "exact_percentiles": _exact_percentiles_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
@@ -3139,6 +3157,30 @@ def _vocab_coverage_sql(top_v: int = 50) -> str:
         SELECT rank, term, cnt, cum_cnt,
                (cum_cnt * 1000000) // total_t AS coverage_ppm
         FROM curve, total"""
+
+
+def _compaction_plan_sql(target: int = 48 * 1024) -> str:
+    """SQL replica of q_compaction_plan: identical inventory synthesis
+    (printf path, length+1024 bytes) and the same prefix-sum group_id
+    ((cum - bytes) // target) + per-group window rollups."""
+    return f"""
+        WITH inv AS (
+          SELECT source,
+                 printf('part-%08d.parquet', doc_id) AS path,
+                 CAST(length(text) + 1024 AS BIGINT) AS bytes
+          FROM documents),
+        keyed AS (
+          SELECT source, path, bytes,
+                 CAST((sum(bytes) OVER (PARTITION BY source ORDER BY path
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - bytes) // {target} AS BIGINT) AS group_id
+          FROM inv)
+        SELECT source, path, bytes, group_id,
+               CAST(count(*) OVER w AS BIGINT) AS group_files,
+               CAST(sum(bytes) OVER w AS BIGINT) AS group_bytes,
+               (count(*) OVER w) > 1 AS needs_rewrite
+        FROM keyed
+        WINDOW w AS (PARTITION BY source, group_id)"""
 
 
 def _kmv_source_overlap_sql(k: int = 128) -> str:

@@ -111,6 +111,7 @@ HEADLINE = [
     "zorder_events",
     "log_hist_quantiles",
     "kmv_source_overlap",
+    "compaction_plan",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -1356,6 +1356,26 @@ def main():
         ],
     )
 
+    # 12i. compaction planner: metadata-scale window query — exchanges
+    # keyed on the table partition (+ group), zero Python.
+    from walker_spark.operators.layout import compaction_plan
+
+    _inv = spark.createDataFrame(
+        [("p%d" % (i % 3), "f%03d" % i, 50 + i) for i in range(60)],
+        "part string, path string, bytes long",
+    )
+    ok &= grab(
+        "compaction_plan (small-file maintenance: prefix-sum group ids "
+        "+ per-group rollup, all windows keyed on the table partition)",
+        compaction_plan(_inv, ["part"], target_bytes=300),
+        [
+            ("exchanges keyed on part/group only",
+             r"Exchange hashpartitioning\((?!part)", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 13. temporal joins: as-of must be ONE key-keyed window (never a
     # self-join / broadcast of the right history); range join must be a
     # hash equi-join on the time bucket (never a nested loop).

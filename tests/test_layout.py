@@ -78,3 +78,51 @@ def test_zorder_validates(spark):
         zorder_keys(df, ["x"])
     with pytest.raises(ValueError):
         zorder_keys(df, ["x", "y"], bits=40)
+
+
+def _py_compaction(files, target):
+    # files: list of (part, path, bytes)
+    out = {}
+    by_part = {}
+    for part, path, b in files:
+        by_part.setdefault(part, []).append((path, b))
+    for part, fs in by_part.items():
+        fs.sort()
+        cum = 0
+        groups = {}
+        for path, b in fs:
+            gid = cum // target
+            groups.setdefault(gid, []).append((path, b))
+            cum += b
+        for gid, members in groups.items():
+            gb = sum(b for _, b in members)
+            for path, b in members:
+                out[(part, path)] = (
+                    b, gid, len(members), gb, len(members) > 1
+                )
+    return out
+
+
+def test_compaction_plan_matches_python(spark):
+    from walker_spark.operators.layout import compaction_plan
+
+    rng = random.Random(3)
+    files = [
+        (f"p{i % 3}", f"f{i:03d}", rng.choice([10, 40, 90, 300]))
+        for i in range(120)
+    ] + [("p9", "huge", 10_000)]  # oversized single file: own group
+    df = spark.createDataFrame(files, "part string, path string, bytes long")
+    got = {
+        (r["part"], r["path"]): (
+            r["bytes"], r["group_id"], r["group_files"],
+            r["group_bytes"], r["needs_rewrite"],
+        )
+        for r in compaction_plan(
+            df, ["part"], target_bytes=200
+        ).collect()
+    }
+    assert got == _py_compaction(files, 200)
+    assert got[("p9", "huge")][4] is False  # oversized file left alone
+
+    with pytest.raises(ValueError):
+        compaction_plan(df, ["part"], target_bytes=0)

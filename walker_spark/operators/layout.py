@@ -89,3 +89,56 @@ def zorder_layout(
     return keyed.repartitionByRange(num_partitions, "zkey").sortWithinPartitions(
         "zkey"
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_cols: Sequence[str],
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Plan small-file compaction for a table's file inventory: within
+    each partition, files (ordered by path — deterministic) are packed
+    greedily into rewrite groups of ~``target_bytes`` by integer
+    prefix-sum bucketing::
+
+        group_id = (cumulative_bytes_before_this_file) div target
+
+    Returns one row per file: ``(partition..., path, bytes, group_id,
+    group_files, group_bytes, needs_rewrite)`` — ``needs_rewrite`` is
+    false for groups of one file (already compact; an oversized file
+    is its own group and is left alone). Pure integer, exact oracle.
+
+    Scale shape: the window partitions by the TABLE partition — file
+    counts per partition are metadata-scale (thousands), never data
+    volume, so this whole plan is a metadata query; the expensive part
+    (the rewrite itself) happens downstream, one task per group_id.
+    This is the maintenance half of Z-ordering: `zorder_layout` writes
+    good files, `compaction_plan` finds the partitions where
+    accumulated small appends have degraded them."""
+    from pyspark.sql import Window
+
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be positive: {target_bytes}")
+    keyed = files.select(
+        *partition_cols,
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+        F.expr(
+            f"CAST((sum(`{bytes_col}`) OVER (PARTITION BY "
+            + ", ".join(f"`{c}`" for c in partition_cols)
+            + f" ORDER BY `{path_col}` ROWS BETWEEN UNBOUNDED PRECEDING"
+            f" AND CURRENT ROW) - `{bytes_col}`) div {target_bytes} AS BIGINT)"
+        ).alias("group_id"),
+    )
+    wg = Window.partitionBy(*partition_cols, "group_id")
+    return keyed.select(
+        *partition_cols,
+        "path",
+        "bytes",
+        "group_id",
+        F.count(F.lit(1)).over(wg).cast("long").alias("group_files"),
+        F.sum("bytes").over(wg).cast("long").alias("group_bytes"),
+        (F.count(F.lit(1)).over(wg) > 1).alias("needs_rewrite"),
+    )
