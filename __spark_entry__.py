@@ -1032,6 +1032,31 @@ def q_hits(spark, sf_dir):
     return hits(_planted_doc_edges(spark, sf_dir), iterations=3)
 
 
+def q_table_diff(spark, sf_dir):
+    """Snapshot CDC diff (layout.table_diff) between two derived
+    versions of documents: old drops doc_id%7==0, new drops
+    doc_id%11==0 and bumps n_chars for doc_id%5==0 — yielding all
+    three change types. changed_cols is emitted comma-joined so the
+    driver hash compares a plain string."""
+    from walker_spark.operators.layout import table_diff
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    old = base.filter(F.col("doc_id") % 7 != 0)
+    new = base.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 42).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    return table_diff(old, new, ["doc_id"]).select(
+        "doc_id",
+        "change",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (layout.compaction_plan) over a
     synthetic file inventory derived from documents (path from doc_id,
@@ -1633,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_hist_quantiles": q_log_hist_quantiles,
         "kmv_source_overlap": q_kmv_source_overlap,
         "compaction_plan": q_compaction_plan,
+        "table_diff": q_table_diff,
         "exact_percentiles": q_exact_percentiles,
     }
 
@@ -2349,6 +2375,7 @@ def oracle_sql() -> dict[str, str]:
         "log_hist_quantiles": _log_hist_quantiles_sql(),
         "kmv_source_overlap": _kmv_source_overlap_sql(),
         "compaction_plan": _compaction_plan_sql(),
+        "table_diff": _table_diff_sql(),
         "exact_percentiles": _exact_percentiles_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
@@ -3157,6 +3184,38 @@ def _vocab_coverage_sql(top_v: int = 50) -> str:
         SELECT rank, term, cnt, cum_cnt,
                (cum_cnt * 1000000) // total_t AS coverage_ppm
         FROM curve, total"""
+
+
+def _table_diff_sql() -> str:
+    """SQL replica of q_table_diff: full-outer join USING(doc_id),
+    IS DISTINCT FROM per compare column (null-safe), changed_cols
+    concat_ws in sorted column order, gated to updates only."""
+    return """
+        WITH base AS (
+          SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents),
+        o AS (SELECT * FROM base WHERE doc_id % 7 <> 0),
+        n AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 5 = 0 THEN n_chars + 42
+                      ELSE n_chars END AS n_chars
+          FROM base WHERE doc_id % 11 <> 0),
+        j AS (
+          SELECT doc_id,
+                 o.doc_id IS NULL AS ins, n.doc_id IS NULL AS del,
+                 o.n_chars IS DISTINCT FROM n.n_chars AS c_nc,
+                 o.source IS DISTINCT FROM n.source AS c_src
+          FROM o FULL OUTER JOIN n USING (doc_id))
+        SELECT doc_id,
+               CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+                    WHEN c_nc OR c_src THEN 'update' END AS change,
+               CASE WHEN NOT ins AND NOT del AND (c_nc OR c_src)
+                    THEN concat_ws(',',
+                           CASE WHEN c_nc THEN 'n_chars' END,
+                           CASE WHEN c_src THEN 'source' END)
+                    ELSE '' END AS changed_cols
+        FROM j
+        WHERE ins OR del OR c_nc OR c_src"""
 
 
 def _compaction_plan_sql(target: int = 48 * 1024) -> str:

@@ -112,6 +112,7 @@ HEADLINE = [
     "log_hist_quantiles",
     "kmv_source_overlap",
     "compaction_plan",
+    "table_diff",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -1376,6 +1376,30 @@ def main():
         ],
     )
 
+    # 12j. CDC table diff: ONE full-outer hash equi-join on the key,
+    # codegen null-safe comparisons, zero Python.
+    from walker_spark.operators.layout import table_diff
+
+    _old = spark.createDataFrame(
+        [(i, "s%d" % i, i * 2) for i in range(50)], "k long, s string, v long"
+    )
+    _new = spark.createDataFrame(
+        [(i, "s%d" % i, i * 2 + (i % 3 == 0)) for i in range(5, 55)],
+        "k long, s string, v long",
+    )
+    ok &= grab(
+        "table_diff (snapshot CDC: one key-keyed full-outer SMJ/hash "
+        "join, null-safe codegen comparisons, sparse change rows)",
+        table_diff(_old, _new, ["k"]),
+        [
+            ("one full-outer join", r"FullOuter", 1),
+            ("exchanges keyed on the key only",
+             r"Exchange hashpartitioning\((?!k#)", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 13. temporal joins: as-of must be ONE key-keyed window (never a
     # self-join / broadcast of the right history); range join must be a
     # hash equi-join on the time bucket (never a nested loop).

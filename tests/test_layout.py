@@ -126,3 +126,36 @@ def test_compaction_plan_matches_python(spark):
 
     with pytest.raises(ValueError):
         compaction_plan(df, ["part"], target_bytes=0)
+
+
+def test_table_diff_cdc(spark):
+    from walker_spark.operators.layout import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", None)],
+        "k long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "cc", 31), (4, "d", None), (5, "e", 50)],
+        "k long, s string, v int",
+    )
+    got = {
+        r["k"]: (r["change"], list(r["changed_cols"]))
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    # 1 deleted, 2 unchanged (omitted), 3 both cols changed, 4 has a
+    # NULL that null-safe equality treats as equal (omitted), 5 inserted
+    assert got == {
+        1: ("delete", []),
+        3: ("update", ["s", "v"]),
+        5: ("insert", []),
+    }
+
+    only_v = {
+        r["k"]: r["change"]
+        for r in table_diff(old, new, ["k"], compare_cols=["v"]).collect()
+    }
+    assert only_v == {1: "delete", 3: "update", 5: "insert"}
+
+    with pytest.raises(ValueError):
+        table_diff(old, new, [])

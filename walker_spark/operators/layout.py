@@ -142,3 +142,72 @@ def compaction_plan(
         F.sum("bytes").over(wg).cast("long").alias("group_bytes"),
         (F.count(F.lit(1)).over(wg) > 1).alias("needs_rewrite"),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed table — the CDC
+    primitive behind incremental downstream refresh (what
+    Delta/Iceberg CDF emits, computed here from any two snapshots):
+    one row per changed key with ``change = 'insert' | 'delete' |
+    'update'`` and ``changed_cols`` (sorted array, non-empty only for
+    updates). Unchanged keys are omitted (sparse contract).
+
+    Shape: ONE full-outer hash equi-join on the key — both sides
+    shuffle once on the same key (co-partitioned at write time this
+    degenerates to a zipped scan), per-column comparison is codegen
+    null-safe equality (``<=>``), and the changed_cols array is built
+    by filtering a constant array literal — no second pass, no Python.
+    Keys duplicated within a snapshot raise upstream concerns, not
+    handled here (document-keyed tables are unique by contract)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    cmp_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in key_cols]
+    )
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"_o_{c}") for c in cmp_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"_n_{c}") for c in cmp_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    changed = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                        F.lit(c),
+                    )
+                    for c in cmp_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(F.size(changed) > 0, F.lit("update"))
+    )
+    return (
+        j.select(*key_cols, change.alias("change"), changed.alias("changed_cols"))
+        .filter(F.col("change").isNotNull())
+        .withColumn(
+            "changed_cols",
+            F.when(F.col("change") == "update", F.col("changed_cols")).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+    )
