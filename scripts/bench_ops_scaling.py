@@ -76,7 +76,8 @@ from walker_spark.operators.dedup import (
 from walker_spark.operators.curation import assign_shards, dsir_select, temperature_mix
 from walker_spark.operators.similarity import embedding_clusters, pq_codebooks, pq_topk
 from walker_spark.operators.textstats import gopher_rules, perplexity_buckets
-from walker_spark.operators.graph import pagerank
+from walker_spark.operators.graph import pagerank, triangle_counts
+from walker_spark.operators.sketches import hll_distinct
 from walker_spark.operators.multimodal import hamming_near_dups
 from walker_spark.operators.textstats import novelty_scores
 from walker_spark.operators.retrieval import bm25_topk
@@ -131,6 +132,7 @@ ph_all = ph.unionByName(
         .alias("phash"),
     )
 )
+stoks = sdocs.select("source", F.explode(F.split("text", " ")).alias("item"))
 warm = docs.limit(2000).localCheckpoint()
 # warm-up: same plans, throwaway slice (JVM/codegen steady state)
 dup_ngram_spans(warm, n=8).count()
@@ -151,6 +153,8 @@ bm25_topk(warm, spark.createDataFrame(BMQ, 'query_id int, query string'), k=10).
 hamming_near_dups(ph_all.limit(4000), max_hamming=2).count()
 novelty_scores(warm.filter(F.col("doc_id") % 2 == 1),
                warm.filter(F.col("doc_id") % 2 == 0), n=3).count()
+hll_distinct(stoks.limit(20000), ["source"], "item", b=8).count()
+triangle_counts(edges.limit(5000)).count()
 t0 = time.time(); n_spans = dup_ngram_spans(docs, n=8).count()
 spans_s = time.time() - t0
 corpus_half = docs.filter(F.col("doc_id") % 2 == 0)
@@ -192,6 +196,10 @@ t0 = time.time()
 n_nov = novelty_scores(docs.filter(F.col("doc_id") % 2 == 1),
                        docs.filter(F.col("doc_id") % 2 == 0), n=3).count()
 nov_s = time.time() - t0
+t0 = time.time(); n_hll = hll_distinct(stoks, ["source"], "item", b=8).count()
+hll_s = time.time() - t0
+t0 = time.time(); n_tri = triangle_counts(edges).count()
+tri_s = time.time() - t0
 print("RESULT " + json.dumps({{
     "cpus": {cpus}, "spans_sec": round(spans_s, 2), "n_spans": n_spans,
     "index_sec": round(index_s, 2), "index_rows": idx_n,
@@ -207,7 +215,9 @@ print("RESULT " + json.dumps({{
     "pr_sec": round(pr_s, 2), "n_pr": n_pr,
     "bm_sec": round(bm_s, 2), "n_bm": n_bm,
     "ham_sec": round(ham_s, 2), "n_ham": n_ham,
-    "nov_sec": round(nov_s, 2), "n_nov": n_nov}}))
+    "nov_sec": round(nov_s, 2), "n_nov": n_nov,
+    "hll_sec": round(hll_s, 2), "n_hll": n_hll,
+    "tri_sec": round(tri_s, 2), "n_tri": n_tri}}))
 """
 
 
@@ -242,7 +252,8 @@ def main():
                 for k in ("spans_sec", "index_sec", "incremental_sec",
                           "line_sec", "gopher_sec", "mix_sec", "pq_sec",
                           "dsir_sec", "ppl_sec", "clu_sec", "shard_sec",
-                          "pr_sec", "bm_sec", "ham_sec", "nov_sec"):
+                          "pr_sec", "bm_sec", "ham_sec", "nov_sec",
+                          "hll_sec", "tri_sec"):
                     best[cpus][k] = min(best[cpus][k], res[k])
     lines = [
         "# BENCH/OPS_SCALING.md — training-data operator scaling evidence",
@@ -288,6 +299,10 @@ def main():
          f"{best[1]['n_ham']} pairs"),
         ("novelty_scores (trigram types, odd vs even half)", "nov_sec",
          f"{best[1]['n_nov']} docs"),
+        ("hll_distinct (b=8 per-source token sketch, 7.2M tokens)", "hll_sec",
+         f"{best[1]['n_hll']} rows"),
+        ("triangle_counts (degree-ordered, 3-out-deg hash graph)", "tri_sec",
+         f"{best[1]['n_tri']} nodes"),
     ):
         lo, hi = best[1][key], best[4][key]
         sp = lo / hi if hi else float("inf")
