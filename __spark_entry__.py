@@ -1032,6 +1032,21 @@ def q_hits(spark, sf_dir):
     return hits(_planted_doc_edges(spark, sf_dir), iterations=3)
 
 
+def q_edit_dup_pairs(spark, sf_dir):
+    """Edit-distance near-dup titles (dedup.edit_dup_pairs — PassJoin
+    pigeonhole blocking, VLDB 2011) over 24-char normalized-prefix
+    titles, d=2. The oracle is the brute-force levenshtein join (both
+    engines implement classic Levenshtein) restricted to the operator's
+    contract (pairs where both sides are <= d chars are excluded)."""
+    from walker_spark.operators.dedup import edit_dup_pairs, normalized_text
+
+    titles = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(normalized_text(F.col("text")), 1, 24).alias("title"),
+    )
+    return edit_dup_pairs(titles, id_col="doc_id", text_col="title", max_edit=2)
+
+
 def q_table_diff(spark, sf_dir):
     """Snapshot CDC diff (layout.table_diff) between two derived
     versions of documents: old drops doc_id%7==0, new drops
@@ -1659,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_source_overlap": q_kmv_source_overlap,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
+        "edit_dup_pairs": q_edit_dup_pairs,
         "exact_percentiles": q_exact_percentiles,
     }
 
@@ -2376,6 +2392,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_source_overlap": _kmv_source_overlap_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
+        "edit_dup_pairs": _edit_dup_pairs_sql(),
         "exact_percentiles": _exact_percentiles_sql(),
         # dedup_simhash: intentionally the ONE remaining no-oracle row —
         # its 64-bit signature is xxhash64 (Spark-JVM-native, not
@@ -3184,6 +3201,23 @@ def _vocab_coverage_sql(top_v: int = 50) -> str:
         SELECT rank, term, cnt, cum_cnt,
                (cum_cnt * 1000000) // total_t AS coverage_ppm
         FROM curve, total"""
+
+
+def _edit_dup_pairs_sql(d: int = 2) -> str:
+    """SQL replica of q_edit_dup_pairs — brute-force levenshtein join
+    (DuckDB's levenshtein == Spark's: classic, no transposition) with
+    the PassJoin operator's contract edge (both-short pairs excluded).
+    Length pre-filter |len diff| <= d is an exact necessary condition."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, substring({_NORM_TEXT_SQL}, 1, 24) AS title
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE abs(length(a.title) - length(b.title)) <= {d}
+          AND NOT (length(a.title) <= {d} AND length(b.title) <= {d})
+          AND levenshtein(a.title, b.title) <= {d}"""
 
 
 def _table_diff_sql() -> str:

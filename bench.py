@@ -113,6 +113,7 @@ HEADLINE = [
     "kmv_source_overlap",
     "compaction_plan",
     "table_diff",
+    "edit_dup_pairs",
 ]
 
 # crawl corpus sizing per benchmark scale

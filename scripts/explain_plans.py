@@ -1400,6 +1400,28 @@ def main():
         ],
     )
 
+    # 12k. edit-distance pairs: candidates come from ONE hash equi-join
+    # on the PassJoin (chunk_idx, source_len, substring) key — never a
+    # nested-loop/cartesian — and both fan-outs are scan-task Generates.
+    from walker_spark.operators.dedup import edit_dup_pairs as _edp
+
+    _titles = docs.select(
+        "doc_id", F.substring("text", 1, 20).alias("text")
+    )
+    ok &= grab(
+        "edit_dup_pairs (PassJoin: pigeonhole chunk keys, constant "
+        "probe fan-out in the scan task, one equi-join + levenshtein "
+        "verify)",
+        _edp(_titles, max_edit=2),
+        [
+            ("chunk/probe fan-outs are Generates", r"Generate explode", 2),
+            ("no nested loop / cartesian anywhere",
+             r"NestedLoop|CartesianProduct", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     # 13. temporal joins: as-of must be ONE key-keyed window (never a
     # self-join / broadcast of the right history); range join must be a
     # hash equi-join on the time bucket (never a nested loop).

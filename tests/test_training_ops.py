@@ -2177,3 +2177,64 @@ def test_pmi_collocations_validates(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError):
         pmi_collocations(df, min_count=0)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup pairs (PassJoin)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_dup_pairs_random_parity(spark):
+    import itertools
+    import random
+
+    rng = random.Random(31)
+
+    def mutate(s, n_ops):
+        s = list(s)
+        for _ in range(n_ops):
+            op = rng.choice("sid")
+            p = rng.randrange(len(s)) if s else 0
+            if op == "s" and s:
+                s[p] = rng.choice("abcde")
+            elif op == "i":
+                s.insert(p, rng.choice("abcde"))
+            elif s:
+                del s[p]
+        return "".join(s)
+
+    base = ["".join(rng.choice("abcde") for _ in range(rng.randint(6, 18)))
+            for _ in range(40)]
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((i * 10, b))
+        rows.append((i * 10 + 1, mutate(b, rng.randint(1, 2))))  # near dup
+        rows.append((i * 10 + 2, mutate(b, 6)))  # usually far
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.edit_dup_pairs(df, max_edit=2).collect()
+    }
+    texts = dict(rows)
+    want = {
+        (a, b): _lev(texts[a], texts[b])
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if _lev(texts[a], texts[b]) <= 2
+    }
+    assert got == want
+    assert len(got) >= 40  # every planted near-dup found
+
+    with pytest.raises(ValueError):
+        dedup.edit_dup_pairs(df, max_edit=0)

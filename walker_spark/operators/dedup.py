@@ -1193,3 +1193,124 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup pairs (PassJoin pigeonhole blocking)
+# ---------------------------------------------------------------------------
+
+
+def edit_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_edit: int = 2,
+) -> DataFrame:
+    """All unordered pairs of SHORT strings (titles, URLs, product
+    names) within Levenshtein distance ``max_edit`` — exact recall via
+    PassJoin partitioning (Li, Deng, Feng & Wang, VLDB 2011): a string
+    of length ``ls`` splits into ``d+1`` contiguous chunks, and by
+    pigeonhole any string within edit distance ``d`` contains at least
+    one chunk VERBATIM within ``d`` positions of its home offset — so
+    the candidate space is an equi-join on ``(chunk_idx, source_len,
+    substring)`` keys instead of all pairs. Verification is the
+    engine-native ``levenshtein`` (DuckDB has the identical function,
+    so the oracle is exact).
+
+    Shapes: the index side emits ``d+1`` keys per string; the probe
+    side enumerates (length window 2d+1) x (d+1 chunks) x (position
+    shift 2d+1) substrings in the scan task — a constant ~75 keys at
+    d=2, filtered to valid offsets. ONE hash equi-join on the key,
+    distinct pair set, then one codegen levenshtein per surviving
+    candidate. Texts ride the keys (strings are short by contract —
+    gate long text upstream; for documents use the shingle family).
+
+    Returns ``(id_a, id_b, dist)``, ``id_a < id_b``, dist <= d.
+    Contract edge: a pair where BOTH strings are shorter than ``d+1``
+    characters is not reported (neither side can host d+1 non-empty
+    chunks; such strings are trivially all within distance d of each
+    other — filter them upstream if they matter)."""
+    d = max_edit
+    if d < 1:
+        raise ValueError(f"max_edit must be >= 1: {d}")
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).cast("int").alias("ln"),
+    )
+
+    # chunk i of a length-ls string: base = ls div (d+1), the last
+    # (ls % (d+1)) chunks are one longer; start is 1-based for substring
+    def chunk_len(ls, i):
+        return f"(({ls}) div {d + 1} + (CASE WHEN {i} >= {d + 1} - ({ls}) % {d + 1} THEN 1 ELSE 0 END))"
+
+    def chunk_start(ls, i):
+        return (
+            f"({i} * (({ls}) div {d + 1})"
+            f" + greatest(0, {i} - ({d + 1} - ({ls}) % {d + 1})) + 1)"
+        )
+
+    idx_keys = F.array(
+        *[
+            F.expr(
+                f"struct({i} AS ci, ln AS ls, "
+                f"substring(t, {chunk_start('ln', i)}, {chunk_len('ln', i)}) AS sub)"
+            )
+            for i in range(d + 1)
+        ]
+    )
+    idx = s.filter(F.col("ln") > d).select(
+        "id", "t", F.explode(idx_keys).alias("k")
+    ).select("id", "t", "k.ci", "k.ls", "k.sub")
+
+    probe_structs = []
+    for dl in range(-d, d + 1):  # candidate source length = ln + dl
+        for i in range(d + 1):
+            for sh in range(-d, d + 1):  # position shift
+                ls = f"(ln + {dl})"
+                start = f"({chunk_start(ls, i)} + {sh})"
+                length = chunk_len(ls, i)
+                probe_structs.append(
+                    F.expr(
+                        f"CASE WHEN {ls} > {d} AND {start} >= 1"
+                        f" AND {start} + {length} - 1 <= ln AND {length} >= 1"
+                        f" THEN struct({i} AS ci, {ls} AS ls,"
+                        f" substring(t, {start}, {length}) AS sub)"
+                        f" END"
+                    )
+                )
+    probes = s.select(
+        "id",
+        "t",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.array(*probe_structs), lambda x: x.isNotNull())
+            )
+        ).alias("k"),
+    ).select(
+        F.col("id").alias("id_p"),
+        F.col("t").alias("t_p"),
+        "k.ci",
+        "k.ls",
+        "k.sub",
+    )
+    cand = (
+        idx.join(probes, ["ci", "ls", "sub"])
+        .filter(F.col("id") != F.col("id_p"))
+        .select(
+            F.least("id", "id_p").alias("id_a"),
+            F.greatest("id", "id_p").alias("id_b"),
+            F.when(F.col("id") < F.col("id_p"), F.col("t"))
+            .otherwise(F.col("t_p"))
+            .alias("t_a"),
+            F.when(F.col("id") < F.col("id_p"), F.col("t_p"))
+            .otherwise(F.col("t"))
+            .alias("t_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("t_a", "t_b").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= d)
