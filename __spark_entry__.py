@@ -1176,6 +1176,60 @@ def q_triangle_counts(spark, sf_dir):
     return triangle_counts(_planted_doc_edges(spark, sf_dir))
 
 
+#: hop_distances driver params: seeds + the unrolled-hop bound (the
+#: oracle unrolls exactly this many expansion CTEs, so both engines
+#: compute the identical depth-capped BFS at any sf).
+HOP_SEEDS: tuple[int, ...] = (1, 2, 3)
+HOP_MAX: int = 8
+#: kcore driver params: peel threshold + oracle unroll (>= observed
+#: convergence at sf0.01 = 7 rounds; extra rounds are no-ops).
+KCORE_K: int = 5
+KCORE_ORACLE_ROUNDS: int = 9
+
+
+def q_hop_distances(spark, sf_dir):
+    """Crawl depth: minimum hop distance from a 3-node seed set over
+    the planted doc graph (graph.hop_distances — frontier BFS, one
+    checkpoint job per round, Observation early-stop). Sparse: only
+    reached nodes appear. Pure BIGINT both engines."""
+    from walker_spark.operators.graph import hop_distances
+
+    seeds = spark.createDataFrame([(s,) for s in HOP_SEEDS], "node long")
+    return hop_distances(
+        _planted_doc_edges(spark, sf_dir), seeds, max_hops=HOP_MAX
+    )
+
+
+def q_kcore(spark, sf_dir):
+    """k-core trim of the undirected planted doc graph (graph.kcore —
+    iterative peel to fixpoint, surviving-edge count rides each
+    round's checkpoint as an Observation). Returns (node, degree)
+    inside the core; the oracle unrolls a fixed round count past the
+    fixpoint (idempotent)."""
+    from walker_spark.operators.graph import kcore
+
+    return kcore(_planted_doc_edges(spark, sf_dir), k=KCORE_K)
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level link rollup of the planted doc graph: node -> host
+    'h<node mod 23>', intra-host self-loops dropped, edge weight =
+    link count (graph.host_graph — two broadcast joins + one
+    (src_host, dst_host) agg)."""
+    from walker_spark.operators.graph import host_graph
+
+    edges = _planted_doc_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hosts = nodes.select(
+        "node", F.concat(F.lit("h"), (F.col("node") % 23).cast("string")).alias("host")
+    )
+    return host_graph(edges, hosts)
+
+
 # Percentile grid for the exact_percentiles driver check.
 PCTL_QS: tuple[float, ...] = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -1668,6 +1722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "triangle_counts": q_triangle_counts,
+        "hop_distances": q_hop_distances,
+        "kcore": q_kcore,
+        "host_graph": q_host_graph,
         "pmi_collocations": q_pmi_collocations,
         "zorder_events": q_zorder_events,
         "log_hist_quantiles": q_log_hist_quantiles,
@@ -2386,6 +2443,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "hits": _hits_graph_sql(),
         "triangle_counts": _triangle_counts_sql(),
+        "hop_distances": _hop_distances_sql(),
+        "kcore": _kcore_sql(),
+        "host_graph": _host_graph_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "zorder_events": _zorder_events_sql(),
         "log_hist_quantiles": _log_hist_quantiles_sql(),
@@ -3497,6 +3557,73 @@ _PLANTED_GRAPH_CTES = """dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn
                 UNION SELECT dst FROM edges) u
           LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
                      FROM edges GROUP BY src) o ON o.node = u.node)"""
+
+
+def _hop_distances_sql() -> str:
+    """SQL replica of q_hop_distances: frontier BFS unrolled one
+    expansion CTE per hop (f{i} = distinct successors of f{i-1} not
+    yet settled; d{i} accumulates). Pure BIGINT — bit-identical to the
+    Spark frontier loop at the same HOP_MAX cap."""
+    seeds = ", ".join(f"({s})" for s in HOP_SEEDS)
+    its = []
+    for i in range(1, HOP_MAX + 1):
+        its.append(f"""
+        f{i} AS MATERIALIZED (SELECT e.dst AS node
+                 FROM f{i - 1} JOIN edges e ON e.src = f{i - 1}.node
+                 EXCEPT SELECT node FROM d{i - 1}),
+        d{i} AS MATERIALIZED (SELECT * FROM d{i - 1}
+                 UNION ALL SELECT node, CAST({i} AS BIGINT) FROM f{i})""")
+    return f"""
+        WITH {_PLANTED_GRAPH_CTES},
+        d0 AS (SELECT CAST(s.s AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops
+               FROM (VALUES {seeds}) s(s)),
+        f0 AS (SELECT node FROM d0),
+        {", ".join(its)}
+        SELECT node, hops FROM d{HOP_MAX}"""
+
+
+def _kcore_sql() -> str:
+    """SQL replica of q_kcore: the peel unrolled KCORE_ORACLE_ROUNDS
+    times (>= the observed sf0.01 convergence; extra rounds are
+    no-ops past the fixpoint, so the fixed unroll matches Spark's
+    early-stopped loop exactly)."""
+    k = KCORE_K
+    its = []
+    for i in range(KCORE_ORACLE_ROUNDS):
+        its.append(f"""
+        dg{i} AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                  FROM (SELECT u AS node FROM ue{i}
+                        UNION ALL SELECT v FROM ue{i})
+                  GROUP BY node),
+        kp{i} AS MATERIALIZED (SELECT node FROM dg{i} WHERE degree >= {k}),
+        ue{i + 1} AS MATERIALIZED (SELECT u, v FROM ue{i}
+                      WHERE u IN (SELECT node FROM kp{i})
+                        AND v IN (SELECT node FROM kp{i}))""")
+    last = KCORE_ORACLE_ROUNDS
+    return f"""
+        WITH {_PLANTED_GRAPH_CTES},
+        ue0 AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM edges WHERE src <> dst),
+        {", ".join(its)}
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM ue{last} UNION ALL SELECT v FROM ue{last})
+        GROUP BY node"""
+
+
+def _host_graph_sql() -> str:
+    """SQL replica of q_host_graph: map endpoints through the host
+    table, drop intra-host loops, count links per host pair."""
+    return f"""
+        WITH {_PLANTED_GRAPH_CTES},
+        hm AS (SELECT node, 'h' || CAST(node % 23 AS VARCHAR) AS host FROM nodes)
+        SELECT s.host AS src_host, d.host AS dst_host,
+               CAST(count(*) AS BIGINT) AS weight
+        FROM edges e
+        JOIN hm s ON s.node = e.src
+        JOIN hm d ON d.node = e.dst
+        WHERE s.host <> d.host
+        GROUP BY s.host, d.host"""
 
 
 def _hits_graph_sql(iterations: int = 3, scale: int = 1_000_000_000) -> str:

@@ -114,6 +114,9 @@ HEADLINE = [
     "compaction_plan",
     "table_diff",
     "edit_dup_pairs",
+    "hop_distances",
+    "kcore",
+    "host_graph",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -719,6 +719,47 @@ def main():
         ],
     )
 
+    # 12l. crawl-depth BFS round + k-core peel round: frontier-only
+    # expansion / degree-gated semi-joins, zero Python
+    from walker_spark.operators.graph import _bfs_round, _kcore_round
+
+    _hd_state = pr_nodes.select(
+        "node", F.lit(0).cast("long").alias("hops")
+    ).localCheckpoint()
+    ok &= grab(
+        "hop_distances round (_bfs_round — the exact plan each "
+        "localCheckpointed BFS round materializes): ONLY the frontier "
+        "joins the edge table, the settled set enters through one "
+        "left-anti join, hops are literal int64",
+        _bfs_round(_hd_state, pr_edges, _hd_state, 1),
+        [
+            ("settled set enters via ONE anti-join",
+             r"LeftAnti", (1,)),
+            ("every exchange keyed on node/src/dst",
+             r"Exchange hashpartitioning\((?!node|src|dst)", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    _kc_edges = pr_edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).filter(F.col("u") < F.col("v")).distinct().localCheckpoint()
+    ok &= grab(
+        "kcore peel round (_kcore_round): one two-phase degree agg over "
+        "the surviving edge set, survivors gate re-entry through two "
+        "hash semi-joins — no node table materializes, no Python",
+        _kcore_round(_kc_edges, 3),
+        [
+            ("both endpoint gates are semi-joins",
+             r"LeftSemi", (2,)),
+            ("degree agg is two-phase (map-side partial)",
+             r"HashAggregate", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     from walker_spark.operators.retrieval import (
         PostingsIndex,
         bm25_topk_indexed,

@@ -2238,3 +2238,131 @@ def test_edit_dup_pairs_random_parity(spark):
 
     with pytest.raises(ValueError):
         dedup.edit_dup_pairs(df, max_edit=0)
+
+
+# ---------------------------------------------------------------------------
+# hop distances (frontier BFS), k-core peel, host graph collapse
+# ---------------------------------------------------------------------------
+
+
+def _py_bfs(edge_list, seeds, max_hops):
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = hop
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_hop_distances_random_parity(spark):
+    import random
+
+    from walker_spark.operators.graph import hop_distances
+
+    rng = random.Random(23)
+    edge_list = [(rng.randint(0, 59), rng.randint(0, 59)) for _ in range(150)]
+    edge_list += edge_list[:20]  # duplicates are harmless
+    seeds = [0, 7, 7, 13]  # duplicate seed too
+    got = {
+        r["node"]: r["hops"]
+        for r in hop_distances(
+            spark.createDataFrame(edge_list, "src long, dst long"),
+            spark.createDataFrame([(s,) for s in seeds], "node long"),
+            max_hops=10,
+        ).collect()
+    }
+    assert got == _py_bfs(edge_list, set(seeds), 10)
+
+
+def test_hop_distances_chain_cap_and_early_stop(spark):
+    from walker_spark.operators.graph import hop_distances
+
+    # a directed chain 0->1->...->9: cap at 3 hops reaches 0..3 only
+    chain = [(i, i + 1) for i in range(9)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hops"] for r in hop_distances(e, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # full depth: early-stops once the chain end is settled
+    got = {r["node"]: r["hops"] for r in hop_distances(e, seeds, max_hops=50).collect()}
+    assert got == {i: i for i in range(10)}
+
+
+def _py_kcore(edge_list, k):
+    es = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+    while True:
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        es = {(u, v) for u, v in es if u not in drop and v not in drop}
+        if not es:
+            return {}
+
+
+def test_kcore_random_parity(spark):
+    import random
+
+    from walker_spark.operators.graph import kcore
+
+    rng = random.Random(31)
+    for k in (2, 3, 4):
+        edge_list = [(rng.randint(0, 39), rng.randint(0, 39)) for _ in range(180)]
+        edge_list += [(b, a) for a, b in edge_list[:30]] + [(5, 5)]
+        got = {
+            r["node"]: r["degree"]
+            for r in kcore(
+                spark.createDataFrame(edge_list, "src long, dst long"), k=k
+            ).collect()
+        }
+        assert got == _py_kcore(edge_list, k)
+
+
+def test_kcore_peel_cascade(spark):
+    from walker_spark.operators.graph import kcore
+
+    # triangle {0,1,2} with a pendant chain 2-3-4: 2-core peels the
+    # chain in TWO rounds (4 first, then 3) — the cascade case
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(
+            spark.createDataFrame(edges, "src long, dst long"), k=2
+        ).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}
+    # k=4: everything peels, empty result
+    assert (
+        kcore(spark.createDataFrame(edges, "src long, dst long"), k=4).count() == 0
+    )
+
+
+def test_host_graph_collapse(spark):
+    from walker_spark.operators.graph import host_graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (2, 1)], "src long, dst long"
+    )
+    hosts = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "node long, host string"
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in host_graph(edges, hosts).collect()
+    }
+    # 1->2 is intra-host (a->a) and dropped; a->b twice (1->3, 2->3)
+    assert got == {("a", "b"): 2, ("b", "a"): 1}

@@ -506,3 +506,201 @@ def triangle_counts(
         "degree",
         F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
     )
+
+
+def hop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Minimum hop distance from a seed set — crawl depth.
+
+    The question every crawl operator asks of the links table: how many
+    link hops is each discovered URL from the seed list (reference: the
+    frontier walker grows from its seed file, cmd/walker/seed — depth is
+    the natural QA/prioritization metric over that growth). Classic
+    frontier BFS, Spark-shaped:
+
+    - only the CURRENT frontier joins the edge table each round (the
+      settled-distance table is never re-expanded — distances are final
+      the round they are assigned);
+    - newly reached nodes = frontier-expansion minus already-settled
+      (one anti-join);
+    - the new-node count rides the round's single ``localCheckpoint``
+      as an Observation (connected_components precedent: one Spark job
+      per round, no extra count job), and the loop stops the first
+      round that discovers nothing;
+    - the settled table is a union of per-round checkpointed frontiers,
+      so lineage stays one level deep.
+
+    Returns ``(node, hops)`` BIGINT for REACHED nodes only (sparse
+    contract — unreachable nodes are simply absent; seeds are hop 0).
+    Duplicate edges are harmless (expansion is distinct). Directed:
+    hops follow src -> dst. Exact integers end to end, so the DuckDB
+    oracle (same recurrence unrolled one CTE per hop) matches
+    bit-for-bit.
+    """
+    from pyspark.sql import Observation
+
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).localCheckpoint()
+    frontier = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint()
+    )
+    settled = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = _bfs_round(frontier, e, settled, hop)
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("new")).localCheckpoint()
+        if obs.get["new"] == 0:
+            break
+        frontier = nxt
+        settled = settled.unionAll(nxt)
+    return settled
+
+
+def _bfs_round(
+    frontier: DataFrame, e: DataFrame, settled: DataFrame, hop: int
+) -> DataFrame:
+    """One un-checkpointed BFS expansion — only the frontier joins the
+    edge table; settled rows are touched by the anti-join alone
+    (factored out so explain_plans.py asserts the real round plan)."""
+    return (
+        frontier.join(e, frontier["node"] == e["src"])
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(settled.select("node"), "node", "left_anti")
+        .select("node", F.lit(hop).cast("long").alias("hops"))
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    max_iterations: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core of the undirected simple graph: the maximal subgraph in
+    which every node has degree >= k. Returns ``(node, degree)`` with
+    the degree INSIDE the core (BIGINT), nodes outside the core absent.
+
+    The standard peel: drop every node with degree < k, recompute,
+    repeat to fixpoint (Seidman 1983; the link-graph trim that strips
+    spam tendrils / isolated chains before expensive analytics). Each
+    round is one degree aggregation and two hash semi-joins on the
+    surviving edge set; the surviving-edge count rides the round's
+    single ``localCheckpoint`` as an Observation, and an unchanged
+    count IS the fixpoint (no node left the graph => no degree
+    changed => done). Raises past ``max_iterations`` — a partially
+    peeled graph is a silently-wrong core (connected_components
+    contract).
+
+    The fixpoint is idempotent, so the DuckDB oracle just unrolls a
+    FIXED number of rounds >= the observed convergence; extra rounds
+    are no-ops and the result is bit-identical.
+    """
+    from pyspark.sql import Observation
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_edges = e.count()
+    if prev_edges == 0:
+        return edges.sparkSession.createDataFrame([], "node long, degree long")
+
+    for _ in range(max_iterations):
+        e2 = _kcore_round(e, k)
+        obs = Observation()
+        e2 = e2.observe(obs, F.count(F.lit(1)).alias("m")).localCheckpoint()
+        m = obs.get["m"]
+        e = e2
+        if m == prev_edges:
+            return _undirected_degrees(e)
+        prev_edges = m
+        if m == 0:
+            return edges.sparkSession.createDataFrame([], "node long, degree long")
+    raise RuntimeError(
+        f"kcore did not reach a fixpoint within {max_iterations} rounds; "
+        "raise max_iterations"
+    )
+
+
+def _undirected_degrees(e: DataFrame) -> DataFrame:
+    """Per-node degree over a canonical (u < v) undirected edge set."""
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def _kcore_round(e: DataFrame, k: int) -> DataFrame:
+    """One un-checkpointed peel round — degree agg + two hash
+    semi-joins on the surviving edge set (factored out so
+    explain_plans.py asserts the real round plan)."""
+    keep = _undirected_degrees(e).filter(F.col("degree") >= k).select("node")
+    return (
+        e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+        .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+        .select("u", "v")
+    )
+
+
+def host_graph(
+    edges: DataFrame,
+    node_host: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    host_col: str = "host",
+) -> DataFrame:
+    """Collapse the URL-level link graph to the host level: map both
+    endpoints through the ``(node, host)`` table, drop intra-host
+    self-loops, and weight each host pair by its link count —
+    ``(src_host, dst_host, weight)`` with weight BIGINT.
+
+    The first aggregate every crawl report draws (who links to whom,
+    at domain granularity — reference keeps links keyed by dom
+    precisely so this rollup is cheap). Two hash joins on the node key
+    then one (src_host, dst_host)-keyed aggregation with map-side
+    partials; at web scale the host table is the small side and both
+    joins broadcast."""
+    sm = node_host.select(
+        F.col(node_col).cast("long").alias("src"),
+        F.col(host_col).alias("src_host"),
+    )
+    dm = node_host.select(
+        F.col(node_col).cast("long").alias("dst"),
+        F.col(host_col).alias("dst_host"),
+    )
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    return (
+        e.join(F.broadcast(sm), "src")
+        .join(F.broadcast(dm), "dst")
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
