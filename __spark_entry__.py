@@ -1230,6 +1230,35 @@ def q_host_graph(spark, sf_dir):
     return host_graph(edges, hosts)
 
 
+#: bloom_membership driver params: sized so the sf0.01 build (250
+#: inserted keys) sits at ~0.73 load and yields a deterministic
+#: nonzero false-positive set — the interesting part of the oracle.
+BLOOM_M: int = 1024
+BLOOM_K: int = 3
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership as a sketch-tier query: build the
+    plain-row bit table over even-doc content keys, probe EVERY doc
+    (sketches.bloom_bits/bloom_probe). Output (doc_id, actual, maybe)
+    BIGINT 0/1 — no false negatives ever, false positives exactly
+    reproduced by the DuckDB replay of the md5 positions."""
+    from walker_spark.operators.sketches import bloom_bits, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("text")).alias("ck"),
+        (F.col("doc_id") % 2 == 0).cast("long").alias("actual"),
+    )
+    bits = bloom_bits(
+        keys.filter(F.col("actual") == 1), "ck", m_bits=BLOOM_M, k=BLOOM_K
+    )
+    return bloom_probe(bits, keys, "ck", m_bits=BLOOM_M, k=BLOOM_K).select(
+        "doc_id", "actual", "maybe"
+    )
+
+
 # Percentile grid for the exact_percentiles driver check.
 PCTL_QS: tuple[float, ...] = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -1723,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "triangle_counts": q_triangle_counts,
         "hop_distances": q_hop_distances,
+        "bloom_membership": q_bloom_membership,
         "kcore": q_kcore,
         "host_graph": q_host_graph,
         "pmi_collocations": q_pmi_collocations,
@@ -2444,6 +2474,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_graph_sql(),
         "triangle_counts": _triangle_counts_sql(),
         "hop_distances": _hop_distances_sql(),
+        "bloom_membership": _bloom_membership_sql(),
         "kcore": _kcore_sql(),
         "host_graph": _host_graph_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
@@ -3557,6 +3588,33 @@ _PLANTED_GRAPH_CTES = """dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn
                 UNION SELECT dst FROM edges) u
           LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
                      FROM edges GROUP BY src) o ON o.node = u.node)"""
+
+
+def _bloom_membership_sql() -> str:
+    """SQL replica of q_bloom_membership: identical md5 bit positions
+    (bit_j = md5_u32(ck || ':' || j) mod m), identical probe law
+    (sum of per-position hits == k), so even the false positives
+    match bit-for-bit."""
+    m, k = BLOOM_M, BLOOM_K
+    js = ", ".join(f"({j})" for j in range(k))
+    h = _md5_hex_int_sql("ck || ':' || CAST(j.j AS VARCHAR)", 8)
+    return f"""
+        WITH keys AS MATERIALIZED (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS ck,
+                 CAST(doc_id % 2 = 0 AS BIGINT) AS actual
+          FROM documents),
+        bits AS MATERIALIZED (
+          SELECT DISTINCT ({h}) % {m} AS bit
+          FROM keys, (VALUES {js}) j(j)
+          WHERE actual = 1),
+        probe AS (
+          SELECT doc_id, actual, ({h}) % {m} AS bit
+          FROM keys, (VALUES {js}) j(j))
+        SELECT p.doc_id, p.actual,
+               CAST(sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = {k}
+                    AS BIGINT) AS maybe
+        FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+        GROUP BY p.doc_id, p.actual"""
 
 
 def _hop_distances_sql() -> str:

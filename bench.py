@@ -117,6 +117,7 @@ HEADLINE = [
     "hop_distances",
     "kcore",
     "host_graph",
+    "bloom_membership",
 ]
 
 # crawl corpus sizing per benchmark scale

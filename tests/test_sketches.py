@@ -354,3 +354,92 @@ def test_kmv_validates(spark):
         kmv_sketch(df, ["g"], "item", k=1)
     with pytest.raises(ValueError):
         kmv_overlap(df, ["g", "h"])
+
+
+# ---------------------------------------------------------------------------
+# bloom filter (plain-row bit-position sketch)
+# ---------------------------------------------------------------------------
+
+
+def _py_bloom_bits(items, m_bits, k):
+    import hashlib
+
+    return {
+        int(hashlib.md5(f"{x}:{j}".encode()).hexdigest()[:8], 16) % m_bits
+        for x in items
+        for j in range(k)
+    }
+
+
+def test_bloom_bits_and_probe_vs_python(spark):
+    from walker_spark.operators.sketches import bloom_bits, bloom_probe
+
+    m, k = 256, 3
+    inserted = [f"url-{i}" for i in range(60)]
+    bits = bloom_bits(
+        spark.createDataFrame([(x,) for x in inserted], "item string"),
+        "item",
+        m_bits=m,
+        k=k,
+    )
+    got_bits = {r["bit"] for r in bits.collect()}
+    ref = _py_bloom_bits(inserted, m, k)
+    assert got_bits == ref
+
+    probes = [f"url-{i}" for i in range(0, 120)]
+    got = {
+        r["item"]: r["maybe"]
+        for r in bloom_probe(
+            bits,
+            spark.createDataFrame([(x,) for x in probes], "item string"),
+            "item",
+            m_bits=m,
+            k=k,
+        ).collect()
+    }
+    fps = 0
+    for x in probes:
+        expect = int(
+            all(
+                int(__import__("hashlib").md5(f"{x}:{j}".encode()).hexdigest()[:8], 16) % m
+                in ref
+                for j in range(k)
+            )
+        )
+        assert got[x] == expect
+        if expect and x not in inserted:
+            fps += 1
+    # never a false negative; at this load (60*3/256) FPs must exist
+    assert all(got[x] == 1 for x in inserted)
+    assert fps > 0
+
+
+def test_bloom_merge_by_union(spark):
+    from walker_spark.operators.sketches import bloom_bits
+
+    m, k = 512, 4
+    a = [f"a{i}" for i in range(40)]
+    b = [f"b{i}" for i in range(40)]
+    df_a = spark.createDataFrame([(x,) for x in a], "item string")
+    df_b = spark.createDataFrame([(x,) for x in b], "item string")
+    merged = (
+        bloom_bits(df_a, "item", m_bits=m, k=k)
+        .unionAll(bloom_bits(df_b, "item", m_bits=m, k=k))
+        .distinct()
+    )
+    whole = bloom_bits(df_a.unionAll(df_b), "item", m_bits=m, k=k)
+    assert {r["bit"] for r in merged.collect()} == {
+        r["bit"] for r in whole.collect()
+    }
+
+
+def test_bloom_bad_params_raise(spark):
+    import pytest
+
+    from walker_spark.operators.sketches import bloom_bits
+
+    df = spark.createDataFrame([("x",)], "item string")
+    with pytest.raises(ValueError):
+        bloom_bits(df, "item", m_bits=1)
+    with pytest.raises(ValueError):
+        bloom_bits(df, "item", k=0)

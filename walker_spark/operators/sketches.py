@@ -467,3 +467,81 @@ def kmv_overlap(
             ).alias("inter_est"),
         )
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    item_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom filter as a plain-row sketch table: the DISTINCT set bit
+    positions ``(bit)`` of every item's ``k`` md5-derived hash
+    positions (``bit_j(x) = md5_u32(x || ':' || j) mod m_bits``).
+
+    Same tier contract as the HLL/CMS/KMV sketches: rows instead of
+    packed bitmaps, so the sketch is mergeable by plain
+    UNION-DISTINCT (bloom OR-law), persistable as a table, and
+    cross-engine exact — DuckDB replays the identical positions, an
+    exact oracle for the approximate operator including its false
+    positives. (urlseen.py keeps its bloom as packed per-bucket
+    bitmaps for probe bandwidth; this is the queryable/mergeable form
+    of the same structure.)
+
+    Build shape: one k-way projection fan-out then a distinct keyed on
+    the bit position — map-side partials collapse repeats before the
+    exchange; the table is at most ``m_bits`` rows regardless of input
+    size."""
+    if m_bits < 2 or k < 1:
+        raise ValueError("need m_bits >= 2 and k >= 1")
+    item = F.col(item_col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(*[
+                    (_md5_u32(F.concat(item, F.lit(f":{j}"))) % m_bits)
+                    for j in range(k)
+                ])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    keys: DataFrame,
+    item_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Probe a :func:`bloom_bits` sketch: ``(item..., maybe)`` with
+    ``maybe = 1`` iff ALL ``k`` positions of the item are set (BIGINT
+    0/1 — never a false negative, false positives at the standard
+    ``(1 - e^(-kn/m))^k`` rate, and deterministic here because the
+    hash is md5).
+
+    Probe shape: k-way position fan-out, one hash join against the bit
+    table (at most ``m_bits`` rows — AQE broadcasts it when small),
+    then a per-item count: ``maybe = (hits == k)``. All columns of
+    ``keys`` pass through."""
+    item = F.col(item_col).cast("string")
+    fan = keys.select(
+        "*",
+        F.explode(
+            F.array(*[
+                (_md5_u32(F.concat(item, F.lit(f":{j}"))) % m_bits)
+                for j in range(k)
+            ])
+        ).alias("bit"),
+    )
+    hit = bits.select("bit", F.lit(1).alias("_hit"))
+    return (
+        fan.join(hit, "bit", "left")
+        .groupBy(*keys.columns)
+        .agg(
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == F.lit(k))
+            .cast("long")
+            .alias("maybe")
+        )
+    )
