@@ -1259,6 +1259,18 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords):
+    idf quantized to integer micro-units at the term level (BM25
+    precedent) so scores/ranks are exact int64 both engines;
+    min_df=3 prunes the rare-term tail."""
+    from walker_spark.operators.textstats import tfidf_keywords
+
+    return tfidf_keywords(
+        _t(spark, sf_dir, "documents"), top_k=5, min_df=3
+    )
+
+
 # Percentile grid for the exact_percentiles driver check.
 PCTL_QS: tuple[float, ...] = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -1753,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "hop_distances": q_hop_distances,
         "bloom_membership": q_bloom_membership,
+        "tfidf_keywords": q_tfidf_keywords,
         "kcore": q_kcore,
         "host_graph": q_host_graph,
         "pmi_collocations": q_pmi_collocations,
@@ -2475,6 +2488,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _triangle_counts_sql(),
         "hop_distances": _hop_distances_sql(),
         "bloom_membership": _bloom_membership_sql(),
+        "tfidf_keywords": _tfidf_keywords_sql(),
         "kcore": _kcore_sql(),
         "host_graph": _host_graph_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
@@ -3588,6 +3602,34 @@ _PLANTED_GRAPH_CTES = """dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn
                 UNION SELECT dst FROM edges) u
           LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
                      FROM edges GROUP BY src) o ON o.node = u.node)"""
+
+
+def _tfidf_keywords_sql(top_k: int = 5, min_df: int = 3) -> str:
+    """SQL replica of q_tfidf_keywords: same postings CTEs as the BM25
+    oracle, idf_micro = floor(ln(N/df) * 1e6 + 0.5) on the identical
+    int64-ratio doubles, rank over (score desc, term asc)."""
+    return f"""
+        WITH toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents),
+        nz AS (SELECT * FROM toks WHERE len(t) > 0),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS N FROM nz),
+        postings AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM nz)
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM postings GROUP BY term),
+        scored AS (
+          SELECT p.doc_id, p.term, p.tf,
+            p.tf * CAST(floor(ln(CAST(s.N AS DOUBLE) / CAST(d.df AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS score_micro
+          FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s
+          WHERE d.df >= {min_df})
+        SELECT doc_id, term, tf, score_micro, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score_micro DESC, term ASC
+              ) AS rank FROM scored)
+        WHERE rank <= {top_k}"""
 
 
 def _bloom_membership_sql() -> str:

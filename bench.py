@@ -118,6 +118,7 @@ HEADLINE = [
     "kcore",
     "host_graph",
     "bloom_membership",
+    "tfidf_keywords",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -2366,3 +2366,77 @@ def test_host_graph_collapse(spark):
     }
     # 1->2 is intra-host (a->a) and dropped; a->b twice (1->3, 2->3)
     assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (integer-quantized idf)
+# ---------------------------------------------------------------------------
+
+
+def _py_tfidf(texts, top_k, min_df):
+    import math
+
+    docs = {i: [t for t in " ".join(s.lower().split()).split(" ") if t]
+            for i, s in texts}
+    docs = {i: t for i, t in docs.items() if t}
+    n = len(docs)
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for i, toks in docs.items():
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = [
+            (t, c, c * math.floor(math.log(n / df[t]) * 1_000_000 + 0.5))
+            for t, c in tf.items()
+            if df[t] >= min_df
+        ]
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        out[i] = [
+            (t, c, s, r + 1) for r, (t, c, s) in enumerate(scored[:top_k])
+        ]
+    return out
+
+
+def test_tfidf_keywords_random_parity(spark):
+    import random
+
+    from walker_spark.operators.textstats import tfidf_keywords
+
+    rng = random.Random(47)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 25))))
+        for i in range(40)
+    ] + [(40, "   "), (41, "")]  # empty docs drop out
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in tfidf_keywords(df, top_k=4, min_df=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["score_micro"], r["rank"])
+        )
+    for k in got:
+        got[k].sort(key=lambda x: x[3])
+    ref = _py_tfidf(texts, 4, 2)
+    ref = {k: v for k, v in ref.items() if v}
+    assert got == ref
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    from walker_spark.operators.textstats import tfidf_keywords
+
+    # 'the' appears in every doc => idf = ln(1) = 0 => score 0, ranked
+    # below any distinctive term
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "the the bird")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_keywords(df, top_k=2, min_df=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = (r["score_micro"], r["rank"])
+    assert by_doc[1]["the"][0] == 0 and by_doc[1]["cat"][1] == 1
+    assert by_doc[3]["the"][0] == 0

@@ -1611,3 +1611,74 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")
     ).limit(top_k)
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the metadata tag every
+    corpus card / topic filter draws (salient terms per doc).
+
+    Score = ``tf * idf_micro`` where ``idf_micro = floor(ln(N / df) *
+    1e6 + 0.5)`` quantizes the IDF to integer micro-units at the term
+    level (the BM25 precedent, retrieval.py:21-24): after quantization
+    every score is an exact int64, so ranking and the DuckDB oracle
+    are bit-deterministic on any partitioning. ``min_df`` prunes
+    ultra-rare terms (df < min_df), which otherwise monopolize the
+    top-k with maximal idf.
+
+    Shapes: reuses the BM25 postings machinery — one (id, dl, term)
+    aggregation, a term-keyed join against the document-frequency
+    table, corpus N as a broadcast one-row scalar; top-k is a window
+    over per-DOC partitions (bounded by the doc's distinct terms,
+    never a global sort). Ties break on the term string, so the k-th
+    boundary is deterministic. Returns ``(doc_id, term, tf,
+    score_micro, rank)``.
+    """
+    from pyspark.sql import Window
+
+    from walker_spark.operators.retrieval import (
+        MICRO,
+        _corpus_stats,
+        _postings,
+        _tokenized,
+    )
+
+    if top_k < 1 or min_df < 1:
+        raise ValueError("need top_k >= 1 and min_df >= 1")
+    base = _tokenized(docs, id_col, text_col)
+    posts = _postings(base)
+    dfreq = (
+        posts.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+    )
+    stats = _corpus_stats(base)
+    scored = (
+        posts.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("_N").cast("double") / F.col("_df").cast("double"))
+                    * F.lit(MICRO)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
