@@ -1259,6 +1259,16 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+def q_knn_graph(spark, sf_dir):
+    """Mutual k-NN graph over the embeddings table
+    (similarity.knn_graph): ivf-cell blocked, per-vector top-4 ranked
+    on ROUND-3 cosine (the cross-engine-stable precision), undirected
+    edge kept only when both endpoints keep each other."""
+    from walker_spark.operators.similarity import knn_graph
+
+    return knn_graph(_t(spark, sf_dir, "embeddings"), k=4, n_cells=16)
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords):
     idf quantized to integer micro-units at the term level (BM25
@@ -1766,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_distances": q_hop_distances,
         "bloom_membership": q_bloom_membership,
         "tfidf_keywords": q_tfidf_keywords,
+        "knn_graph": q_knn_graph,
         "kcore": q_kcore,
         "host_graph": q_host_graph,
         "pmi_collocations": q_pmi_collocations,
@@ -2489,6 +2500,7 @@ def oracle_sql() -> dict[str, str]:
         "hop_distances": _hop_distances_sql(),
         "bloom_membership": _bloom_membership_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
+        "knn_graph": _knn_graph_sql(),
         "kcore": _kcore_sql(),
         "host_graph": _host_graph_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
@@ -3602,6 +3614,49 @@ _PLANTED_GRAPH_CTES = """dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn
                 UNION SELECT dst FROM edges) u
           LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
                      FROM edges GROUP BY src) o ON o.node = u.node)"""
+
+
+def _knn_graph_sql(k: int = 4, n_centroids: int = 16, dim: int = 64) -> str:
+    """SQL replica of q_knn_graph: the ivf codebook/assignment CTEs
+    (shared with _semantic_dup_pairs_sql), within-cell kNN ranked on
+    round-3 cosine with neighbor-id tie-break, then the mutual
+    self-join and canonical a < b emit."""
+    sq = (
+        "list_aggregate(list_transform(range(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), 'sum')"
+    )
+    d_expr = sq.format(n=dim + 1, a="e.embedding", b="c.cv")
+    return f"""
+        WITH c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+        ), d AS (
+          SELECT e.vec_id, c.cid, {d_expr} AS dist
+          FROM embeddings e CROSS JOIN c0 c
+        ), a AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d)
+          WHERE rn = 1
+        ), v AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, a.cid
+          FROM embeddings e JOIN a USING (vec_id)
+        ), knn AS MATERIALIZED (
+          SELECT id, neighbor, score FROM (
+            SELECT x.vec_id AS id, y.vec_id AS neighbor,
+                   round(list_cosine_similarity(x.vec, y.vec), 3) AS score,
+                   row_number() OVER (
+                     PARTITION BY x.vec_id
+                     ORDER BY round(list_cosine_similarity(x.vec, y.vec), 3) DESC,
+                              y.vec_id
+                   ) AS rk
+            FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id <> y.vec_id)
+          WHERE rk <= {k})
+        SELECT k1.id AS id_a, k1.neighbor AS id_b, k1.score
+        FROM knn k1 JOIN knn k2
+          ON k2.id = k1.neighbor AND k2.neighbor = k1.id
+        WHERE k1.id < k1.neighbor"""
 
 
 def _tfidf_keywords_sql(top_k: int = 5, min_df: int = 3) -> str:

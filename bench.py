@@ -119,6 +119,7 @@ HEADLINE = [
     "host_graph",
     "bloom_membership",
     "tfidf_keywords",
+    "knn_graph",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -2440,3 +2440,77 @@ def test_tfidf_ubiquitous_term_scores_zero(spark):
         by_doc.setdefault(r["doc_id"], {})[r["term"]] = (r["score_micro"], r["rank"])
     assert by_doc[1]["the"][0] == 0 and by_doc[1]["cat"][1] == 1
     assert by_doc[3]["the"][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# mutual kNN graph (ivf-cell blocked)
+# ---------------------------------------------------------------------------
+
+
+def _py_knn_graph(vecs, k, n_cells):
+    import math
+
+    ids = sorted(vecs)
+    cents = [vecs[i] for i in ids[:n_cells]]
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cell = {
+        i: min(range(len(cents)), key=lambda c: (sq(vecs[i], cents[c]), c))
+        for i in ids
+    }
+
+    def cos3(a, b):
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return round(sum(x * y for x, y in zip(a, b)) / n, 3)
+
+    knn = set()
+    for i in ids:
+        cands = [
+            (-cos3(vecs[i], vecs[j]), j) for j in ids if j != i and cell[j] == cell[i]
+        ]
+        cands.sort()
+        for _, j in cands[:k]:
+            knn.add((i, j))
+    return {
+        (min(a, b), max(a, b), cos3(vecs[min(a, b)], vecs[max(a, b)]))
+        for a, b in knn
+        if (b, a) in knn
+    }
+
+
+def test_knn_graph_random_parity(spark):
+    import random
+
+    from walker_spark.operators.similarity import knn_graph
+
+    rng = random.Random(53)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in knn_graph(df, k=3, n_cells=4).collect()
+    }
+    assert got == _py_knn_graph(vecs, 3, 4)
+    # structural invariants: undirected canonical order, mutuality
+    assert all(a < b for a, b, _ in got)
+
+
+def test_knn_graph_mutual_filter_drops_one_way(spark):
+    from walker_spark.operators.similarity import knn_graph
+
+    # hub h is nearest to both outliers, but h's k=1 budget goes to
+    # the closer one — the other's edge is one-way and must drop
+    vecs = [
+        (0, [1.0, 0.0]),     # h
+        (1, [0.9, 0.1]),     # close to h
+        (2, [0.5, 0.5]),     # farther; nearest is still h
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in knn_graph(df, k=1, n_cells=1).collect()}
+    assert got == {(0, 1)}

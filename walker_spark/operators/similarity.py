@@ -328,10 +328,14 @@ def pairwise_topk_per_label(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    decimals: int = 4,
 ) -> DataFrame:
     """For each vector, its k nearest neighbors within the same label
     block (the blocked variant of the all-pairs similarity join):
-    (id, neighbor, score)."""
+    (id, neighbor, score). Ranking happens on the ROUNDED score
+    (ties broken by neighbor id), so at ``decimals=3`` — the
+    cross-engine-stable cosine precision — the top-k boundary is
+    deterministic and oracle-exact."""
     from pyspark.sql import Window
 
     v = df.select(
@@ -346,7 +350,7 @@ def pairwise_topk_per_label(
         .filter(F.col("id") != F.col("neighbor"))
         .withColumn(
             "score",
-            F.round(F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 4),
+            F.round(F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), decimals),
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("neighbor"))
@@ -528,4 +532,51 @@ def dense_topk(
         .withColumn("rank", F.row_number().over(w_glob).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual k-NN graph over an embedding column — the standard
+    precursor to graph-based corpus clustering / manifold dedup
+    (each doc keeps its k nearest; an undirected edge survives only
+    if BOTH endpoints keep each other). Returns ``(id_a, id_b,
+    score)`` with ``id_a < id_b`` and cosine rounded to 3 decimals
+    (the cross-engine-stable precision).
+
+    Scale shape (the semantic_dup_pairs precedent): candidates are
+    blocked by IVF cell — deterministic first-``n_cells`` codebook,
+    argmin-L2 assignment in one narrow map — so the pairwise stage is
+    per-cell, never corpus-all-pairs; per-vector top-k is a window
+    over the (bounded) within-cell candidate set ranked on the
+    ROUNDED score with id tie-break; the mutual filter is ONE
+    self-join of the k-bounded kNN edge set on the reversed key.
+    Cross-cell neighbors are missed by design (documented
+    approximation, same contract as semantic_dup_pairs — raise
+    ``n_cells`` resolution or probe multiple cells offline for higher
+    recall)."""
+    cents = ivf_sample_centroids(df, n_cells, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    blocked = df.join(
+        assigned.select(F.col("id").alias(id_col), "cid"), id_col
+    )
+    knn = pairwise_topk_per_label(
+        blocked, k=k, id_col=id_col, vec_col=vec_col, label_col="cid", decimals=3
+    )
+    rev = knn.select(
+        F.col("neighbor").alias("id"), F.col("id").alias("neighbor")
+    )
+    return (
+        knn.join(rev, ["id", "neighbor"], "left_semi")
+        .filter(F.col("id") < F.col("neighbor"))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("neighbor").alias("id_b"),
+            "score",
+        )
     )
