@@ -1259,6 +1259,21 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Per-source length-weighted sample of 10 docs without
+    replacement (curation.weighted_sample — Efraimidis-Spirakis keys
+    from the deterministic md5 uniform, round-6 before ranking)."""
+    from walker_spark.operators.curation import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"),
+        k=10,
+        weight_col="n_chars",
+        group_cols=["source"],
+        id_col="doc_id",
+    )
+
+
 def q_knn_graph(spark, sf_dir):
     """Mutual k-NN graph over the embeddings table
     (similarity.knn_graph): ivf-cell blocked, per-vector top-4 ranked
@@ -1777,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "tfidf_keywords": q_tfidf_keywords,
         "knn_graph": q_knn_graph,
+        "weighted_sample": q_weighted_sample,
         "kcore": q_kcore,
         "host_graph": q_host_graph,
         "pmi_collocations": q_pmi_collocations,
@@ -2501,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _bloom_membership_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
         "knn_graph": _knn_graph_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "kcore": _kcore_sql(),
         "host_graph": _host_graph_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
@@ -3614,6 +3631,23 @@ _PLANTED_GRAPH_CTES = """dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn
                 UNION SELECT dst FROM edges) u
           LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
                      FROM edges GROUP BY src) o ON o.node = u.node)"""
+
+
+def _weighted_sample_sql(k: int = 10) -> str:
+    """SQL replica of q_weighted_sample: identical md5 uniform
+    (+0.5 off zero), ln(u)/w rounded 6 before ranking, id
+    tie-break."""
+    u = f"(({_md5_hex_int_sql('CAST(doc_id AS VARCHAR)', 8)}) + 0.5) / 4294967296.0"
+    return f"""
+        WITH keyed AS (
+          SELECT source, doc_id AS id, n_chars AS weight,
+                 round(ln({u}) / CAST(n_chars AS DOUBLE), 6) AS es_key
+          FROM documents WHERE n_chars > 0)
+        SELECT source, id, weight, es_key, CAST(rn AS BIGINT) AS rn
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY es_key DESC, id ASC
+              ) AS rn FROM keyed)
+        WHERE rn <= {k}"""
 
 
 def _knn_graph_sql(k: int = 4, n_centroids: int = 16, dim: int = 64) -> str:

@@ -120,6 +120,7 @@ HEADLINE = [
     "bloom_membership",
     "tfidf_keywords",
     "knn_graph",
+    "weighted_sample",
 ]
 
 # crawl corpus sizing per benchmark scale

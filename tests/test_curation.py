@@ -205,3 +205,66 @@ def test_assign_shards_matches_sequential_prefix_sum(spark):
             for r in assign_shards(df, shard_tokens=40, partitions=p).collect()
         }
         assert got == expect, p
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+def _py_es_sample(rows, k):
+    """rows: (group, id, weight). Returns {group: [(id, weight, key, rn)]}"""
+    import hashlib
+    import math
+
+    out = {}
+    for g, i, w in rows:
+        if w <= 0:
+            continue
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5) / (1 << 32)
+        out.setdefault(g, []).append((i, w, round(math.log(u) / float(w), 6)))
+    res = {}
+    for g, lst in out.items():
+        lst.sort(key=lambda x: (-x[2], x[0]))
+        res[g] = [(i, w, key, r + 1) for r, (i, w, key) in enumerate(lst[:k])]
+    return res
+
+
+def test_weighted_sample_random_parity(spark):
+    import random
+
+    from walker_spark.operators.curation import weighted_sample
+
+    rng = random.Random(61)
+    rows = [
+        (f"s{rng.randint(0, 3)}", i, rng.randint(-5, 500))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    got = {}
+    for r in weighted_sample(
+        df, k=7, weight_col="w", group_cols=["source"], id_col="doc_id",
+        salt_shards=8,
+    ).collect():
+        got.setdefault(r["source"], []).append(
+            (r["id"], r["weight"], r["es_key"], r["rn"])
+        )
+    for g in got:
+        got[g].sort(key=lambda x: x[3])
+    assert got == _py_es_sample(rows, 7)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from walker_spark.operators.curation import weighted_sample
+
+    # one row carries ~all the mass: it must be sampled first
+    rows = [(i, 1) for i in range(50)] + [(99, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    top = weighted_sample(df, k=1, weight_col="w", id_col="doc_id").collect()
+    assert len(top) == 1 and top[0]["id"] == 99
+
+    # zero/negative weights never appear
+    rows2 = [(1, 0), (2, -3), (3, 5)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, w long")
+    got = {r["id"] for r in weighted_sample(df2, k=3, weight_col="w", id_col="doc_id").collect()}
+    assert got == {3}

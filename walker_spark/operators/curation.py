@@ -747,3 +747,63 @@ def prepare_training_data(
     shards = assign_shards(final, shard_tokens, id_col, text_col)
     src = final.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
     return shards.join(src, "id").select("id", "source", "n_tokens", "shard_id")
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: "Sequence[str]" = (),
+    id_col: str = "doc_id",
+    salt_shards: int = 64,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis-Spirakis A-ES scheme (Efraimidis & Spirakis 2006):
+    every row gets key ``u^(1/w)`` (here its log form ``ln(u)/w``)
+    and the k largest keys are a weight-proportional sample. The
+    uniform is the deterministic md5 of the row id, shifted off zero
+    so ANSI ``ln`` never sees 0 (the dsir_select precedent), and the
+    key is rounded to 6 decimals BEFORE ranking with an id tie-break
+    — what makes the k-th boundary reproducible across engines,
+    partitionings and retries (no RNG state, the 100 TB sampling
+    contract).
+
+    Rows with non-positive weight are excluded (they have zero
+    selection probability in A-ES). Top-k is the TWO-LEVEL salted
+    window (kmv_sketch precedent): first within (group, salt-of-id)
+    so no task ranks a whole mega-group, then over the <=
+    ``salt_shards * k`` survivors. Returns ``(group..., id, weight,
+    es_key, rn)``."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    gcols = list(group_cols)
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 32))
+    base = df.filter(w > 0).select(
+        *gcols,
+        F.col(id_col).alias("id"),
+        F.col(weight_col).alias("weight"),
+        F.round(F.log(u) / w, 6).alias("es_key"),
+    )
+    salt = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 9, 8), 16, 10)
+        % F.lit(salt_shards)
+    ).alias("_salt")
+    w1 = Window.partitionBy(*gcols, "_salt").orderBy(
+        F.desc("es_key"), F.asc("id")
+    )
+    w2 = Window.partitionBy(*gcols).orderBy(F.desc("es_key"), F.asc("id"))
+    return (
+        base.select("*", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(*gcols, "id", "weight", "es_key", "rn")
+    )
