@@ -1259,6 +1259,27 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+def q_zone_map_prune(spark, sf_dir):
+    """Zone-map file pruning (layout.zone_maps + zone_map_prune):
+    50-event files over the time-ordered events table, range predicate
+    = the [25%, 50%] integer slice of the epoch span derived IN-plan
+    as a broadcast one-row aggregate. 200 files at sf0.01, 50 must
+    scan, 48 fully covered — the planner arithmetic zorder_layout
+    exists to improve."""
+    from walker_spark.operators.layout import zone_map_prune, zone_maps
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("event_id div 50").alias("file"),
+        F.col("ts").cast("timestamp").cast("long").alias("v"),
+    )
+    zm = zone_maps(ev, "file", "v")
+    bounds = ev.agg(
+        (F.min("v") + F.expr("(max(v) - min(v)) div 4")).alias("lo"),
+        (F.min("v") + F.expr("(max(v) - min(v)) div 2")).alias("hi"),
+    )
+    return zone_map_prune(zm, bounds)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Per-source length-weighted sample of 10 docs without
     replacement (curation.weighted_sample — Efraimidis-Spirakis keys
@@ -1793,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "knn_graph": q_knn_graph,
         "weighted_sample": q_weighted_sample,
+        "zone_map_prune": q_zone_map_prune,
         "kcore": q_kcore,
         "host_graph": q_host_graph,
         "pmi_collocations": q_pmi_collocations,
@@ -2518,6 +2540,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": _tfidf_keywords_sql(),
         "knn_graph": _knn_graph_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "zone_map_prune": _zone_map_prune_sql(),
         "kcore": _kcore_sql(),
         "host_graph": _host_graph_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
@@ -3631,6 +3654,30 @@ _PLANTED_GRAPH_CTES = """dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn
                 UNION SELECT dst FROM edges) u
           LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
                      FROM edges GROUP BY src) o ON o.node = u.node)"""
+
+
+def _zone_map_prune_sql() -> str:
+    """SQL replica of q_zone_map_prune: same file keys, floor-epoch
+    seconds, integer-div bounds, overlap/containment flags."""
+    return """
+        WITH f AS (
+          SELECT event_id // 50 AS file,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS v
+          FROM events),
+        zm AS (
+          SELECT file, CAST(count(*) AS BIGINT) AS n_rows,
+                 min(v) AS vmin, max(v) AS vmax
+          FROM f GROUP BY file),
+        b AS (
+          SELECT min(v) + (max(v) - min(v)) // 4 AS lo,
+                 min(v) + (max(v) - min(v)) // 2 AS hi
+          FROM f)
+        SELECT zm.file, zm.n_rows, zm.vmin, zm.vmax,
+               CAST(zm.vmax >= b.lo AND zm.vmin <= b.hi AS BIGINT)
+                 AS must_scan,
+               CAST(zm.vmin >= b.lo AND zm.vmax <= b.hi AS BIGINT)
+                 AS fully_covered
+        FROM zm, b"""
 
 
 def _weighted_sample_sql(k: int = 10) -> str:

@@ -121,6 +121,7 @@ HEADLINE = [
     "tfidf_keywords",
     "knn_graph",
     "weighted_sample",
+    "zone_map_prune",
 ]
 
 # crawl corpus sizing per benchmark scale

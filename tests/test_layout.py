@@ -159,3 +159,38 @@ def test_table_diff_cdc(spark):
 
     with pytest.raises(ValueError):
         table_diff(old, new, [])
+
+
+# ---------------------------------------------------------------------------
+# zone maps + range pruning
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_prune_goldens(spark):
+    from pyspark.sql import functions as F
+
+    from walker_spark.operators.layout import zone_map_prune, zone_maps
+
+    # 4 files x 10 rows; values correlated with file id, one scrambled
+    # file overlapping everything
+    rows = [(f, f * 10 + i) for f in range(3) for i in range(10)]
+    rows += [(3, v) for v in (0, 29)]  # wide zone
+    df = spark.createDataFrame(rows, "file long, v long")
+    zm = zone_maps(df, "file", "v")
+    got_zm = {r["file"]: (r["n_rows"], r["vmin"], r["vmax"]) for r in zm.collect()}
+    assert got_zm == {0: (10, 0, 9), 1: (10, 10, 19), 2: (10, 20, 29), 3: (2, 0, 29)}
+
+    bounds = spark.createDataFrame([(10, 19)], "lo long, hi long")
+    got = {
+        r["file"]: (r["must_scan"], r["fully_covered"])
+        for r in zone_map_prune(zm, bounds).collect()
+    }
+    # file 1 fully covered; file 3 overlaps but not covered; 0/2 skip
+    assert got == {0: (0, 0), 1: (1, 1), 2: (0, 0), 3: (1, 0)}
+
+    # bounds riding the plan as a broadcast aggregate (no collect)
+    b2 = df.agg(
+        F.min("v").alias("lo"), (F.min("v") + F.lit(9)).alias("hi")
+    )
+    got2 = {r["file"]: r["must_scan"] for r in zone_map_prune(zm, b2).collect()}
+    assert got2 == {0: 1, 1: 0, 2: 0, 3: 1}

@@ -211,3 +211,58 @@ def table_diff(
             ),
         )
     )
+
+
+def zone_maps(
+    df: DataFrame,
+    file_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-file zone maps (min/max/rowcount) for one column —
+    ``(file, n_rows, vmin, vmax)``. The statistics tier every lakehouse
+    format keeps per data file (parquet footer stats, Iceberg/Delta
+    manifests); ONE two-phase aggregate keyed on the file id,
+    metadata-scale output regardless of data volume."""
+    return (
+        df.select(
+            F.col(file_col).alias("file"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+        )
+    )
+
+
+def zone_map_prune(
+    zmaps: DataFrame,
+    bounds: DataFrame,
+) -> DataFrame:
+    """Evaluate a closed range predicate ``[lo, hi]`` against zone
+    maps: per file, ``must_scan`` (zone overlaps the range — the file
+    cannot be skipped) and ``fully_covered`` (zone inside the range —
+    the predicate is true for every row, so it can be dropped at scan
+    time). ``bounds`` is a ONE-ROW ``(lo, hi)`` frame — typically a
+    broadcast aggregate derived in the same plan, so no driver-side
+    collect decides the predicate.
+
+    The planner's arithmetic is what `zorder_layout` exists to
+    improve: after a Z-order/range rewrite, zones are tight and
+    ``sum(must_scan)`` collapses; on an uncorrelated layout every file
+    overlaps. Output: ``(file, n_rows, vmin, vmax, must_scan,
+    fully_covered)`` with the flags BIGINT 0/1 — exact oracle."""
+    return zmaps.crossJoin(F.broadcast(bounds)).select(
+        "file",
+        "n_rows",
+        "vmin",
+        "vmax",
+        ((F.col("vmax") >= F.col("lo")) & (F.col("vmin") <= F.col("hi")))
+        .cast("long")
+        .alias("must_scan"),
+        ((F.col("vmin") >= F.col("lo")) & (F.col("vmax") <= F.col("hi")))
+        .cast("long")
+        .alias("fully_covered"),
+    )
