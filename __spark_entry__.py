@@ -1259,6 +1259,15 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per doc in exact integer milli-units
+    (textstats.readability_scores): ratio terms quantized by integer
+    div, vowel-group syllable proxy, zero-shuffle projection."""
+    from walker_spark.operators.textstats import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_zone_map_prune(spark, sf_dir):
     """Zone-map file pruning (layout.zone_maps + zone_map_prune):
     50-event files over the time-ordered events table, range predicate
@@ -1815,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "weighted_sample": q_weighted_sample,
         "zone_map_prune": q_zone_map_prune,
+        "readability": q_readability,
         "kcore": q_kcore,
         "host_graph": q_host_graph,
         "pmi_collocations": q_pmi_collocations,
@@ -2541,6 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _knn_graph_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "zone_map_prune": _zone_map_prune_sql(),
+        "readability": _readability_sql(),
         "kcore": _kcore_sql(),
         "host_graph": _host_graph_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
@@ -3654,6 +3665,26 @@ _PLANTED_GRAPH_CTES = """dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn
                 UNION SELECT dst FROM edges) u
           LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
                      FROM edges GROUP BY src) o ON o.node = u.node)"""
+
+
+def _readability_sql() -> str:
+    """SQL replica of q_readability: same shared regex literals
+    ([.!?]+ sentence runs, [aeiouy]+ vowel groups), same integer-div
+    quantization."""
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len({_FILTERED_TOKS_SQL}) AS BIGINT) AS n_words,
+                 CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                      AS BIGINT) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT) AS n_syllables
+          FROM documents)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CAST(206835 - (1015 * n_words) // n_sentences
+                           - (84600 * n_syllables) // n_words
+                    AS BIGINT) AS fre_milli
+        FROM c WHERE n_words > 0"""
 
 
 def _zone_map_prune_sql() -> str:

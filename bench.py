@@ -122,6 +122,7 @@ HEADLINE = [
     "knn_graph",
     "weighted_sample",
     "zone_map_prune",
+    "readability",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -2514,3 +2514,62 @@ def test_knn_graph_mutual_filter_drops_one_way(spark):
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
     got = {(r["id_a"], r["id_b"]) for r in knn_graph(df, k=1, n_cells=1).collect()}
     assert got == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease (integer milli-units)
+# ---------------------------------------------------------------------------
+
+
+def _py_fre(texts):
+    import re
+
+    out = {}
+    for i, t in texts:
+        w = len([x for x in " ".join(t.lower().split()).split(" ") if x])
+        if w == 0:
+            continue
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        y = len(re.findall(r"[aeiouy]+", t.lower()))
+        out[i] = (
+            w, s, y,
+            206_835 - (1_015 * w) // s - (84_600 * y) // w,
+        )
+    return out
+
+
+def test_readability_random_parity(spark):
+    import random
+
+    from walker_spark.operators.textstats import readability_scores
+
+    rng = random.Random(67)
+    words = ["the", "extraordinary", "cat", "sat!", "beautiful.", "a?", "xylophone", "rhythm"]
+    texts = [
+        (i, " ".join(rng.choices(words, k=rng.randint(1, 40))))
+        for i in range(40)
+    ] + [(40, ""), (41, "   ")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"], r["fre_milli"])
+        for r in readability_scores(df).collect()
+    }
+    assert got == _py_fre(texts)
+
+
+def test_readability_simple_beats_dense(spark):
+    from walker_spark.operators.textstats import readability_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran. It was fun."),
+            (2, "Extraordinarily sophisticated considerations notwithstanding implementation"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fre_milli"] for r in readability_scores(df).collect()}
+    assert got[1] > got[2]
+    # rhythm/consonant-only words still count >= 0 syllables; no crash
+    assert readability_scores(
+        spark.createDataFrame([(3, "brr grr")], "doc_id long, text string")
+    ).first()["n_syllables"] == 0

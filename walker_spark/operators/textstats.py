@@ -1682,3 +1682,58 @@ def tfidf_keywords(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+#: Flesch reading-ease constants in milli-units (206.835 / 1.015 /
+#: 84.6 — Flesch 1948; public formula). Kept integer so the score is
+#: exact on both engines.
+_FRE_BASE_MILLI = 206_835
+_FRE_WPS_MILLI = 1_015
+_FRE_SPW_MILLI = 84_600
+
+
+def readability_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document, integer-quantized — the
+    classic readability feature of web-text quality filters.
+
+    Components are plain counts: words = whitespace tokens, sentences
+    = runs of ``[.!?]`` (floored at 1 so punctuation-free docs don't
+    divide by zero), syllables ~= vowel-group runs ``[aeiouy]+`` over
+    the lowercased text (the standard cheap proxy). Score::
+
+        fre_milli = 206835 - (1015 * W) div S - (84600 * Y) div W
+
+    — the formula's two ratio terms each quantized by integer
+    division, so the whole row is exact int64 cross-engine (no float
+    anywhere; same rule as gopher_rules/c4_rules). Regex literals are
+    shared verbatim between Java regex and RE2 (text_normalize
+    precedent). Zero-shuffle: one projection over the corpus scan.
+    Returns ``(doc_id, n_words, n_sentences, n_syllables,
+    fre_milli)``."""
+    from walker_spark.operators.dedup import tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+    w = F.size(toks).cast("long")
+    s = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    y = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+")).cast(
+        "long"
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    fre = (
+        F.lit(_FRE_BASE_MILLI).cast("long")
+        - F.expr(f"({_FRE_WPS_MILLI} * n_words) div n_sentences")
+        - F.expr(f"({_FRE_SPW_MILLI} * n_syllables) div n_words")
+    )
+    return base.select("*", fre.alias("fre_milli"))
