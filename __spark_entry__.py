@@ -1259,6 +1259,18 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+def q_embedding_communities(spark, sf_dir):
+    """Semantic communities = connected components of the mutual kNN
+    graph (similarity.embedding_communities), singletons labeling
+    themselves; oracle = the knn CTEs + recursive transitive
+    closure."""
+    from walker_spark.operators.similarity import embedding_communities
+
+    return embedding_communities(
+        _t(spark, sf_dir, "embeddings"), k=4, n_cells=16
+    )
+
+
 def q_readability(spark, sf_dir):
     """Flesch reading-ease per doc in exact integer milli-units
     (textstats.readability_scores): ratio terms quantized by integer
@@ -1825,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "zone_map_prune": q_zone_map_prune,
         "readability": q_readability,
+        "embedding_communities": q_embedding_communities,
         "kcore": q_kcore,
         "host_graph": q_host_graph,
         "pmi_collocations": q_pmi_collocations,
@@ -2552,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_sql(),
         "zone_map_prune": _zone_map_prune_sql(),
         "readability": _readability_sql(),
+        "embedding_communities": _embedding_communities_sql(),
         "kcore": _kcore_sql(),
         "host_graph": _host_graph_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
@@ -3665,6 +3679,58 @@ _PLANTED_GRAPH_CTES = """dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn
                 UNION SELECT dst FROM edges) u
           LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
                      FROM edges GROUP BY src) o ON o.node = u.node)"""
+
+
+def _embedding_communities_sql(k: int = 4, n_centroids: int = 16, dim: int = 64) -> str:
+    """SQL replica of q_embedding_communities: the knn_graph CTEs,
+    symmetric closure, recursive reachability, min-label + singleton
+    fill-in (the dedup_components oracle pattern)."""
+    sq = (
+        "list_aggregate(list_transform(range(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), 'sum')"
+    )
+    d_expr = sq.format(n=dim + 1, a="e.embedding", b="c.cv")
+    return f"""
+        WITH RECURSIVE c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+        ), d AS (
+          SELECT e.vec_id, c.cid, {d_expr} AS dist
+          FROM embeddings e CROSS JOIN c0 c
+        ), a AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d)
+          WHERE rn = 1
+        ), v AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, a.cid
+          FROM embeddings e JOIN a USING (vec_id)
+        ), knn AS MATERIALIZED (
+          SELECT id, neighbor FROM (
+            SELECT x.vec_id AS id, y.vec_id AS neighbor,
+                   row_number() OVER (
+                     PARTITION BY x.vec_id
+                     ORDER BY round(list_cosine_similarity(x.vec, y.vec), 3) DESC,
+                              y.vec_id
+                   ) AS rk
+            FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id <> y.vec_id)
+          WHERE rk <= {k}
+        ), sym AS MATERIALIZED (
+          SELECT k1.id AS a, k1.neighbor AS b
+          FROM knn k1 JOIN knn k2
+            ON k2.id = k1.neighbor AND k2.neighbor = k1.id
+        ), reach(a, b) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ), lab AS (
+          SELECT a AS vec_id, least(a, min(b)) AS community_id
+          FROM reach GROUP BY a)
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               CAST(COALESCE(l.community_id, e.vec_id) AS BIGINT)
+                 AS community_id
+        FROM embeddings e LEFT JOIN lab l ON l.vec_id = e.vec_id"""
 
 
 def _readability_sql() -> str:

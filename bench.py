@@ -123,6 +123,7 @@ HEADLINE = [
     "weighted_sample",
     "zone_map_prune",
     "readability",
+    "embedding_communities",
 ]
 
 # crawl corpus sizing per benchmark scale

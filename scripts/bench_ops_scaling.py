@@ -74,9 +74,10 @@ from pyspark.sql import functions as F
 from walker_spark.operators.dedup import (
     dup_ngram_spans, incremental_near_dups, line_dedup, minhash_index)
 from walker_spark.operators.curation import assign_shards, dsir_select, temperature_mix
-from walker_spark.operators.similarity import embedding_clusters, pq_codebooks, pq_topk
+from walker_spark.operators.similarity import (
+    embedding_clusters, knn_graph, pq_codebooks, pq_topk)
 from walker_spark.operators.textstats import gopher_rules, perplexity_buckets
-from walker_spark.operators.graph import pagerank, triangle_counts
+from walker_spark.operators.graph import hop_distances, kcore, pagerank, triangle_counts
 from walker_spark.operators.sketches import hll_distinct
 from walker_spark.operators.multimodal import hamming_near_dups
 from walker_spark.operators.textstats import novelty_scores
@@ -155,6 +156,11 @@ novelty_scores(warm.filter(F.col("doc_id") % 2 == 1),
                warm.filter(F.col("doc_id") % 2 == 0), n=3).count()
 hll_distinct(stoks.limit(20000), ["source"], "item", b=8).count()
 triangle_counts(edges.limit(5000)).count()
+seeds = spark.range(3).select(F.col("id").alias("node"))
+hop_distances(edges.limit(5000), seeds, max_hops=4).count()
+kcore(edges.limit(5000), k=4).count()
+emb20 = emb.filter(F.col("vec_id") < 20000)
+knn_graph(emb20.limit(2000), k=4, n_cells=16).count()
 t0 = time.time(); n_spans = dup_ngram_spans(docs, n=8).count()
 spans_s = time.time() - t0
 corpus_half = docs.filter(F.col("doc_id") % 2 == 0)
@@ -200,6 +206,12 @@ t0 = time.time(); n_hll = hll_distinct(stoks, ["source"], "item", b=8).count()
 hll_s = time.time() - t0
 t0 = time.time(); n_tri = triangle_counts(edges).count()
 tri_s = time.time() - t0
+t0 = time.time(); n_hop = hop_distances(edges, seeds, max_hops=8).count()
+hop_s = time.time() - t0
+t0 = time.time(); n_kc = kcore(edges, k=4).count()
+kc_s = time.time() - t0
+t0 = time.time(); n_knn = knn_graph(emb20, k=4, n_cells=64).count()
+knn_s = time.time() - t0
 print("RESULT " + json.dumps({{
     "cpus": {cpus}, "spans_sec": round(spans_s, 2), "n_spans": n_spans,
     "index_sec": round(index_s, 2), "index_rows": idx_n,
@@ -217,7 +229,10 @@ print("RESULT " + json.dumps({{
     "ham_sec": round(ham_s, 2), "n_ham": n_ham,
     "nov_sec": round(nov_s, 2), "n_nov": n_nov,
     "hll_sec": round(hll_s, 2), "n_hll": n_hll,
-    "tri_sec": round(tri_s, 2), "n_tri": n_tri}}))
+    "tri_sec": round(tri_s, 2), "n_tri": n_tri,
+    "hop_sec": round(hop_s, 2), "n_hop": n_hop,
+    "kc_sec": round(kc_s, 2), "n_kc": n_kc,
+    "knn_sec": round(knn_s, 2), "n_knn": n_knn}}))
 """
 
 
@@ -253,7 +268,8 @@ def main():
                           "line_sec", "gopher_sec", "mix_sec", "pq_sec",
                           "dsir_sec", "ppl_sec", "clu_sec", "shard_sec",
                           "pr_sec", "bm_sec", "ham_sec", "nov_sec",
-                          "hll_sec", "tri_sec"):
+                          "hll_sec", "tri_sec", "hop_sec", "kc_sec",
+                          "knn_sec"):
                     best[cpus][k] = min(best[cpus][k], res[k])
     lines = [
         "# BENCH/OPS_SCALING.md — training-data operator scaling evidence",
@@ -303,6 +319,12 @@ def main():
          f"{best[1]['n_hll']} rows"),
         ("triangle_counts (degree-ordered, 3-out-deg hash graph)", "tri_sec",
          f"{best[1]['n_tri']} nodes"),
+        ("hop_distances (BFS from 3 seeds, max 8 hops)", "hop_sec",
+         f"{best[1]['n_hop']} reached"),
+        ("kcore (k=4 peel to fixpoint)", "kc_sec",
+         f"{best[1]['n_kc']} nodes"),
+        ("knn_graph (mutual k=4, 20k x 64d, 64 cells)", "knn_sec",
+         f"{best[1]['n_knn']} edges"),
     ):
         lo, hi = best[1][key], best[4][key]
         sp = lo / hi if hi else float("inf")

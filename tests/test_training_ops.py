@@ -2573,3 +2573,39 @@ def test_readability_simple_beats_dense(spark):
     assert readability_scores(
         spark.createDataFrame([(3, "brr grr")], "doc_id long, text string")
     ).first()["n_syllables"] == 0
+
+
+def test_embedding_communities_parity_and_singletons(spark):
+    import random
+
+    from walker_spark.operators.similarity import embedding_communities
+
+    rng = random.Random(71)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(50)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    edges = _py_knn_graph(vecs, 3, 4)
+    # union-find closure of the mutual edges
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ref = {i: min(j for j in vecs if find(j) == find(i)) for i in vecs}
+    got = {
+        r["vec_id"]: r["community_id"]
+        for r in embedding_communities(df, k=3, n_cells=4).collect()
+    }
+    assert got == ref
+    # every vector labeled; singletons label themselves
+    assert set(got) == set(vecs)
+    singles = {i for i in vecs if all(i not in (a, b) for a, b, _ in edges)}
+    assert all(got[i] == i for i in singles)

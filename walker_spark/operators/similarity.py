@@ -580,3 +580,44 @@ def knn_graph(
             "score",
         )
     )
+
+
+def embedding_communities(
+    df: DataFrame,
+    k: int = 4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic communities: connected components of the mutual kNN
+    graph — the composition every embedding-space curation pass runs
+    (SemDeDup-style pruning picks per-community representatives;
+    topic balancing counts community sizes). ``(vec_id,
+    community_id)`` with ``community_id`` the minimum member id;
+    vectors with NO mutual edge are their own singleton community
+    (included — a sampling pass must see every doc).
+
+    Plumbing, not new machinery: :func:`knn_graph` bounds the edge set
+    (k per node, mutual filter), ``dedup.connected_components``
+    (large-star/small-star, one checkpointed job per round) labels it,
+    and the singleton fill-in is one left join against the id column.
+    """
+    from walker_spark.operators.dedup import connected_components
+
+    edges = knn_graph(df, k=k, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    cc = connected_components(edges, id_a="id_a", id_b="id_b")
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .join(
+            cc.select(
+                F.col("doc_id").alias(id_col),
+                F.col("cluster_id").alias("_cid"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("_cid", F.col(id_col)).cast("long").alias("community_id"),
+        )
+    )
