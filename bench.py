@@ -204,10 +204,25 @@ def _run_queries_once(spark, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     times: dict[str, float] = {}
     minhash_pairs = None
+    knn_pairs = None
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        if name == "dedup_minhash_lsh":
+        if name == "knn_graph":
+            # materialize the mutual-kNN edge set once;
+            # embedding_communities reuses it (a real pipeline computes
+            # the kNN join once — the minhash/components precedent);
+            # timing here includes the materialization
+            df = fn(spark, sf_dir).localCheckpoint()
+            knn_pairs = df
+        elif name == "embedding_communities" and knn_pairs is not None:
+            from walker_spark.operators.similarity import embedding_communities
+
+            df = embedding_communities(
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                edges=knn_pairs,
+            )
+        elif name == "dedup_minhash_lsh":
             # materialize the pair set once; dedup_components reuses it
             # (a real pipeline computes the LSH join once — the timing
             # for this entry includes the materialization)

@@ -2609,3 +2609,28 @@ def test_embedding_communities_parity_and_singletons(spark):
     assert set(got) == set(vecs)
     singles = {i for i in vecs if all(i not in (a, b) for a, b, _ in edges)}
     assert all(got[i] == i for i in singles)
+
+
+def test_embedding_communities_edges_reuse_parity(spark):
+    import random
+
+    from walker_spark.operators.similarity import (
+        embedding_communities,
+        knn_graph,
+    )
+
+    rng = random.Random(73)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    full = {
+        (r["vec_id"], r["community_id"])
+        for r in embedding_communities(df, k=3, n_cells=4).collect()
+    }
+    pre = knn_graph(df, k=3, n_cells=4).localCheckpoint()
+    reused = {
+        (r["vec_id"], r["community_id"])
+        for r in embedding_communities(df, edges=pre).collect()
+    }
+    assert full == reused

@@ -588,6 +588,7 @@ def embedding_communities(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic communities: connected components of the mutual kNN
     graph — the composition every embedding-space curation pass runs
@@ -601,10 +602,14 @@ def embedding_communities(
     (k per node, mutual filter), ``dedup.connected_components``
     (large-star/small-star, one checkpointed job per round) labels it,
     and the singleton fill-in is one left join against the id column.
+    Pass ``edges=`` to reuse an already-materialized kNN pair set (a
+    real pipeline computes the kNN join once — the
+    near_dup_clusters(pairs=) precedent).
     """
     from walker_spark.operators.dedup import connected_components
 
-    edges = knn_graph(df, k=k, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    if edges is None:
+        edges = knn_graph(df, k=k, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     cc = connected_components(edges, id_a="id_a", id_b="id_b")
     return (
         df.select(F.col(id_col).cast("long").alias(id_col))
