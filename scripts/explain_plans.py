@@ -760,6 +760,66 @@ def main():
         ],
     )
 
+    # 12m. tfidf keywords / mutual-kNN graph / weighted sample: the
+    # new per-doc-window, blocked-pairwise, and salted-top-k shapes
+    from walker_spark.operators.textstats import tfidf_keywords
+
+    ok &= grab(
+        "tfidf_keywords: postings agg + term-keyed dfreq join, corpus N "
+        "a broadcast one-row scalar, top-k a window over per-DOC "
+        "partitions (never a global sort), zero Python",
+        tfidf_keywords(docs, top_k=5, min_df=2),
+        [
+            ("corpus stats ride as a broadcast one-row cross join",
+             r"BroadcastNestedLoopJoin", (1,)),
+            ("per-doc top-k is a window, not a global TakeOrdered",
+             r"TakeOrderedAndProject", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.curation import weighted_sample
+
+    ok &= grab(
+        "weighted_sample (A-ES): two-level salted top-k — the first "
+        "window partitions on (group, salt) so no task ranks a whole "
+        "mega-group; keys are md5-deterministic, zero Python",
+        weighted_sample(
+            docs.select("doc_id", "text", F.length("text").alias("w"),
+                        (F.col("doc_id") % 3).alias("g")),
+            k=5, weight_col="w", group_cols=["g"],
+        ),
+        [
+            ("two window passes (salted then global)",
+             r"RunningWindowFunction|Window", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.similarity import knn_graph as _knn_graph
+
+    _kg_emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint()
+    ok &= grab(
+        "knn_graph: within-CELL pairwise join (never corpus-all-pairs: "
+        "the join key is the ivf cell id), per-vector window top-k, "
+        "mutual filter = ONE left-semi self-join; cosine is a JVM "
+        "aggregate fold — zero Python",
+        _knn_graph(_kg_emb, k=3, n_cells=4),
+        [
+            ("pairwise join is cell-keyed (no cross join)",
+             r"CartesianProduct", 0),
+            ("mutual filter is a semi-join",
+             r"LeftSemi", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     from walker_spark.operators.retrieval import (
         PostingsIndex,
         bm25_topk_indexed,
