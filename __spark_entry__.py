@@ -1301,6 +1301,52 @@ def q_zone_map_prune(spark, sf_dir):
     return zone_map_prune(zm, bounds)
 
 
+#: bloom_file_prune driver params: ~40 distinct user ids per 50-event
+#: file at m=256/k=3 sits near the interesting FP regime; probes are
+#: two present keys (hot uid 149, cold uid 44) plus one absent key
+#: whose nonzero must_scan rows are pure false positives — exactly
+#: replayed by the oracle.
+FBLOOM_M: int = 256
+FBLOOM_K: int = 3
+FBLOOM_PROBES: tuple = (149, 44, 999999)
+
+
+def q_bloom_file_prune(spark, sf_dir):
+    """Point-predicate file skipping via per-file Bloom indexes
+    (layout.file_blooms + bloom_prune — the parquet column-index
+    bloom / Iceberg puffin analog, and the equality complement to
+    zone_map_prune): 200 event files, bloom over user_id, three probe
+    keys. Output (file, key, must_scan, actual) BIGINT — actual=1 rows
+    always must_scan (no false negative, the planner guarantee);
+    must_scan=1/actual=0 rows are the deterministic md5 false
+    positives."""
+    from walker_spark.operators.layout import bloom_prune, file_blooms
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("event_id div 50").alias("file"),
+        F.col("user_id").cast("long").alias("uid"),
+    )
+    blooms = file_blooms(ev, "file", "uid", m_bits=FBLOOM_M, k=FBLOOM_K)
+    probes = spark.createDataFrame(
+        [(int(x),) for x in FBLOOM_PROBES], "key long"
+    )
+    pruned = bloom_prune(
+        blooms, probes, value_col="key", m_bits=FBLOOM_M, k=FBLOOM_K
+    )
+    actual = (
+        ev.join(probes.withColumnRenamed("key", "uid"), "uid")
+        .select("file", F.col("uid").alias("key"))
+        .distinct()
+        .withColumn("_act", F.lit(1))
+    )
+    return pruned.join(actual, ["file", "key"], "left").select(
+        "file",
+        "key",
+        "must_scan",
+        F.coalesce(F.col("_act"), F.lit(0)).cast("long").alias("actual"),
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Per-source length-weighted sample of 10 docs without
     replacement (curation.weighted_sample — Efraimidis-Spirakis keys
@@ -1324,6 +1370,19 @@ def q_knn_graph(spark, sf_dir):
     from walker_spark.operators.similarity import knn_graph
 
     return knn_graph(_t(spark, sf_dir, "embeddings"), k=4, n_cells=16)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): per anchor
+    the top-3 most-similar candidates strictly BELOW the round-3
+    cosine dup threshold 0.3 — the same bound semantic_dup_pairs uses,
+    so "duplicate" and "negative" are one decision. IVF-cell blocked,
+    threshold applied before the per-anchor rank."""
+    from walker_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(
+        _t(spark, sf_dir, "embeddings"), k=3, dup_threshold=0.3, n_cells=16
+    )
 
 
 def q_tfidf_keywords(spark, sf_dir):
@@ -1834,8 +1893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "tfidf_keywords": q_tfidf_keywords,
         "knn_graph": q_knn_graph,
+        "hard_negatives": q_hard_negatives,
         "weighted_sample": q_weighted_sample,
         "zone_map_prune": q_zone_map_prune,
+        "bloom_file_prune": q_bloom_file_prune,
         "readability": q_readability,
         "embedding_communities": q_embedding_communities,
         "kcore": q_kcore,
@@ -2562,8 +2623,10 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _bloom_membership_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
         "knn_graph": _knn_graph_sql(),
+        "hard_negatives": _hard_negatives_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "zone_map_prune": _zone_map_prune_sql(),
+        "bloom_file_prune": _bloom_file_prune_sql(),
         "readability": _readability_sql(),
         "embedding_communities": _embedding_communities_sql(),
         "kcore": _kcore_sql(),
@@ -3777,6 +3840,47 @@ def _zone_map_prune_sql() -> str:
         FROM zm, b"""
 
 
+def _bloom_file_prune_sql() -> str:
+    """SQL replica of q_bloom_file_prune: identical md5 bit positions
+    per (file, uid), identical all-k-hits prune law, actual from the
+    raw file x uid containment — false positives match bit-for-bit."""
+    m, k = FBLOOM_M, FBLOOM_K
+    js = ", ".join(f"({j})" for j in range(k))
+    probes = ", ".join(f"(CAST({x} AS BIGINT))" for x in FBLOOM_PROBES)
+    h_build = _md5_hex_int_sql(
+        "CAST(uid AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)", 8
+    )
+    h_probe = _md5_hex_int_sql(
+        "CAST(key AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)", 8
+    )
+    return f"""
+        WITH ev AS (
+          SELECT event_id // 50 AS file, CAST(user_id AS BIGINT) AS uid
+          FROM events),
+        probes(key) AS (VALUES {probes}),
+        blooms AS MATERIALIZED (
+          SELECT DISTINCT file, ({h_build}) % {m} AS bit
+          FROM ev, (VALUES {js}) j(j)),
+        fan AS (
+          SELECT key, ({h_probe}) % {m} AS bit
+          FROM probes, (VALUES {js}) j(j)),
+        hits AS (
+          SELECT b.file, f.key, count(*) AS h
+          FROM blooms b JOIN fan f USING (bit)
+          GROUP BY b.file, f.key),
+        base AS (
+          SELECT f.file, p.key
+          FROM (SELECT DISTINCT file FROM blooms) f, probes p),
+        act AS (
+          SELECT DISTINCT file, uid AS key FROM ev JOIN probes ON uid = key)
+        SELECT base.file, base.key,
+               CAST(coalesce(h.h, 0) = {k} AS BIGINT) AS must_scan,
+               CAST(act.key IS NOT NULL AS BIGINT) AS actual
+        FROM base
+        LEFT JOIN hits h USING (file, key)
+        LEFT JOIN act USING (file, key)"""
+
+
 def _weighted_sample_sql(k: int = 10) -> str:
     """SQL replica of q_weighted_sample: identical md5 uniform
     (+0.5 off zero), ln(u)/w rounded 6 before ranking, id
@@ -3835,6 +3939,48 @@ def _knn_graph_sql(k: int = 4, n_centroids: int = 16, dim: int = 64) -> str:
         FROM knn k1 JOIN knn k2
           ON k2.id = k1.neighbor AND k2.neighbor = k1.id
         WHERE k1.id < k1.neighbor"""
+
+
+def _hard_negatives_sql(
+    k: int = 3, thr: float = 0.3, n_centroids: int = 16, dim: int = 64
+) -> str:
+    """SQL replica of q_hard_negatives: the shared ivf codebook/
+    assignment CTEs (same as _knn_graph_sql), round-3 cosine
+    thresholded strictly below ``thr`` BEFORE the per-anchor rank
+    (score desc, neighbor-id tie-break), rk <= k."""
+    sq = (
+        "list_aggregate(list_transform(range(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), 'sum')"
+    )
+    d_expr = sq.format(n=dim + 1, a="e.embedding", b="c.cv")
+    return f"""
+        WITH c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+        ), d AS (
+          SELECT e.vec_id, c.cid, {d_expr} AS dist
+          FROM embeddings e CROSS JOIN c0 c
+        ), a AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d)
+          WHERE rn = 1
+        ), v AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, a.cid
+          FROM embeddings e JOIN a USING (vec_id)
+        )
+        SELECT id AS anchor_id, neighbor AS neg_id, score FROM (
+          SELECT x.vec_id AS id, y.vec_id AS neighbor,
+                 round(list_cosine_similarity(x.vec, y.vec), 3) AS score,
+                 row_number() OVER (
+                   PARTITION BY x.vec_id
+                   ORDER BY round(list_cosine_similarity(x.vec, y.vec), 3) DESC,
+                            y.vec_id
+                 ) AS rk
+          FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+          WHERE round(list_cosine_similarity(x.vec, y.vec), 3) < {thr})
+        WHERE rk <= {k}"""
 
 
 def _tfidf_keywords_sql(top_k: int = 5, min_df: int = 3) -> str:

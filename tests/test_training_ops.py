@@ -2516,6 +2516,59 @@ def test_knn_graph_mutual_filter_drops_one_way(spark):
     assert got == {(0, 1)}
 
 
+def test_hard_negatives_random_parity_and_threshold(spark):
+    import math
+    import random
+
+    from walker_spark.operators.similarity import hard_negatives
+
+    rng = random.Random(71)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    # plant a near-duplicate of vec 0: must be EXCLUDED as a negative
+    vecs[60] = [x * 1.001 for x in vecs[0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    thr, k, n_cells = 0.5, 3, 4
+    got = {
+        (r["anchor_id"], r["neg_id"], r["score"])
+        for r in hard_negatives(
+            df, k=k, dup_threshold=thr, n_cells=n_cells
+        ).collect()
+    }
+
+    # pure-python reference: same ivf blocking, same round-3 ranking
+    ids = sorted(vecs)
+    cents = [vecs[i] for i in ids[:n_cells]]
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cell = {
+        i: min(range(len(cents)), key=lambda c: (sq(vecs[i], cents[c]), c))
+        for i in ids
+    }
+
+    def cos3(a, b):
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return round(sum(x * y for x, y in zip(a, b)) / n, 3)
+
+    exp = set()
+    for i in ids:
+        cands = sorted(
+            (-cos3(vecs[i], vecs[j]), j)
+            for j in ids
+            if j != i and cell[j] == cell[i] and cos3(vecs[i], vecs[j]) < thr
+        )
+        exp.update((i, j, -s) for s, j in cands[:k])
+    assert got == exp
+    # the planted near-dup never appears as anyone's negative, and
+    # every emitted score is strictly below the threshold
+    assert all(s < thr for _, _, s in got)
+    if cell[0] == cell[60]:
+        assert (0, 60) not in {(a, b) for a, b, _ in got}
+
+
 # ---------------------------------------------------------------------------
 # Flesch reading-ease (integer milli-units)
 # ---------------------------------------------------------------------------

@@ -237,6 +237,106 @@ def zone_maps(
     )
 
 
+def file_blooms(
+    df: DataFrame,
+    file_col: str,
+    value_col: str,
+    m_bits: int = 256,
+    k: int = 3,
+) -> DataFrame:
+    """Per-file Bloom index over a point-lookup column — ``(file,
+    bit)`` distinct rows, the equality-predicate complement to
+    :func:`zone_maps` (parquet column-index bloom filters / Iceberg
+    puffin blobs): zone maps skip files on RANGE predicates, which is
+    useless for a high-cardinality unordered column (every file's
+    [min, max] spans the domain); a per-file bloom skips on POINT
+    predicates regardless of layout.
+
+    Same sketch contract as ``sketches.bloom_bits``: positions are
+    ``md5_u32(v || ':' || j) mod m_bits``, rows not packed bitmaps, so
+    the index is mergeable by UNION-DISTINCT (rewriting two files into
+    one ORs their blooms for free), persistable as a metadata table,
+    and cross-engine exact INCLUDING its false positives. Build shape:
+    k-way projection fan-out then one distinct keyed on (file, bit) —
+    map-side partials collapse repeats before the exchange; at most
+    ``m_bits`` rows per file regardless of file row count."""
+    from walker_spark.operators.sketches import _md5_u32
+
+    if m_bits < 2 or k < 1:
+        raise ValueError("need m_bits >= 2 and k >= 1")
+    item = F.col(value_col).cast("string")
+    return df.select(
+        F.col(file_col).alias("file"),
+        F.explode(
+            F.array(
+                *[
+                    (_md5_u32(F.concat(item, F.lit(f":{j}"))) % m_bits)
+                    for j in range(k)
+                ]
+            )
+        ).alias("bit"),
+    ).distinct()
+
+
+def bloom_prune(
+    blooms: DataFrame,
+    probes: DataFrame,
+    value_col: str = "key",
+    m_bits: int = 256,
+    k: int = 3,
+) -> DataFrame:
+    """Evaluate point-lookup keys against a :func:`file_blooms` index:
+    one row per ``(file, key)`` with ``must_scan`` BIGINT 0/1 — set
+    iff ALL ``k`` positions of the key are present in that file's
+    bloom. NO false negative is possible (a file containing the key
+    always must_scan — the planner guarantee), false positives at the
+    standard rate and deterministic here (md5), so the oracle replays
+    them exactly.
+
+    Shape: ``probes`` is the predicate's key list — human-scale, so
+    it broadcasts; the fan-out (k rows per key) hash-joins the bloom
+    table on ``bit`` (metadata-scale: <= m_bits rows per file) and a
+    per-(file, key) count compares to ``k``. Files whose bloom shares
+    no bit with the key fall out of the join and surface through the
+    base file x key frame with must_scan = 0. Keys must be distinct
+    (a predicate's literal list is)."""
+    item = F.col(value_col).cast("string")
+    fan = probes.select(
+        F.col(value_col).alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    (_bloom_pos(item, j, m_bits))
+                    for j in range(k)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        blooms.join(F.broadcast(fan), "bit")
+        .groupBy("file", "key")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    base = (
+        blooms.select("file")
+        .distinct()
+        .crossJoin(F.broadcast(probes.select(F.col(value_col).alias("key"))))
+    )
+    return base.join(hits, ["file", "key"], "left").select(
+        "file",
+        "key",
+        (F.coalesce(F.col("_hits"), F.lit(0)) == F.lit(k))
+        .cast("long")
+        .alias("must_scan"),
+    )
+
+
+def _bloom_pos(item: Column, j: int, m_bits: int) -> Column:
+    from walker_spark.operators.sketches import _md5_u32
+
+    return _md5_u32(F.concat(item, F.lit(f":{j}"))) % m_bits
+
+
 def zone_map_prune(
     zmaps: DataFrame,
     bounds: DataFrame,

@@ -329,13 +329,16 @@ def pairwise_topk_per_label(
     vec_col: str = "embedding",
     label_col: str = "label",
     decimals: int = 4,
+    score_below: float | None = None,
 ) -> DataFrame:
     """For each vector, its k nearest neighbors within the same label
     block (the blocked variant of the all-pairs similarity join):
     (id, neighbor, score). Ranking happens on the ROUNDED score
     (ties broken by neighbor id), so at ``decimals=3`` — the
     cross-engine-stable cosine precision — the top-k boundary is
-    deterministic and oracle-exact."""
+    deterministic and oracle-exact. ``score_below`` filters the
+    candidate set to rounded scores strictly below the bound BEFORE
+    ranking (the hard-negative shape: nearest non-near-duplicates)."""
     from pyspark.sql import Window
 
     v = df.select(
@@ -353,6 +356,8 @@ def pairwise_topk_per_label(
             F.round(F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), decimals),
         )
     )
+    if score_below is not None:
+        scored = scored.filter(F.col("score") < F.lit(score_below))
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("neighbor"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -579,6 +584,52 @@ def knn_graph(
             F.col("neighbor").alias("id_b"),
             "score",
         )
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 3,
+    dup_threshold: float = 0.3,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding-model training
+    (the in-batch-negatives upgrade of DPR, Karpukhin et al. 2020;
+    SimCSE practice): per anchor, the ``k`` MOST similar candidates
+    whose rounded cosine is strictly BELOW ``dup_threshold`` — close
+    enough to be informative, not so close they are near-duplicate
+    false negatives. Pair the threshold with the corpus dedup pass
+    (``semantic_dup_pairs`` at the same bound) so "negative" and
+    "duplicate" are decided by one number. Returns ``(anchor_id,
+    neg_id, score)``; anchors with no below-threshold in-cell
+    candidate emit nothing (sparse contract).
+
+    Scale shape = :func:`knn_graph` without the mutual pass: IVF-cell
+    blocking bounds the pairwise join (never corpus-all-pairs), the
+    threshold filters BEFORE the per-anchor window ranks on the
+    round-3 score with id tie-break — so the k-th boundary is
+    cross-engine deterministic and the window input is the already-
+    thresholded candidate set."""
+    cents = ivf_sample_centroids(df, n_cells, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    blocked = df.join(
+        assigned.select(F.col("id").alias(id_col), "cid"), id_col
+    )
+    negs = pairwise_topk_per_label(
+        blocked,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col="cid",
+        decimals=3,
+        score_below=dup_threshold,
+    )
+    return negs.select(
+        F.col("id").alias("anchor_id"),
+        F.col("neighbor").alias("neg_id"),
+        "score",
     )
 
 
