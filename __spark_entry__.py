@@ -879,6 +879,30 @@ def q_quality_pipeline(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source dataset card (curation.corpus_report): corpus =
+    documents with every 10th doc duplicated under a shifted id (so
+    exact-dup counting splits), verdicts from the driver-threshold
+    quality_pipeline. All columns exact BIGINT."""
+    from walker_spark.operators.curation import corpus_report
+    from walker_spark.operators.textstats import quality_pipeline
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    planted = d.unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
+    )
+    verdicts = quality_pipeline(
+        planted,
+        c4_min_line_words=3,
+        c4_min_sentences=1,
+        min_stop_hits=1,
+        gopher_min_words=10,
+    )
+    return corpus_report(planted, verdicts)
+
+
 def q_hash_classifier(spark, sf_dir):
     """FastText-style hashed linear quality classifier (Joulin et al.
     2017) with deterministic integer bucket weights — exact int64
@@ -1383,6 +1407,26 @@ def q_hard_negatives(spark, sf_dir):
     return hard_negatives(
         _t(spark, sf_dir, "embeddings"), k=3, dup_threshold=0.3, n_cells=16
     )
+
+
+def q_url_templates(spark, sf_dir):
+    """Crawl-trap template mining (urlstats.url_templates): URLs
+    synthesized in-query from orders (20 hosts x 3 path shapes with
+    digit segments), digit runs collapsed to N, per-host top-2
+    templates by occurrence count with the template tiebreak."""
+    from walker_spark.operators.urlstats import url_templates
+
+    urls = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "'http://h' || CAST(o_custkey % 20 AS STRING) || '.example.com/'"
+            " || CASE CAST(o_orderkey % 3 AS INT)"
+            "      WHEN 0 THEN 'cat' WHEN 1 THEN 'item' ELSE 'page' END"
+            " || '/' || CAST(o_orderkey % 50 AS STRING)"
+            " || CASE WHEN o_orderkey % 3 = 1"
+            "      THEN '/v' || CAST(o_orderkey % 7 AS STRING) ELSE '' END"
+        ).alias("url")
+    )
+    return url_templates(urls, top_k=2)
 
 
 def q_tfidf_keywords(spark, sf_dir):
@@ -1894,6 +1938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "knn_graph": q_knn_graph,
         "hard_negatives": q_hard_negatives,
+        "url_templates": q_url_templates,
+        "corpus_report": q_corpus_report,
         "weighted_sample": q_weighted_sample,
         "zone_map_prune": q_zone_map_prune,
         "bloom_file_prune": q_bloom_file_prune,
@@ -2624,6 +2670,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": _tfidf_keywords_sql(),
         "knn_graph": _knn_graph_sql(),
         "hard_negatives": _hard_negatives_sql(),
+        "url_templates": _url_templates_sql(),
+        "corpus_report": _corpus_report_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "zone_map_prune": _zone_map_prune_sql(),
         "bloom_file_prune": _bloom_file_prune_sql(),
@@ -3939,6 +3987,76 @@ def _knn_graph_sql(k: int = 4, n_centroids: int = 16, dim: int = 64) -> str:
         FROM knn k1 JOIN knn k2
           ON k2.id = k1.neighbor AND k2.neighbor = k1.id
         WHERE k1.id < k1.neighbor"""
+
+
+def _corpus_report_sql() -> str:
+    """SQL replica of q_corpus_report: same planted dup corpus, the
+    shared _quality_ctes verdict chain (probt), token_stats'
+    whitespace law, corpus-wide md5 dup counts, BIGINT everywhere."""
+    ctes = _quality_ctes(3, 1, 1, 10)
+    return f"""
+        WITH planted AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text, source FROM documents
+          WHERE doc_id % 10 = 0),
+        {ctes},
+        ck AS (SELECT md5(text) AS k, count(*) AS n
+               FROM planted GROUP BY md5(text)),
+        base AS (
+          SELECT p.source,
+                 CASE WHEN length(trim(p.text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(p.text), '\\s+'))
+                 END AS nt,
+                 CAST(c.n > 1 AS INT) AS dup,
+                 CAST(q.c4_pass AND q.gopher_pass AND q.prob >= 0.5
+                      AS INT) AS qp
+          FROM planted p
+          JOIN ck c ON md5(p.text) = c.k
+          JOIN probt q ON q.id = p.doc_id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(dup) AS BIGINT) AS n_exact_dup_docs,
+               CAST(sum(qp) AS BIGINT) AS n_quality_pass
+        FROM base GROUP BY source"""
+
+
+def _url_templates_sql(top_k: int = 2) -> str:
+    """SQL replica of q_url_templates: identical synthesized URLs,
+    host/path via regexp (same values as Spark's parse_url on these
+    urls), global digit-run collapse, two-phase rollup, per-host
+    row_number on (n_urls desc, template)."""
+    return f"""
+        WITH u AS (
+          SELECT 'http://h' || CAST(o_custkey % 20 AS VARCHAR)
+                 || '.example.com/'
+                 || CASE CAST(o_orderkey % 3 AS INT)
+                      WHEN 0 THEN 'cat' WHEN 1 THEN 'item' ELSE 'page' END
+                 || '/' || CAST(o_orderkey % 50 AS VARCHAR)
+                 || CASE WHEN o_orderkey % 3 = 1
+                      THEN '/v' || CAST(o_orderkey % 7 AS VARCHAR)
+                      ELSE '' END AS url
+          FROM orders),
+        p AS (
+          SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 regexp_replace(
+                   regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1),
+                   '[0-9]+', 'N', 'g') AS template,
+                 url
+          FROM u),
+        per_url AS (
+          SELECT host, template, url, count(*) AS n
+          FROM p GROUP BY host, template, url),
+        agg AS (
+          SELECT host, template, CAST(sum(n) AS BIGINT) AS n_urls,
+                 CAST(count(*) AS BIGINT) AS n_distinct
+          FROM per_url GROUP BY host, template)
+        SELECT host, template, n_urls, n_distinct,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY host ORDER BY n_urls DESC, template
+              ) AS rank FROM agg)
+        WHERE rank <= {top_k}"""
 
 
 def _hard_negatives_sql(

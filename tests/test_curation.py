@@ -268,3 +268,32 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, w long")
     got = {r["id"] for r in weighted_sample(df2, k=3, weight_col="w", id_col="doc_id").collect()}
     assert got == {3}
+
+
+def test_corpus_report_counts_dups_tokens_and_verdicts(spark):
+    from walker_spark.operators.curation import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "a"),   # 3 tokens
+            (2, "alpha beta gamma", "a"),   # exact dup of 1 (same source)
+            (3, "  ", "a"),                 # whitespace-only: 0 tokens
+            (4, "alpha beta gamma", "b"),   # cross-source copy: dup too
+            (5, "unique text", "b"),        # 2 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    verdicts = spark.createDataFrame(
+        [(1, True), (2, False), (3, False), (4, True), (5, True)],
+        "id long, quality_pass boolean",
+    )
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_tokens"],
+            r["n_exact_dup_docs"],
+            r["n_quality_pass"],
+        )
+        for r in corpus_report(docs, verdicts).collect()
+    }
+    assert got == {"a": (3, 6, 2, 1), "b": (2, 5, 1, 2)}

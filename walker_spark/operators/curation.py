@@ -807,3 +807,65 @@ def weighted_sample(
         .filter(F.col("rn") <= k)
         .select(*gcols, "id", "weight", "es_key", "rn")
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    verdicts: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Dataset-card rollup — the per-source summary every released
+    training corpus ships (the "data card" tables in the Pile / C4 /
+    FineWeb papers): ``(source, n_docs, n_tokens, n_exact_dup_docs,
+    n_quality_pass)``, all exact BIGINT (the driver-hash rule: never a
+    float in a report column). ``n_tokens`` is the whitespace law
+    shared with ``textstats.token_stats``; ``n_exact_dup_docs`` counts
+    docs whose md5 content key occurs more than once CORPUS-wide
+    (cross-source duplicates count for every source holding a copy);
+    ``n_quality_pass`` sums the fused-pipeline verdict.
+
+    ``verdicts`` defaults to ``textstats.quality_pipeline(docs)`` —
+    pass the frame you actually gated with so the card reports the
+    real pipeline's thresholds.
+
+    Scale shape: content-key counts are a two-phase agg on the 32-byte
+    md5 key joined back on that same key (text never shuffles — the
+    key and token count ride the projection); the verdict join is
+    id-keyed; the final rollup is source-keyed with map-side partials
+    onto a source-cardinality result. Three exchanges total,
+    each carrying narrow rows."""
+    if verdicts is None:
+        from walker_spark.operators.textstats import quality_pipeline
+
+        verdicts = quality_pipeline(docs, id_col=id_col, text_col=text_col)
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.md5(t.cast("string")).alias("_ck"),
+        F.when(F.length(F.trim(t)) == 0, 0)
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+        .alias("_nt"),
+    )
+    ck_counts = base.groupBy("_ck").agg(F.count(F.lit(1)).alias("_ckn"))
+    keyed = base.join(ck_counts, "_ck")
+    v = verdicts.select(
+        F.col("id"), F.col("quality_pass").cast("long").alias("_qp")
+    )
+    return (
+        keyed.join(v, "id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum((F.col("_ckn") > 1).cast("long"))
+            .cast("long")
+            .alias("n_exact_dup_docs"),
+            F.sum(F.coalesce(F.col("_qp"), F.lit(0)))
+            .cast("long")
+            .alias("n_quality_pass"),
+        )
+    )
