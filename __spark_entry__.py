@@ -1409,6 +1409,26 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+def q_change_rates(spark, sf_dir):
+    """Adaptive recrawl scheduling (recrawl.change_rate_estimates —
+    Cho & Garcia-Molina 2003): crawl history synthesized from events
+    (one URL per user, event_type as the content fingerprint),
+    change_ppm / suggested revisit interval / next fetch time, all
+    exact integer-ms."""
+    from walker_spark.operators.recrawl import change_rate_estimates
+
+    hist = _t(spark, sf_dir, "events").select(
+        F.expr("'http://h' || CAST(user_id AS STRING) || '.com/'").alias(
+            "url"
+        ),
+        F.col("ts"),
+        F.col("event_type").alias("content_key"),
+    )
+    return change_rate_estimates(
+        hist, min_interval_ms=60_000, max_interval_ms=86_400_000
+    )
+
+
 def q_url_templates(spark, sf_dir):
     """Crawl-trap template mining (urlstats.url_templates): URLs
     synthesized in-query from orders (20 hosts x 3 path shapes with
@@ -1940,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "url_templates": q_url_templates,
         "corpus_report": q_corpus_report,
+        "change_rates": q_change_rates,
         "weighted_sample": q_weighted_sample,
         "zone_map_prune": q_zone_map_prune,
         "bloom_file_prune": q_bloom_file_prune,
@@ -2672,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
         "corpus_report": _corpus_report_sql(),
+        "change_rates": _change_rates_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "zone_map_prune": _zone_map_prune_sql(),
         "bloom_file_prune": _bloom_file_prune_sql(),
@@ -4019,6 +4041,51 @@ def _corpus_report_sql() -> str:
                CAST(sum(dup) AS BIGINT) AS n_exact_dup_docs,
                CAST(sum(qp) AS BIGINT) AS n_quality_pass
         FROM base GROUP BY source"""
+
+
+def _change_rates_sql(
+    min_ms: int = 60_000, max_ms: int = 86_400_000
+) -> str:
+    """SQL replica of q_change_rates: identical (t_ms, key) ordering
+    for the lag, integer div for ppm/intervals, clamp via
+    greatest/least (epoch_ms truncates like unix_millis — verified)."""
+    return f"""
+        WITH hist AS (
+          SELECT 'http://h' || CAST(user_id AS VARCHAR) || '.com/' AS url,
+                 epoch_ms(ts) AS t, event_type AS k
+          FROM events),
+        seq AS (
+          SELECT url, t, k,
+                 lag(k) OVER (PARTITION BY url ORDER BY t, k) AS prev
+          FROM hist),
+        agg AS (
+          SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+                 CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> k
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                 min(t) AS first_t, max(t) AS last_t
+          FROM seq GROUP BY url),
+        calc AS (
+          SELECT url, n_obs, n_changes,
+            CASE WHEN n_obs > 1
+                 THEN n_changes * 1000000 // (n_obs - 1) ELSE 0
+            END AS change_ppm,
+            CASE WHEN n_obs > 1
+                 THEN (last_t - first_t) // (n_obs - 1) ELSE 0
+            END AS mean_interval_ms,
+            greatest({min_ms}, least({max_ms},
+              CASE WHEN n_obs > 1
+                   THEN (last_t - first_t) // greatest(n_changes, 1)
+                   ELSE {max_ms} END)) AS suggested_interval_ms,
+            last_t
+          FROM agg)
+        SELECT url, n_obs, n_changes,
+               CAST(change_ppm AS BIGINT) AS change_ppm,
+               CAST(mean_interval_ms AS BIGINT) AS mean_interval_ms,
+               CAST(suggested_interval_ms AS BIGINT)
+                 AS suggested_interval_ms,
+               CAST(last_t + suggested_interval_ms AS BIGINT)
+                 AS next_fetch_ms
+        FROM calc"""
 
 
 def _url_templates_sql(top_k: int = 2) -> str:

@@ -1,0 +1,104 @@
+"""Adaptive recrawl scheduling: per-URL change-rate estimation from
+crawl history (Cho & Garcia-Molina, "Effective Page Refresh Policies
+for Web Crawlers", TODS 2003).
+
+The reference engine recrawls on a STATIC policy — a global
+``refresh_percentage`` / ``min_link_refresh_time`` pair
+(reference: config.go:68-70; dispatch F6/T2 implement it). The
+adaptive upgrade every production crawler grows into is estimating
+each page's change rate from its own fetch history (content
+fingerprints across visits) and spacing revisits so crawl budget
+concentrates where content actually moves.
+
+All outputs are exact integers (the driver-hash rule): rates are ppm
+(`changes * 10^6 div intervals`), intervals integer-ms `div`, so the
+DuckDB oracle replays every value bit-for-bit — no ln()/float
+estimator in the emitted columns (the Poisson-MLE refinement
+-ln(1 - X/n) is monotone in X/n for fixed n, so ranking and
+thresholding on change_ppm decide identically).
+
+Scale shape: ONE exchange keyed on the URL (the window that orders
+each URL's history), then a per-URL aggregate with map-side partials;
+history rows carry (url, time, 32-byte key) — page bytes never move.
+A URL's whole history lands on one task, bounded by revisit count
+(hundreds), never corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def change_rate_estimates(
+    history: DataFrame,
+    url_col: str = "url",
+    time_col: str = "ts",
+    key_col: str = "content_key",
+    min_interval_ms: int = 3_600_000,
+    max_interval_ms: int = 30 * 86_400_000,
+) -> DataFrame:
+    """Per-URL change statistics and a suggested revisit interval:
+    ``(url, n_obs, n_changes, change_ppm, mean_interval_ms,
+    suggested_interval_ms, next_fetch_ms)``, all BIGINT.
+
+    - ``n_changes``: fetches whose content key differs from the
+      previous fetch's (history ordered by (time, key) — the key
+      tiebreak makes equal-timestamp rows deterministic).
+    - ``change_ppm = n_changes * 10^6 div (n_obs - 1)`` — the observed
+      change frequency per revisit, in parts-per-million.
+    - ``suggested_interval_ms``: observed span div max(n_changes, 1)
+      (≈ one expected change per revisit), clamped to
+      [min_interval_ms, max_interval_ms]. URLs with a single
+      observation carry no evidence and get ``max_interval_ms``
+      (a fresh page earns fast recrawl by changing, not by being new —
+      the budget-safe default at 10^10 URLs).
+    - ``next_fetch_ms = last observed time + suggested interval``.
+    """
+    if not 0 < min_interval_ms <= max_interval_ms:
+        raise ValueError(
+            f"need 0 < min <= max interval: {min_interval_ms}, {max_interval_ms}"
+        )
+    t_ms = F.unix_millis(F.col(time_col).cast("timestamp"))
+    seq = history.select(
+        F.col(url_col).alias("url"),
+        t_ms.alias("_t"),
+        F.col(key_col).alias("_k"),
+    ).withColumn("_prev", F.lag("_k").over(Window.partitionBy("url").orderBy("_t", "_k")))
+    agg = seq.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(
+            (F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_k")))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_changes"),
+        F.min("_t").alias("_first"),
+        F.max("_t").alias("_last"),
+    )
+    intervals = F.col("n_obs") - F.lit(1)
+    span = F.col("_last") - F.col("_first")
+    change_ppm = F.when(
+        intervals > 0,
+        F.expr("n_changes * CAST(1000000 AS BIGINT) div (n_obs - 1)"),
+    ).otherwise(F.lit(0))
+    mean_interval = F.when(
+        intervals > 0, F.expr("(_last - _first) div (n_obs - 1)")
+    ).otherwise(F.lit(0))
+    raw_suggest = F.when(
+        intervals > 0,
+        F.expr("(_last - _first) div greatest(n_changes, CAST(1 AS BIGINT))"),
+    ).otherwise(F.lit(max_interval_ms))
+    suggested = F.greatest(
+        F.lit(min_interval_ms),
+        F.least(F.lit(max_interval_ms), raw_suggest),
+    )
+    return agg.select(
+        "url",
+        "n_obs",
+        "n_changes",
+        change_ppm.cast("long").alias("change_ppm"),
+        mean_interval.cast("long").alias("mean_interval_ms"),
+        suggested.cast("long").alias("suggested_interval_ms"),
+        (F.col("_last") + suggested).cast("long").alias("next_fetch_ms"),
+    )
