@@ -124,6 +124,11 @@ HEADLINE = [
     "zone_map_prune",
     "readability",
     "embedding_communities",
+    "bloom_file_prune",
+    "hard_negatives",
+    "url_templates",
+    "corpus_report",
+    "change_rates",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -820,6 +820,88 @@ def main():
         ],
     )
 
+    # 12n. session-10 ops: file blooms / hard negatives / url
+    # templates / change rates — broadcast-probe, cell-blocked,
+    # template-bounded, and url-keyed shapes
+    from walker_spark.operators.layout import bloom_prune, file_blooms
+
+    _fb_rows = spark.createDataFrame(
+        [(i % 9, f"v{i % 40}") for i in range(400)], "file long, v string"
+    )
+    _fb = file_blooms(_fb_rows, "file", "v", m_bits=128, k=3)
+    _fb_probes = spark.createDataFrame([("v1",), ("zz",)], "key string")
+    ok &= grab(
+        "bloom_prune: probe fan-out and base-key frame both BROADCAST "
+        "(the bloom table is the only distributed side), no cartesian, "
+        "zero Python",
+        bloom_prune(_fb, _fb_probes, value_col="key", m_bits=128, k=3),
+        [
+            ("probe/base sides broadcast", r"BroadcastExchange", (2,)),
+            ("no cartesian product", r"CartesianProduct", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.similarity import hard_negatives
+
+    _hn_emb = spark.createDataFrame(
+        [(i, [float((i * 11 + d) % 17) - 8.0 for d in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint()
+    ok &= grab(
+        "hard_negatives: pairwise join is ivf-CELL-keyed (never "
+        "corpus-all-pairs), threshold filters before the per-anchor "
+        "window, zero Python",
+        hard_negatives(_hn_emb, k=3, dup_threshold=0.5, n_cells=4),
+        [
+            ("no cartesian product", r"CartesianProduct", 0),
+            ("per-anchor rank is a window, not a global sort",
+             r"TakeOrderedAndProject", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.urlstats import url_templates
+
+    _ut = spark.createDataFrame(
+        [(f"http://h{i % 5}.com/p/{i}",) for i in range(200)], "url string"
+    )
+    ok &= grab(
+        "url_templates: template derivation is in-scan (try_parse_url "
+        "+ regexp in the projection), rollup two-phase with map-side "
+        "partials, per-host top-k a window — no global sort, zero "
+        "Python",
+        url_templates(_ut, top_k=3),
+        [
+            ("partial aggregation before any exchange",
+             r"HashAggregate", (2,)),
+            ("no global TakeOrdered", r"TakeOrderedAndProject", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.recrawl import change_rate_estimates
+
+    _cr = spark.createDataFrame(
+        [(f"u{i % 13}", 1_700_000_000 + i * 60, f"k{i % 3}") for i in range(300)],
+        "url string, t long, content_key string",
+    ).select("url", F.col("t").cast("timestamp").alias("ts"), "content_key")
+    ok &= grab(
+        "change_rate_estimates: ONE url-keyed exchange feeds both the "
+        "lag window and the rollup (history rows are (url, ms, key) — "
+        "page bytes never move), zero Python",
+        change_rate_estimates(_cr),
+        [
+            ("exactly one url exchange",
+             r"Exchange hashpartitioning\(url", 1),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     from walker_spark.operators.retrieval import (
         PostingsIndex,
         bm25_topk_indexed,
