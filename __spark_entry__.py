@@ -970,6 +970,25 @@ def q_bm25_indexed(spark, sf_dir):
     return bm25_topk_indexed(idx, qdf, k=10)
 
 
+def q_bm25_extended(spark, sf_dir):
+    """Incremental index maintenance (retrieval.extend_postings_index):
+    build the postings index over the EVEN docs only, append the odd
+    docs without re-reading the indexed half, serve the fixed query
+    set — bit-identical to the full build, so the oracle SQL is the
+    shared _bm25_sql."""
+    from walker_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_postings_index,
+        extend_postings_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_postings_index(docs.filter(F.col("doc_id") % 2 == 0))
+    idx = extend_postings_index(idx, docs.filter(F.col("doc_id") % 2 == 1))
+    qdf = spark.createDataFrame(list(BM25_QUERIES), "query_id int, query string")
+    return bm25_topk_indexed(idx, qdf, k=10)
+
+
 def q_frame_sampling(spark, sf_dir):
     """Video frame-sampling fan-out (fake durations are hash-derived —
     rows-only check)."""
@@ -1929,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "bm25_topk": q_bm25_topk,
         "bm25_indexed": q_bm25_indexed,
+        "bm25_extended": q_bm25_extended,
         "hybrid_rrf": q_hybrid_rrf,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_merges": q_bpe_merges,
@@ -2662,6 +2682,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_documents_sql(),
         "bm25_topk": _bm25_sql(),
         "bm25_indexed": _bm25_sql(),
+        "bm25_extended": _bm25_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "winnow_fingerprints": _winnow_fingerprints_sql(),
         "bpe_merges": _bpe_merges_sql(),

@@ -1200,6 +1200,41 @@ def test_bm25_indexed_parity(spark):
     assert roundtrip == direct
 
 
+def test_extend_postings_index_equals_full_rebuild(spark):
+    """extend(build(A), B) is bit-identical to build(A u B): every
+    index table row-for-row, and the served result."""
+    from pyspark.sql import functions as F
+
+    from walker_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_postings_index,
+        extend_postings_index,
+    )
+
+    corpus = [
+        (0, "spark shuffle join spark spark"),
+        (1, "shuffle partition skew"),
+        (2, "join broadcast join small table"),
+        (3, "window rank dense rank"),
+        (4, "spark window shuffle join broadcast"),
+        (5, ""),  # tokenless doc: contributes nothing either way
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    full = build_postings_index(docs)
+    inc = extend_postings_index(
+        build_postings_index(docs.filter(F.col("doc_id") < 3)),
+        docs.filter(F.col("doc_id") >= 3),
+    )
+    for a, b in zip(full, inc):
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    qdf = spark.createDataFrame(
+        [(0, "spark join"), (1, "window rank")], "query_id int, query string"
+    )
+    assert sorted(map(tuple, bm25_topk_indexed(full, qdf, k=3).collect())) == sorted(
+        map(tuple, bm25_topk_indexed(inc, qdf, k=3).collect())
+    )
+
+
 def test_tokenize_ids_exact(spark):
     from walker_spark.operators.textstats import tokenize_ids, vocab_coverage
 

@@ -296,6 +296,55 @@ def build_postings_index(
     return PostingsIndex(postings, dfreq, _corpus_stats(base))
 
 
+def extend_postings_index(
+    index: PostingsIndex,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> PostingsIndex:
+    """Append a document batch to a :class:`PostingsIndex` WITHOUT
+    re-reading the already-indexed corpus — the daily-increment shape
+    (minhash_index -> incremental_near_dups precedent, applied to the
+    lexical tier). Bit-identical to rebuilding over the union corpus
+    (parity pytest-asserted): postings rows union, per-term dfreq adds
+    (a full-outer merge on the vocabulary — vocabulary-scale, never
+    corpus-scale), and the one-row stats add.
+
+    Contract: ``new_docs`` ids must be disjoint from the indexed ids
+    (same as any append-only index; re-adding a doc would double-count
+    its postings). Only the NEW batch's text is tokenized — the
+    existing index tables pass through untouched, so persisting the
+    result writes small deltas plus the merged vocabulary table."""
+    base = _tokenized(new_docs, id_col, text_col)
+    new_postings = _postings(base)
+    new_dfreq = new_postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("dfreq")
+    )
+    merged_dfreq = (
+        index.dfreq.withColumnRenamed("dfreq", "_a")
+        .join(new_dfreq.withColumnRenamed("dfreq", "_b"), "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("_a"), F.lit(0))
+                + F.coalesce(F.col("_b"), F.lit(0))
+            )
+            .cast("long")
+            .alias("dfreq"),
+        )
+    )
+    merged_stats = (
+        index.stats.unionByName(_corpus_stats(base))
+        .agg(
+            F.sum("_N").cast("long").alias("_N"),
+            F.sum("_dl_sum").cast("long").alias("_dl_sum"),
+        )
+    )
+    return PostingsIndex(
+        index.postings.unionByName(new_postings), merged_dfreq, merged_stats
+    )
+
+
 def bm25_topk_indexed(
     index: PostingsIndex,
     queries: DataFrame,
