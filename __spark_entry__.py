@@ -1428,6 +1428,29 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (dedup.cdc_chunks, Rabin/FastCDC law:
+    cut after every 8-char window whose md5_u32 % 32 == 0) over the
+    documents table, each chunk carrying its corpus-wide copy count —
+    boundaries, offsets and keys all replayed exactly by the oracle."""
+    from walker_spark.operators.dedup import cdc_chunks
+
+    ch = cdc_chunks(
+        _t(spark, sf_dir, "documents"), window=8, divisor=32
+    )
+    copies = ch.groupBy("chunk_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    return ch.join(copies, "chunk_key").select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "chunk_start",
+        "n_chars",
+        "chunk_key",
+        "n_copies",
+    )
+
+
 def q_change_rates(spark, sf_dir):
     """Adaptive recrawl scheduling (recrawl.change_rate_estimates —
     Cho & Garcia-Molina 2003): crawl history synthesized from events
@@ -1981,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "corpus_report": q_corpus_report,
         "change_rates": q_change_rates,
+        "cdc_chunks": q_cdc_chunks,
         "weighted_sample": q_weighted_sample,
         "zone_map_prune": q_zone_map_prune,
         "bloom_file_prune": q_bloom_file_prune,
@@ -2715,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
         "url_templates": _url_templates_sql(),
         "corpus_report": _corpus_report_sql(),
         "change_rates": _change_rates_sql(),
+        "cdc_chunks": _cdc_chunks_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "zone_map_prune": _zone_map_prune_sql(),
         "bloom_file_prune": _bloom_file_prune_sql(),
@@ -4062,6 +4087,49 @@ def _corpus_report_sql() -> str:
                CAST(sum(dup) AS BIGINT) AS n_exact_dup_docs,
                CAST(sum(qp) AS BIGINT) AS n_quality_pass
         FROM base GROUP BY source"""
+
+
+def _cdc_chunks_sql(w: int = 8, div: int = 32) -> str:
+    """SQL replica of q_cdc_chunks: correlated unnest(range) positions,
+    identical md5_u32 boundary mask, cut-after-window, sentinel cuts at
+    1 and L+1, lead() spans, md5 chunk keys, corpus-wide copy counts."""
+    h = _md5_hex_int_sql(f"substr(text, CAST(i AS INT), {w})", 8)
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, text, length(text) AS L FROM documents
+          WHERE length(text) > 0),
+        pos AS (
+          SELECT doc_id, text, i FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(L - {w}, 0) + 1)) AS i
+            FROM docs)),
+        bnd AS (
+          SELECT doc_id, i + {w} AS cut FROM pos
+          WHERE ({h}) % {div} = 0),
+        cutpts AS (
+          SELECT doc_id, CAST(1 AS BIGINT) AS cut FROM docs
+          UNION ALL SELECT doc_id, CAST(cut AS BIGINT) FROM bnd
+          UNION ALL SELECT doc_id, CAST(L + 1 AS BIGINT) FROM docs),
+        spans AS (
+          SELECT doc_id, cut AS s,
+                 lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS e,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1
+                   AS chunk_idx
+          FROM cutpts),
+        chunks AS (
+          SELECT c.doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+                 CAST(c.s AS BIGINT) AS chunk_start,
+                 CAST(c.e - c.s AS BIGINT) AS n_chars,
+                 md5(substr(d.text, CAST(c.s AS INT),
+                            CAST(c.e - c.s AS INT))) AS chunk_key
+          FROM spans c JOIN docs d USING (doc_id)
+          WHERE c.e IS NOT NULL),
+        cp AS (
+          SELECT chunk_key, CAST(count(*) AS BIGINT) AS n_copies
+          FROM chunks GROUP BY chunk_key)
+        SELECT doc_id, chunk_idx, chunk_start, n_chars,
+               chunks.chunk_key, n_copies
+        FROM chunks JOIN cp USING (chunk_key)"""
 
 
 def _change_rates_sql(

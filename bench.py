@@ -129,6 +129,8 @@ HEADLINE = [
     "url_templates",
     "corpus_report",
     "change_rates",
+    "cdc_chunks",
+    "bm25_extended",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -1314,3 +1314,101 @@ def edit_dup_pairs(
         "id_b",
         F.levenshtein("t_a", "t_b").cast("long").alias("dist"),
     ).filter(F.col("dist") <= d)
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family: cut where a
+    rolling window's hash satisfies a mask, so chunk boundaries move
+    WITH the content — an insertion re-chunks only its neighborhood,
+    where fixed-size blocks would shift every downstream boundary).
+    The dedup granularity between whole-doc exact dedup and
+    dup_ngram_spans: identical boilerplate blocks shared across
+    documents collapse to one stored chunk regardless of position.
+
+    Returns one row per chunk: ``(id, chunk_idx, chunk_start, n_chars,
+    chunk_key)`` — 1-based char offsets, ``chunk_key`` the md5 of the
+    chunk text. A position ``i`` is a boundary when
+    ``md5_u32(substr(text, i, window)) % divisor == 0`` (expected
+    chunk length ~``divisor`` chars); the cut lands AFTER the window.
+    No min/max clamp — the pure content-defined law, cross-engine
+    exact.
+
+    Scale shape: the ENTIRE derivation — positions, boundary filter,
+    cut array, chunk fan-out — is array expressions inside one
+    projection (cuts materialize as a real column first, so the
+    O(len * window) md5 scan runs once — the language_id
+    CollapseProject lesson): ZERO exchanges, text never shuffles;
+    only (id, offsets, 32-byte keys) leave the scan. Downstream dedup
+    aggregates on chunk_key with map-side partials."""
+    from walker_spark.operators.sketches import _md5_u32
+
+    if window < 1 or divisor < 2:
+        raise ValueError(f"need window >= 1, divisor >= 2: {window}, {divisor}")
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        t.alias("_txt"),
+        F.length(t).alias("_L"),
+    ).filter(F.col("_L") > 0)
+    positions = F.when(
+        F.col("_L") > window, F.sequence(F.lit(1), F.col("_L") - window)
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(
+            F.filter(
+                positions,
+                lambda i: (_md5_u32(F.col("_txt").substr(i, F.lit(window))) % divisor)
+                == 0,
+            ),
+            lambda i: i + window,
+        ),
+        F.array(F.col("_L") + 1),
+    )
+    staged = base.withColumn("_cuts", cuts)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size("_cuts") - 2),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            F.element_at(F.col("_cuts"), j + 1).alias("s"),
+            F.element_at(F.col("_cuts"), j + 2).alias("e"),
+        ),
+    )
+    return staged.select(
+        "id", "_txt", F.explode(spans).alias("_c")
+    ).select(
+        "id",
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.s").cast("long").alias("chunk_start"),
+        (F.col("_c.e") - F.col("_c.s")).cast("long").alias("n_chars"),
+        F.md5(
+            F.col("_txt").substr(F.col("_c.s"), F.col("_c.e") - F.col("_c.s"))
+        ).alias("chunk_key"),
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Storage-dedup ratio over a :func:`cdc_chunks` table: ONE row
+    ``(n_chunks, n_distinct_chunks, total_chars, distinct_chars,
+    saved_chars)``, all BIGINT. Two-phase: per-key (copies, length)
+    with map-side partials on the 32-byte key, then a scalar rollup —
+    the exact accounting a chunk store's admission path keeps."""
+    per_key = chunks.groupBy("chunk_key").agg(
+        F.count(F.lit(1)).cast("long").alias("_copies"),
+        F.min("n_chars").cast("long").alias("_n"),
+    )
+    return per_key.agg(
+        F.sum("_copies").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum(F.col("_copies") * F.col("_n")).cast("long").alias("total_chars"),
+        F.sum("_n").cast("long").alias("distinct_chars"),
+        (F.sum(F.col("_copies") * F.col("_n")) - F.sum("_n"))
+        .cast("long")
+        .alias("saved_chars"),
+    )
