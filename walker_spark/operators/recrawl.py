@@ -22,12 +22,91 @@ each URL's history), then a per-URL aggregate with map-side partials;
 history rows carry (url, time, 32-byte key) — page bytes never move.
 A URL's whole history lands on one task, bounded by revisit count
 (hundreds), never corpus size.
+
+The stats row ``(url, n_obs, n_changes, first_t, last_t, first_key,
+last_key)`` is MERGEABLE for event-time-ordered batches (a crawl's
+own fetch log is monotone per URL): counts add, the boundary
+transition compares the older run's last_key to the newer run's
+first_key — ``streaming/recrawl_stream.py`` maintains it
+incrementally and derives the identical schedule.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def history_stats(
+    history: DataFrame,
+    url_col: str = "url",
+    time_col: str = "ts",
+    key_col: str = "content_key",
+) -> DataFrame:
+    """Per-URL mergeable change statistics: ``(url, n_obs, n_changes,
+    first_t, last_t, first_key, last_key)`` — times in epoch ms,
+    history ordered by (time, key) so equal-timestamp rows are
+    deterministic; first/last ride the aggregate as struct min/max (no
+    second pass)."""
+    t_ms = F.unix_millis(F.col(time_col).cast("timestamp"))
+    seq = history.select(
+        F.col(url_col).alias("url"),
+        t_ms.alias("_t"),
+        F.col(key_col).alias("_k"),
+    ).withColumn(
+        "_prev", F.lag("_k").over(Window.partitionBy("url").orderBy("_t", "_k"))
+    )
+    return seq.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(
+            (F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_k")))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_changes"),
+        F.min(F.struct("_t", "_k"))["_t"].alias("first_t"),
+        F.max(F.struct("_t", "_k"))["_t"].alias("last_t"),
+        F.min(F.struct("_t", "_k"))["_k"].alias("first_key"),
+        F.max(F.struct("_t", "_k"))["_k"].alias("last_key"),
+    )
+
+
+def derive_schedule(
+    stats: DataFrame,
+    min_interval_ms: int = 3_600_000,
+    max_interval_ms: int = 30 * 86_400_000,
+) -> DataFrame:
+    """Turn :func:`history_stats` rows into the schedule columns (see
+    :func:`change_rate_estimates` for the laws)."""
+    if not 0 < min_interval_ms <= max_interval_ms:
+        raise ValueError(
+            f"need 0 < min <= max interval: {min_interval_ms}, {max_interval_ms}"
+        )
+    intervals = F.col("n_obs") - F.lit(1)
+    change_ppm = F.when(
+        intervals > 0,
+        F.expr("n_changes * CAST(1000000 AS BIGINT) div (n_obs - 1)"),
+    ).otherwise(F.lit(0))
+    mean_interval = F.when(
+        intervals > 0, F.expr("(last_t - first_t) div (n_obs - 1)")
+    ).otherwise(F.lit(0))
+    raw_suggest = F.when(
+        intervals > 0,
+        F.expr("(last_t - first_t) div greatest(n_changes, CAST(1 AS BIGINT))"),
+    ).otherwise(F.lit(max_interval_ms))
+    suggested = F.greatest(
+        F.lit(min_interval_ms),
+        F.least(F.lit(max_interval_ms), raw_suggest),
+    )
+    return stats.select(
+        "url",
+        "n_obs",
+        "n_changes",
+        change_ppm.cast("long").alias("change_ppm"),
+        mean_interval.cast("long").alias("mean_interval_ms"),
+        suggested.cast("long").alias("suggested_interval_ms"),
+        (F.col("last_t") + suggested).cast("long").alias("next_fetch_ms"),
+    )
 
 
 def change_rate_estimates(
@@ -55,50 +134,8 @@ def change_rate_estimates(
       the budget-safe default at 10^10 URLs).
     - ``next_fetch_ms = last observed time + suggested interval``.
     """
-    if not 0 < min_interval_ms <= max_interval_ms:
-        raise ValueError(
-            f"need 0 < min <= max interval: {min_interval_ms}, {max_interval_ms}"
-        )
-    t_ms = F.unix_millis(F.col(time_col).cast("timestamp"))
-    seq = history.select(
-        F.col(url_col).alias("url"),
-        t_ms.alias("_t"),
-        F.col(key_col).alias("_k"),
-    ).withColumn("_prev", F.lag("_k").over(Window.partitionBy("url").orderBy("_t", "_k")))
-    agg = seq.groupBy("url").agg(
-        F.count(F.lit(1)).cast("long").alias("n_obs"),
-        F.sum(
-            (F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_k")))
-            .cast("long")
-        )
-        .cast("long")
-        .alias("n_changes"),
-        F.min("_t").alias("_first"),
-        F.max("_t").alias("_last"),
-    )
-    intervals = F.col("n_obs") - F.lit(1)
-    span = F.col("_last") - F.col("_first")
-    change_ppm = F.when(
-        intervals > 0,
-        F.expr("n_changes * CAST(1000000 AS BIGINT) div (n_obs - 1)"),
-    ).otherwise(F.lit(0))
-    mean_interval = F.when(
-        intervals > 0, F.expr("(_last - _first) div (n_obs - 1)")
-    ).otherwise(F.lit(0))
-    raw_suggest = F.when(
-        intervals > 0,
-        F.expr("(_last - _first) div greatest(n_changes, CAST(1 AS BIGINT))"),
-    ).otherwise(F.lit(max_interval_ms))
-    suggested = F.greatest(
-        F.lit(min_interval_ms),
-        F.least(F.lit(max_interval_ms), raw_suggest),
-    )
-    return agg.select(
-        "url",
-        "n_obs",
-        "n_changes",
-        change_ppm.cast("long").alias("change_ppm"),
-        mean_interval.cast("long").alias("mean_interval_ms"),
-        suggested.cast("long").alias("suggested_interval_ms"),
-        (F.col("_last") + suggested).cast("long").alias("next_fetch_ms"),
+    return derive_schedule(
+        history_stats(history, url_col, time_col, key_col),
+        min_interval_ms,
+        max_interval_ms,
     )
