@@ -902,6 +902,47 @@ def main():
         ],
     )
 
+    from walker_spark.operators.dedup import cdc_chunks
+
+    _cdc_docs = spark.createDataFrame(
+        [(i, ("word%d " % (i % 7)) * 40) for i in range(50)],
+        "doc_id long, text string",
+    )
+    ok &= grab(
+        "cdc_chunks: the WHOLE derivation (positions, boundary filter, "
+        "cut array, chunk fan-out, keys) is array expressions in one "
+        "projection stack — ZERO exchanges, text never leaves the "
+        "scan, zero Python",
+        cdc_chunks(_cdc_docs, window=8, divisor=16),
+        [
+            ("zero exchanges", r"Exchange", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.curation import corpus_report
+
+    _cr_docs = spark.createDataFrame(
+        [(i, f"some text {i % 5}", f"s{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    _cr_verd = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(60)], "id long, quality_pass boolean"
+    )
+    ok &= grab(
+        "corpus_report: text never shuffles — every exchange carries "
+        "only 32-byte keys / ids / counters (no exchange keyed on a "
+        "text column), zero Python",
+        corpus_report(_cr_docs, _cr_verd),
+        [
+            ("no exchange keyed on the text column",
+             r"Exchange hashpartitioning\(text", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     from walker_spark.operators.retrieval import (
         PostingsIndex,
         bm25_topk_indexed,
