@@ -534,8 +534,12 @@ def main():
     # best-of-N crawl: single-machine crawl walls swing ±30-50% with
     # hypervisor neighbors (BENCH/BASELINE.md preamble), so one rep is
     # not a measurement. Each rep gets a fresh frontier; the reported
-    # crawl dict is the rep with the lowest crawl wall.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "2")))
+    # crawl dict is the rep with the lowest crawl wall. Default 3: a
+    # crawl-only probe in a 3.8-4.0x calibration window measured a
+    # monotone JIT warm-up ladder 36.7 -> 31.4 -> 22.6 s on unchanged
+    # code — the third rep is where the crawl path reaches steady
+    # state, two reps under-report it.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "3")))
     if cal_pre < 3.3:
         reps += 1
     crawl = None

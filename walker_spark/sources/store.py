@@ -181,6 +181,65 @@ class FrontierStore:
         bounded; old deltas become unreferenced and can be GC'd."""
         return self.overwrite(table, self.read(table))
 
+    # ---- orphan GC (Iceberg expire_snapshots / remove_orphan_files) --------
+
+    def gc_plan(
+        self, table: str | None = None, min_age_s: float = 3600.0
+    ) -> list[dict]:
+        """List UNREFERENCED delta directories: present on disk but
+        absent from the table's committed manifest — what overwrite/
+        truncate/compact leave behind, plus the partial delta of a
+        writer that crashed before its manifest swap. ``min_age_s``
+        is the standard safety margin (Iceberg's
+        ``older_than``): an in-flight writer's delta is unreferenced
+        too, so only dirs whose newest file is older than the margin
+        are collectable. Returns ``[{table, delta, bytes, age_s}]``
+        sorted by (table, delta) — a pure manifest/filesystem walk,
+        no Spark job, safe to run any time."""
+        tables = [table] if table else sorted(schemas.TABLES)
+        now = time.time()
+        out = []
+        for t in tables:
+            tdir = self._tdir(t)
+            if not os.path.isdir(tdir):
+                continue
+            live = set(self._load_manifest(t)["deltas"])
+            for name in sorted(os.listdir(tdir)):
+                path = os.path.join(tdir, name)
+                if not name.startswith("d-") or not os.path.isdir(path):
+                    continue
+                if name in live:
+                    continue
+                newest, nbytes = 0.0, 0
+                for d, _s, files in os.walk(path):
+                    for fn in files:
+                        st = os.stat(os.path.join(d, fn))
+                        newest = max(newest, st.st_mtime)
+                        nbytes += st.st_size
+                age = now - newest if newest else float("inf")
+                if age >= min_age_s:
+                    out.append(
+                        {"table": t, "delta": name, "bytes": nbytes, "age_s": age}
+                    )
+        return out
+
+    def gc_orphans(
+        self, table: str | None = None, min_age_s: float = 3600.0
+    ) -> list[dict]:
+        """Delete what :meth:`gc_plan` lists and return it. Committed
+        snapshots are untouched by construction (the plan only ever
+        contains dirs the manifest does not reference), so readers are
+        never affected — asserted in pytest."""
+        import shutil as _shutil
+
+        plan = self.gc_plan(table, min_age_s)
+        for item in plan:
+            _shutil.rmtree(
+                os.path.join(self._tdir(item["table"]), item["delta"]),
+                ignore_errors=True,
+            )
+        return plan
+
     # ---- small key/value metadata (e.g. bloom build lineage) ---------------
 
     def put_meta(self, key: str, value: dict) -> None:
