@@ -1428,6 +1428,33 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+def q_key_skew(spark, sf_dir):
+    """Shuffle-skew diagnosis (skew.key_skew_report): exact top-5
+    heaviest event_type values with integer ppm shares — TakeOrdered
+    top-k, planner-scale output."""
+    from walker_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), ["event_type"], top_k=5)
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe equi-join (skew.salted_join): events join a per-user
+    dim through 8 salts — row-identical to the plain join, which IS
+    the oracle SQL."""
+    from walker_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 5).cast("long"))
+    )
+    return salted_join(
+        ev, dim, on=["user_id"], scatter_col="event_id", n_salts=8
+    ).select("event_id", "user_id", "tier")
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (dedup.cdc_chunks, Rabin/FastCDC law:
     cut after every 8-char window whose md5_u32 % 32 == 0) over the
@@ -2005,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "change_rates": q_change_rates,
         "cdc_chunks": q_cdc_chunks,
+        "key_skew": q_key_skew,
+        "salted_join": q_salted_join,
         "weighted_sample": q_weighted_sample,
         "zone_map_prune": q_zone_map_prune,
         "bloom_file_prune": q_bloom_file_prune,
@@ -2740,6 +2769,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _corpus_report_sql(),
         "change_rates": _change_rates_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
+        "key_skew": _key_skew_sql(),
+        "salted_join": _salted_join_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "zone_map_prune": _zone_map_prune_sql(),
         "bloom_file_prune": _bloom_file_prune_sql(),
@@ -4087,6 +4118,37 @@ def _corpus_report_sql() -> str:
                CAST(sum(dup) AS BIGINT) AS n_exact_dup_docs,
                CAST(sum(qp) AS BIGINT) AS n_quality_pass
         FROM base GROUP BY source"""
+
+
+def _key_skew_sql(top_k: int = 5) -> str:
+    """SQL replica of q_key_skew: identical count/share/cum laws."""
+    return f"""
+        WITH c AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+          FROM events GROUP BY event_type),
+        t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+        top AS (
+          SELECT event_type, n_rows FROM c
+          ORDER BY n_rows DESC, event_type LIMIT {top_k})
+        SELECT event_type, n_rows,
+               CAST(n_rows * 1000000 // t.total AS BIGINT) AS share_ppm,
+               CAST(sum(n_rows * 1000000 // t.total) OVER (
+                 ORDER BY n_rows DESC, event_type
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_share_ppm,
+               CAST(row_number() OVER (ORDER BY n_rows DESC, event_type)
+                 AS BIGINT) AS rank
+        FROM top, t"""
+
+
+def _salted_join_sql() -> str:
+    """The oracle for q_salted_join is the PLAIN join — salting must
+    be observationally invisible."""
+    return """
+        SELECT e.event_id, e.user_id,
+               CAST(d.user_id % 5 AS BIGINT) AS tier
+        FROM events e
+        JOIN (SELECT DISTINCT user_id FROM events) d USING (user_id)"""
 
 
 def _cdc_chunks_sql(w: int = 8, div: int = 32) -> str:

@@ -131,6 +131,8 @@ HEADLINE = [
     "change_rates",
     "cdc_chunks",
     "bm25_extended",
+    "key_skew",
+    "salted_join",
 ]
 
 # crawl corpus sizing per benchmark scale
