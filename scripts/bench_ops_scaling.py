@@ -72,7 +72,8 @@ sys.path.insert(0, {repo!r})
 import bench
 from pyspark.sql import functions as F
 from walker_spark.operators.dedup import (
-    dup_ngram_spans, incremental_near_dups, line_dedup, minhash_index)
+    cdc_chunks, cdc_dedup_stats, dup_ngram_spans, incremental_near_dups,
+    line_dedup, minhash_index)
 from walker_spark.operators.curation import assign_shards, dsir_select, temperature_mix
 from walker_spark.operators.similarity import (
     embedding_clusters, knn_graph, pq_codebooks, pq_topk)
@@ -161,6 +162,9 @@ hop_distances(edges.limit(5000), seeds, max_hops=4).count()
 kcore(edges.limit(5000), k=4).count()
 emb20 = emb.filter(F.col("vec_id") < 20000)
 knn_graph(emb20.limit(2000), k=4, n_cells=16).count()
+# consume via the stats rollup, NOT .count() — count would prune the
+# chunk_key md5 (the expensive column; the language_id count() gotcha)
+cdc_dedup_stats(cdc_chunks(warm, window=8, divisor=64)).collect()
 t0 = time.time(); n_spans = dup_ngram_spans(docs, n=8).count()
 spans_s = time.time() - t0
 corpus_half = docs.filter(F.col("doc_id") % 2 == 0)
@@ -212,6 +216,10 @@ t0 = time.time(); n_kc = kcore(edges, k=4).count()
 kc_s = time.time() - t0
 t0 = time.time(); n_knn = knn_graph(emb20, k=4, n_cells=64).count()
 knn_s = time.time() - t0
+t0 = time.time()
+_cdc_row = cdc_dedup_stats(cdc_chunks(docs, window=8, divisor=64)).collect()[0]
+n_cdc = _cdc_row["n_chunks"]
+cdc_s = time.time() - t0
 print("RESULT " + json.dumps({{
     "cpus": {cpus}, "spans_sec": round(spans_s, 2), "n_spans": n_spans,
     "index_sec": round(index_s, 2), "index_rows": idx_n,
@@ -232,7 +240,8 @@ print("RESULT " + json.dumps({{
     "tri_sec": round(tri_s, 2), "n_tri": n_tri,
     "hop_sec": round(hop_s, 2), "n_hop": n_hop,
     "kc_sec": round(kc_s, 2), "n_kc": n_kc,
-    "knn_sec": round(knn_s, 2), "n_knn": n_knn}}))
+    "knn_sec": round(knn_s, 2), "n_knn": n_knn,
+    "cdc_sec": round(cdc_s, 2), "n_cdc": n_cdc}}))
 """
 
 
@@ -269,7 +278,7 @@ def main():
                           "dsir_sec", "ppl_sec", "clu_sec", "shard_sec",
                           "pr_sec", "bm_sec", "ham_sec", "nov_sec",
                           "hll_sec", "tri_sec", "hop_sec", "kc_sec",
-                          "knn_sec"):
+                          "knn_sec", "cdc_sec"):
                     best[cpus][k] = min(best[cpus][k], res[k])
     lines = [
         "# BENCH/OPS_SCALING.md — training-data operator scaling evidence",
@@ -325,6 +334,8 @@ def main():
          f"{best[1]['n_kc']} nodes"),
         ("knn_graph (mutual k=4, 20k x 64d, 64 cells)", "knn_sec",
          f"{best[1]['n_knn']} edges"),
+        ("cdc_chunks + dedup stats (8-char window, div 64)", "cdc_sec",
+         f"{best[1]['n_cdc']} chunks"),
     ):
         lo, hi = best[1][key], best[4][key]
         sp = lo / hi if hi else float("inf")
