@@ -1273,6 +1273,44 @@ def q_host_graph(spark, sf_dir):
     return host_graph(edges, hosts)
 
 
+#: resolve_redirects driver params: the HTTP-client redirect limit
+#: (kept below the longest planted chain so the over-limit path is
+#: exercised); the oracle's recursive CTE walks to the same bound.
+REDIR_MAX_HOPS: int = 5
+
+
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution (graph.resolve_redirects — pointer
+    doubling, log2(max_hops) self-join rounds, Observation early
+    stop). Edges planted over orders keys: every non-multiple-of-8
+    orderkey redirects to orderkey-1, so chains descend the (sparse)
+    key runs with variable length 1..7 — some past the 5-hop limit —
+    plus a planted 3-cycle on negative keys. Output (url, final_url,
+    n_hops, resolved); cycles/over-limit rows are (null, null, false)
+    in the operator — coalesced to (-1, 0) sentinels here because a
+    nullable BIGINT degrades to float64 under the driver's pandas
+    fetch (the dtype-divergence class check_correctness guards)."""
+    from walker_spark.operators.graph import resolve_redirects
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("src"))
+        .distinct()
+        .filter(F.col("src") % 8 != 0)
+        .withColumn("dst", F.col("src") - F.lit(1).cast("long"))
+    )
+    cyc = spark.createDataFrame(
+        [(-1, -2), (-2, -3), (-3, -1)], "src long, dst long"
+    )
+    out = resolve_redirects(o.unionAll(cyc), max_hops=REDIR_MAX_HOPS)
+    return out.select(
+        "url",
+        F.coalesce("final_url", F.lit(-1).cast("long")).alias("final_url"),
+        F.coalesce("n_hops", F.lit(0).cast("long")).alias("n_hops"),
+        "resolved",
+    )
+
+
 #: bloom_membership driver params: sized so the sf0.01 build (250
 #: inserted keys) sits at ~0.73 load and yields a deterministic
 #: nonzero false-positive set — the interesting part of the oracle.
@@ -2041,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_communities": q_embedding_communities,
         "kcore": q_kcore,
         "host_graph": q_host_graph,
+        "resolve_redirects": q_resolve_redirects,
         "pmi_collocations": q_pmi_collocations,
         "zorder_events": q_zorder_events,
         "log_hist_quantiles": q_log_hist_quantiles,
@@ -2778,6 +2817,31 @@ def oracle_sql() -> dict[str, str]:
         "embedding_communities": _embedding_communities_sql(),
         "kcore": _kcore_sql(),
         "host_graph": _host_graph_sql(),
+        "resolve_redirects": f"""
+            WITH RECURSIVE redges AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS src,
+                     CAST(o_orderkey - 1 AS BIGINT) AS dst
+              FROM (SELECT DISTINCT o_orderkey FROM orders)
+              WHERE o_orderkey % 8 <> 0
+              UNION ALL
+              SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(-2 AS BIGINT)),
+                                    (CAST(-2 AS BIGINT), CAST(-3 AS BIGINT)),
+                                    (CAST(-3 AS BIGINT), CAST(-1 AS BIGINT))) v(src, dst)
+            ), walk AS (
+              SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM redges
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN redges e ON e.src = w.cur
+              WHERE w.hops <= {REDIR_MAX_HOPS}
+            ), terminal AS (
+              SELECT w.src, w.cur, w.hops FROM walk w
+              WHERE w.cur NOT IN (SELECT src FROM redges)
+            )
+            SELECT e.src AS url,
+                   CAST(coalesce(CASE WHEN t.hops <= {REDIR_MAX_HOPS} THEN t.cur END, -1) AS BIGINT) AS final_url,
+                   CAST(coalesce(CASE WHEN t.hops <= {REDIR_MAX_HOPS} THEN t.hops END, 0) AS BIGINT) AS n_hops,
+                   coalesce(t.hops <= {REDIR_MAX_HOPS}, FALSE) AS resolved
+            FROM redges e LEFT JOIN terminal t ON t.src = e.src""",
         "pmi_collocations": _pmi_collocations_sql(),
         "zorder_events": _zorder_events_sql(),
         "log_hist_quantiles": _log_hist_quantiles_sql(),

@@ -2722,3 +2722,57 @@ def test_embedding_communities_edges_reuse_parity(spark):
         for r in embedding_communities(df, edges=pre).collect()
     }
     assert full == reused
+
+
+def test_resolve_redirects_chains_cycles_and_limit(spark):
+    from walker_spark.operators.graph import resolve_redirects
+
+    # chain 10->11->12->13 (terminal), 2-cycle 20<->21, self-loop 30,
+    # long chain 40..47 (7 hops, over a max_hops=5 limit),
+    # duplicate src rows 50 -> {51, 52} collapse to min dst 51 (terminal).
+    edges = [(10, 11), (11, 12), (12, 13), (20, 21), (21, 20), (30, 30)]
+    edges += [(40 + i, 41 + i) for i in range(7)] + [(50, 52), (50, 51)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["url"]: (r["final_url"], r["n_hops"], r["resolved"])
+        for r in resolve_redirects(df, max_hops=5).collect()
+    }
+    assert got[10] == (13, 3, True)
+    assert got[11] == (13, 2, True)
+    assert got[12] == (13, 1, True)
+    assert got[20] == (None, None, False)  # cycle
+    assert got[21] == (None, None, False)
+    assert got[30] == (None, None, False)  # self-loop
+    assert got[40] == (None, None, False)  # 7 hops > 5
+    assert got[42] == (47, 5, True)        # exactly at the limit
+    assert got[50] == (51, 1, True)        # min-dst collapse
+    assert len(got) == len({s for s, _ in edges})
+
+
+def test_resolve_redirects_matches_python_walk(spark):
+    import random
+
+    from walker_spark.operators.graph import resolve_redirects
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    # functional graph: ~60% of nodes redirect somewhere (incl. possible
+    # cycles); the rest are terminal targets only.
+    ptr = {n: rng.randrange(250) for n in nodes if rng.random() < 0.6}
+    max_hops = 10
+
+    def walk(s):
+        cur, n = s, 0
+        while cur in ptr and n <= max_hops:
+            cur, n = ptr[cur], n + 1
+        if cur in ptr or n > max_hops:
+            return (None, None, False)
+        return (cur, n, True)
+
+    expected = {s: walk(s) for s in ptr}
+    df = spark.createDataFrame(list(ptr.items()), "src long, dst long")
+    got = {
+        r["url"]: (r["final_url"], r["n_hops"], r["resolved"])
+        for r in resolve_redirects(df, max_hops=max_hops).collect()
+    }
+    assert got == expected

@@ -704,3 +704,90 @@ def host_graph(
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
     )
+
+
+def resolve_redirects(
+    hops: DataFrame,
+    max_hops: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Collapse stored redirect hop rows into (url, final_url): where
+    does each redirecting URL actually land.
+
+    The crawler persists one link row per redirect hop with
+    ``redto_url`` pointing forward (reference datastore.go:416-436 via
+    fetch.redirect_link_rows); answering "what is the canonical target
+    of this URL" means following those chains — bounded by the HTTP
+    client's redirect limit (Go's net/http stops after 10 hops,
+    fetcher.go CheckRedirect), with cycles and over-long chains
+    reported as unresolved exactly like the live fetcher would error.
+
+    Spark-shaped pointer DOUBLING, not step-by-step walking: the state
+    table (url, cur, n) means "following n real edges from url lands
+    at cur". Each round self-joins the state on ``cur == url`` — a row
+    whose cur still has an outgoing pointer composes the two jumps
+    (n doubles), a row whose cur is terminal freezes (the join misses).
+    ceil(log2(max_hops)) + 1 rounds replace max_hops sequential joins —
+    at 10^9 redirect rows each round is one shuffle, so round count is
+    the scale cost and doubling makes it logarithmic. The
+    advanced-row count rides each round's single ``localCheckpoint``
+    as an Observation (connected_components precedent: one Spark job
+    per round) and the loop stops early the first round nothing moves.
+
+    Input rows with a duplicate ``src_col`` collapse deterministically
+    to ``min(dst_col)`` (the links-table last-write-wins stand-in is
+    upstream; this keeps the operator total on raw hop rows). Output:
+    ``(url, final_url, n_hops, resolved)`` — for a chain that reaches
+    a terminal URL within ``max_hops`` edges, final_url/n_hops are the
+    landing URL and exact BIGINT edge count; cycles and chains longer
+    than ``max_hops`` return (null, null, false). Exact integers end
+    to end: the DuckDB oracle (a recursive CTE walked to the same
+    limit) matches bit-for-bit.
+    """
+    from pyspark.sql import Observation
+
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = (
+        hops.groupBy(F.col(src_col).alias("url"))
+        .agg(F.min(dst_col).alias("cur"))
+    )
+    state = e.select(
+        "url", "cur", F.lit(1).cast("long").alias("n")
+    ).localCheckpoint()
+    span = 1  # rows still on a path have followed exactly `span` edges
+    while span <= max_hops:
+        j = state.select(
+            F.col("url").alias("j_url"),
+            F.col("cur").alias("j_cur"),
+            F.col("n").alias("j_n"),
+        )
+        nxt = state.join(j, state["cur"] == j["j_url"], "left").select(
+            "url",
+            F.coalesce("j_cur", "cur").alias("cur"),
+            (F.col("n") + F.coalesce("j_n", F.lit(0).cast("long"))).alias("n"),
+            F.col("j_url").isNotNull().alias("_adv"),
+        )
+        obs = Observation()
+        nxt = nxt.observe(
+            obs,
+            F.coalesce(F.sum(F.col("_adv").cast("long")), F.lit(0)).alias("adv"),
+        ).localCheckpoint()
+        advanced = obs.get["adv"]
+        state = nxt.drop("_adv")
+        if advanced == 0:
+            break  # every row frozen => every cur terminal
+        span *= 2
+    # Terminality of the landing node: cur has no outgoing pointer.
+    # One equi join against the (deduped) source keys — broadcast-able
+    # whenever the redirecting set is small, AQE decides.
+    ekeys = e.select(F.col("url").alias("_k"))
+    out = state.join(ekeys, state["cur"] == ekeys["_k"], "left")
+    ok = F.col("_k").isNull() & (F.col("n") <= F.lit(max_hops))
+    return out.select(
+        "url",
+        F.when(ok, F.col("cur")).alias("final_url"),
+        F.when(ok, F.col("n")).alias("n_hops"),
+        ok.alias("resolved"),
+    )
