@@ -595,6 +595,21 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_quality_keeper(spark, sf_dir):
+    """Quality-aware dup-cluster survivor selection: the
+    dedup_components clusters re-keyed so the keeper is the LONGEST
+    member (score = n_chars, exact BIGINT), ties -> min doc_id
+    (dedup.quality_keeper — two cluster-keyed aggs, no window). The
+    oracle wraps the recursive-closure components CTE with the same
+    argmax."""
+    from walker_spark.operators.dedup import near_dup_clusters, quality_keeper
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = near_dup_clusters(docs, threshold=0.95, shingle_n=1)
+    scores = docs.select("doc_id", F.col("n_chars").alias("score"))
+    return quality_keeper(comps.select("doc_id", "cluster_id"), scores)
+
+
 def q_embedding_topk(spark, sf_dir):
     from walker_spark.operators.similarity import cosine_topk
 
@@ -778,6 +793,16 @@ def q_dsir_select(spark, sf_dir):
     target = docs.filter(F.col("doc_id") % 10 == 0)
     raw = docs.filter(F.col("doc_id") % 10 != 0)
     return dsir_select(raw, target, k=100, buckets=512)
+
+
+def q_grouped_split(spark, sf_dir):
+    """Leakage-safe split assignment: every SOURCE (host analog) lands
+    wholly in train/val/test by salted md5-u32 against exact integer
+    thresholds (curation.grouped_split — zero-shuffle projection).
+    Output (id, group, split)."""
+    from walker_spark.operators.curation import grouped_split
+
+    return grouped_split(_t(spark, sf_dir, "documents"))
 
 
 def q_temperature_mix(spark, sf_dir):
@@ -1623,6 +1648,29 @@ def q_anchor_texts(spark, sf_dir):
     return anchor_text_agg(anchored, k=3)
 
 
+#: host_boilerplate driver params: at 25 docs/source the 80k-ppm bar
+#: means "gram in >= 2 docs of the source" — birthday collisions on the
+#: synthetic vocab make that a deterministic nonzero-but-sparse set,
+#: so both the boiler and non-boiler branches are exercised.
+BOILER_PPM: int = 80_000
+BOILER_MIN_DOCS: int = 3
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """Per-source templated-content ratio: trigram types appearing in
+    >= 8% of the source's docs count as boilerplate
+    (textstats.host_boilerplate — distinct (doc, gram-md5) keys, tiny
+    broadcast doc counts, (host, gram)-keyed agg). Integer ppm."""
+    from walker_spark.operators.textstats import host_boilerplate
+
+    return host_boilerplate(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        boiler_ppm_threshold=BOILER_PPM,
+        min_docs=BOILER_MIN_DOCS,
+    )
+
+
 def q_novelty_scores(spark, sf_dir):
     """n-gram novelty audit: odd docs scored against the even-doc
     reference corpus (same split convention as lm_quality_scores);
@@ -2000,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_components": q_dedup_components,
+        "quality_keeper": q_quality_keeper,
         "dup_ngram_spans": q_dup_ngram_spans,
         "line_dedup": q_line_dedup,
         "repetition_stats": q_repetition_stats,
@@ -2028,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "contamination_spans": q_contamination_spans,
         "temperature_mix": q_temperature_mix,
+        "grouped_split": q_grouped_split,
         "gopher_rules": q_gopher_rules,
         "dsir_select": q_dsir_select,
         "c4_rules": q_c4_rules,
@@ -2049,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_allocation": q_unimax_allocation,
         "unimax_mix": q_unimax_mix,
         "novelty_scores": q_novelty_scores,
+        "host_boilerplate": q_host_boilerplate,
         "source_overlap": q_source_overlap,
         "quantile_filter": q_quantile_filter,
         "training_pipeline": q_training_pipeline,
@@ -2358,6 +2409,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _jaccard_sql(0.999),
         "dedup_minhash_lsh": _jaccard_sql(0.95),
         "dedup_components": _dedup_components_sql(0.95),
+        "quality_keeper": f"""
+            WITH comps AS ({_dedup_components_sql(0.95)}),
+            scored AS (
+              SELECT c.doc_id, c.cluster_id, d.n_chars AS score
+              FROM comps c JOIN documents d USING (doc_id)
+            ),
+            best AS (
+              SELECT cluster_id, max(score) AS best FROM scored GROUP BY cluster_id
+            ),
+            keep AS (
+              SELECT s.cluster_id, min(s.doc_id) AS keeper_id
+              FROM scored s JOIN best b
+                ON s.cluster_id = b.cluster_id AND s.score = b.best
+              GROUP BY s.cluster_id
+            )
+            SELECT s.doc_id, s.cluster_id, s.doc_id = k.keeper_id AS is_keeper
+            FROM scored s JOIN keep k ON s.cluster_id = k.cluster_id""",
         "redact_pii": r"""
             WITH injected AS (
               SELECT doc_id,
@@ -2708,6 +2776,12 @@ def oracle_sql() -> dict[str, str]:
                        / 4294967296.0)), 3) AS dsir_score
             FROM logw
             ORDER BY dsir_score DESC, id LIMIT 100""",
+        "grouped_split": f"""
+            SELECT doc_id AS id, source AS "group",
+                   CASE WHEN ({_md5_hex_int_sql("'split:' || source", 8)}) < {int(0.9 * (1 << 32))} THEN 'train'
+                        WHEN ({_md5_hex_int_sql("'split:' || source", 8)}) < {int(0.95 * (1 << 32))} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
         "temperature_mix": f"""
             WITH d AS (
               SELECT doc_id,
@@ -2787,6 +2861,29 @@ def oracle_sql() -> dict[str, str]:
         "unimax_allocation": _unimax_allocation_sql(),
         "unimax_mix": _unimax_mix_sql(),
         "novelty_scores": _novelty_scores_sql(),
+        "host_boilerplate": f"""
+            WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+            gh AS (SELECT DISTINCT doc_id, source,
+                          md5(array_to_string(t[i+1:i+3], ' ')) AS gram_key
+                   FROM toks, UNNEST(generate_series(0, len(t) - 3)) AS u(i)
+                   WHERE len(t) >= 3),
+            nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+                   FROM documents GROUP BY source),
+            bo AS (SELECT g.source, g.gram_key
+                   FROM (SELECT source, gram_key, count(*) AS dfc
+                         FROM gh GROUP BY source, gram_key) g
+                   JOIN nd ON nd.source = g.source
+                   WHERE nd.n_docs >= {BOILER_MIN_DOCS}
+                     AND g.dfc * 1000000 >= {BOILER_PPM} * nd.n_docs)
+            SELECT gh.doc_id, gh.source AS host,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN bo.gram_key IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler,
+                   CAST((sum(CASE WHEN bo.gram_key IS NOT NULL THEN 1 ELSE 0 END)
+                         * 1000000) // count(*) AS BIGINT) AS boiler_ppm
+            FROM gh LEFT JOIN bo
+              ON bo.source = gh.source AND bo.gram_key = gh.gram_key
+            GROUP BY gh.doc_id, gh.source""",
         "source_overlap": _source_overlap_sql(),
         "quantile_filter": _quantile_filter_sql(),
         "training_pipeline": _training_pipeline_sql(),

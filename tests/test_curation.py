@@ -297,3 +297,51 @@ def test_corpus_report_counts_dups_tokens_and_verdicts(spark):
         for r in corpus_report(docs, verdicts).collect()
     }
     assert got == {"a": (3, 6, 2, 1), "b": (2, 5, 1, 2)}
+
+
+def test_grouped_split_groups_never_straddle(spark):
+    from walker_spark.operators.curation import grouped_split
+
+    rows = [(i, f"host{i % 17}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = grouped_split(df).collect()
+    assert len(out) == 300
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # leakage-safe
+    names = {r["split"] for r in out}
+    assert names <= {"train", "val", "test"}
+
+    # deterministic across reruns / parallelism
+    again = {(r["id"], r["split"]) for r in grouped_split(df.repartition(7)).collect()}
+    assert again == {(r["id"], r["split"]) for r in out}
+
+
+def test_grouped_split_thresholds_match_python(spark):
+    import hashlib
+
+    from walker_spark.operators.curation import grouped_split
+
+    fr = (("a", 0.5), ("b", 0.3), ("c", 0.2))
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(200)], "doc_id long, source string"
+    )
+    got = {r["group"]: r["split"] for r in grouped_split(df, fractions=fr).collect()}
+
+    t1 = int(0.5 * (1 << 32))
+    t2 = int(0.8 * (1 << 32))
+    for g, split in got.items():
+        u = int(hashlib.md5(f"split:{g}".encode()).hexdigest()[:8], 16)
+        assert split == ("a" if u < t1 else "b" if u < t2 else "c")
+    assert len(set(got.values())) == 3  # all three splits hit at n=200
+
+
+def test_grouped_split_rejects_bad_fractions(spark):
+    from walker_spark.operators.curation import grouped_split
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, source string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grouped_split(df, fractions=(("a", 0.5), ("b", 0.4)))

@@ -2776,3 +2776,82 @@ def test_resolve_redirects_matches_python_walk(spark):
         for r in resolve_redirects(df, max_hops=max_hops).collect()
     }
     assert got == expected
+
+
+def test_quality_keeper_argmax_ties_and_missing_scores(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "doc_id long, cluster_id long",
+    )
+    # cluster 1: 3 wins on score; cluster 10: tie -> min id 10;
+    # cluster 20: no scores at all -> min id 20.
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 11), (10, 7), (11, 7)], "doc_id long, score long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dedup.quality_keeper(comps, scores).collect()
+    }
+    assert got == {
+        1: (1, False), 2: (1, False), 3: (1, True),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False),
+    }
+
+
+def test_quality_keeper_unscored_never_beats_scored(spark):
+    comps = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    scores = spark.createDataFrame([(2, 1)], "doc_id long, score long")
+    got = {r["doc_id"]: r["is_keeper"] for r in dedup.quality_keeper(comps, scores).collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_host_boilerplate_matches_python_reference(spark):
+    import hashlib
+
+    from walker_spark.operators import textstats
+
+    template = "welcome to the example site home products about contact"
+    rows = [
+        (i, f"{template} unique content number {i} talks about topic {i * 7}", "hostA")
+        for i in range(1, 5)
+    ]
+    rows += [
+        (10, "tiny host page one with some words here", "hostB"),
+        (11, "tiny host page two with some words here", "hostB"),  # < min_docs
+        (20, "short", "hostC"),  # < n tokens: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["host"], r["n_grams"], r["n_boiler"], r["boiler_ppm"])
+        for r in textstats.host_boilerplate(df, n=3, min_docs=3).collect()
+    }
+
+    def grams(text):
+        t = " ".join(text.lower().split()).split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)} if len(t) >= 3 else set()
+
+    by_host = {}
+    for _id, text, host in rows:
+        for g in grams(text):
+            by_host.setdefault(host, {}).setdefault(g, set()).add(_id)
+    n_docs = {}
+    for _id, _, host in rows:
+        n_docs[host] = n_docs.get(host, 0) + 1
+    expected = {}
+    for _id, text, host in rows:
+        gs = grams(text)
+        if not gs:
+            continue
+        boiler = {
+            g
+            for g in gs
+            if n_docs[host] >= 3
+            and len(by_host[host][g]) * 1_000_000 >= 500_000 * n_docs[host]
+        }
+        expected[_id] = (host, len(gs), len(boiler), len(boiler) * 1_000_000 // len(gs))
+    assert got == expected
+    # the planted template really flags: every hostA doc has boiler grams
+    assert all(got[i][2] > 0 for i in range(1, 5))
+    assert got[10][2] == 0 and got[11][2] == 0  # min_docs guard
+    assert 20 not in got

@@ -869,3 +869,57 @@ def corpus_report(
             .alias("n_quality_pass"),
         )
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every document in a
+    GROUP (host, source, dup cluster id) lands in the same split, so
+    the near-duplicates and templated pages that cluster within a host
+    can never straddle the train/eval boundary — the standard guard
+    against intra-site leakage that a row-level random split silently
+    violates (the reason eval suites decontaminate by URL host).
+
+    Deterministic and engine-replayable: the group's md5-u32 (salted
+    so it decorrelates from every other md5(group) decision in the
+    pipeline) is compared against EXACT integer thresholds
+    ``floor(cum_fraction * 2^32)`` precomputed on the driver — no
+    float ever touches the decision, and rerunning at any parallelism
+    or engine reproduces the identical assignment.
+
+    Scale shape: a pure zero-shuffle projection over the corpus scan
+    (the CASE chain is whole-stage-codegen'd); group cardinality never
+    matters because the group key is hashed in place, not aggregated.
+    Output: ``(id, group, split)``.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    cum, thresholds = 0.0, []
+    for name, frac in fractions[:-1]:
+        cum += frac
+        thresholds.append((name, min(1 << 32, int(cum * (1 << 32)))))
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(group_col))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    split = F.lit(fractions[-1][0])
+    for name, thr in reversed(thresholds):
+        split = F.when(u32 < F.lit(thr), F.lit(name)).otherwise(split)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        split.alias("split"),
+    )

@@ -1412,3 +1412,53 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
         .cast("long")
         .alias("saved_chars"),
     )
+
+
+def quality_keeper(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Re-pick each dup cluster's survivor by QUALITY instead of min
+    id: keeper = the highest-scoring member, ties broken by minimum
+    id. The selection every production dedup pass actually wants —
+    near-dup clusters routinely mix a clean original with truncated
+    or boilerplate-wrapped copies, and `min(doc_id)` keeps whichever
+    was crawled first (RefinedWeb/FineWeb pipelines keep the longest
+    or best-scored member for exactly this reason).
+
+    Inputs: ``components`` (id, cluster) from
+    :func:`connected_components` / :func:`near_dup_clusters`, and any
+    per-doc ``scores`` frame (textstats quality/gopher/classifier
+    outputs, or simply document length). Docs missing a score stay in
+    the output but only win if their whole cluster is unscored (the
+    null-safe filter below — ``<=>`` matches the all-null best), with
+    the min-id tiebreak.
+
+    Shape: two cluster-keyed aggregations (best score, then min id at
+    best) and two joins back — every stage has map-side partials and
+    the shuffle key is cluster_id, so a mega-cluster is a hot REDUCE
+    key (partial-agg friendly), never a hot window partition; no
+    negate-the-id struct-ordering trick, so ids and scores may be any
+    orderable type. Output ``(doc_id, cluster_id, is_keeper)`` — the
+    near_dup_clusters contract, drop rows where not is_keeper.
+    """
+    comp = components.select(
+        F.col(id_col).alias("doc_id"), F.col(cluster_col).alias("cluster_id")
+    )
+    sc = scores.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score"))
+    j = comp.join(sc, "doc_id", "left")
+    best = j.groupBy("cluster_id").agg(F.max("_score").alias("_best"))
+    keep = (
+        j.join(best, "cluster_id")
+        .filter(F.col("_score").eqNullSafe(F.col("_best")))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_keeper"))
+    )
+    return comp.join(keep, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("_keeper")).alias("is_keeper"),
+    )

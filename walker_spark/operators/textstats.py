@@ -1737,3 +1737,71 @@ def readability_scores(
         - F.expr(f"({_FRE_SPW_MILLI} * n_syllables) div n_words")
     )
     return base.select("*", fre.alias("fre_milli"))
+
+
+def host_boilerplate(
+    df: DataFrame,
+    n: int = 3,
+    boiler_ppm_threshold: int = 500_000,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str = "source",
+) -> DataFrame:
+    """Host-scoped templated-content detection: how much of each
+    document is its site's own boilerplate (nav bars, footers, cookie
+    banners, product-page scaffolding). A gram is BOILERPLATE for a
+    host when it appears in at least ``boiler_ppm_threshold`` ppm of
+    that host's documents (hosts with fewer than ``min_docs`` docs
+    never flag — one page can't define a template). The host-conditional
+    complement of :func:`~walker_spark.operators.dedup.line_dedup`'s
+    global duplicated-line pass: CCNet/RefinedWeb strip cross-corpus
+    boilerplate, while per-site template ratio is the standard content-
+    extraction quality signal (a doc that is 90% site chrome carries
+    almost no trainable text).
+
+    Returns ``(doc_id, host, n_grams, n_boiler, boiler_ppm)`` — all
+    counts over distinct n-gram TYPES, ``boiler_ppm = n_boiler * 1e6
+    div n_grams``, BIGINT end to end (both threshold tests are integer
+    cross-multiplications; no float exists, so the DuckDB oracle
+    matches bit-for-bit). Documents with fewer than ``n`` tokens emit
+    no row (novelty_scores contract).
+
+    Scale shape: text collapses to distinct (doc, gram-md5) keys in the
+    scan tasks; the per-host doc count is a tiny broadcast; gram
+    doc-frequency is one (host, gram)-keyed aggregation with map-side
+    partials (a mega-host is a hot reduce key, never a hot window
+    partition); the boiler set joins back on the same (host, gram) key
+    and the roll-up is one doc-keyed aggregate. Text never shuffles.
+    """
+    from walker_spark.operators.dedup import positional_ngrams
+
+    hosts = df.select(F.col(id_col).alias("_id"), F.col(host_col).alias("host"))
+    gh = (
+        positional_ngrams(df, id_col, text_col, n)
+        .select("_id", "gram_key")
+        .distinct()
+        .join(hosts, "_id")
+    )
+    host_docs = hosts.distinct().groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_docs")
+    )
+    boiler = (
+        gh.groupBy("host", "gram_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .join(F.broadcast(host_docs), "host")
+        .filter(
+            (F.col("_n_docs") >= min_docs)
+            & (F.col("_df") * F.lit(1_000_000) >= F.lit(boiler_ppm_threshold) * F.col("_n_docs"))
+        )
+        .select("host", "gram_key", F.lit(1).alias("_b"))
+    )
+    return (
+        gh.join(boiler, ["host", "gram_key"], "left")
+        .groupBy(F.col("_id").alias("doc_id"), "host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .withColumn("boiler_ppm", F.expr("(n_boiler * 1000000L) div n_grams"))
+    )
