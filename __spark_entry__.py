@@ -1014,6 +1014,25 @@ def q_bm25_extended(spark, sf_dir):
     return bm25_topk_indexed(idx, qdf, k=10)
 
 
+def q_bm25_retracted(spark, sf_dir):
+    """Index takedown maintenance (retrieval.retract_postings_index):
+    build the postings index over ALL docs, retract the doc_id % 5 == 0
+    set without touching corpus text, serve the fixed query set —
+    bit-identical to rebuilding over the survivors, so the oracle is
+    the shared _bm25_sql with the corpus filtered."""
+    from walker_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_postings_index,
+        retract_postings_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_postings_index(docs)
+    idx = retract_postings_index(idx, docs.filter(F.col("doc_id") % 5 == 0))
+    qdf = spark.createDataFrame(list(BM25_QUERIES), "query_id int, query string")
+    return bm25_topk_indexed(idx, qdf, k=10)
+
+
 def q_frame_sampling(spark, sf_dir):
     """Video frame-sampling fan-out (fake durations are hash-derived —
     rows-only check)."""
@@ -2087,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_indexed": q_bm25_indexed,
         "bm25_extended": q_bm25_extended,
+        "bm25_retracted": q_bm25_retracted,
         "hybrid_rrf": q_hybrid_rrf,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_merges": q_bpe_merges,
@@ -2849,6 +2869,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_indexed": _bm25_sql(),
         "bm25_extended": _bm25_sql(),
+        "bm25_retracted": _bm25_sql(corpus_where="WHERE doc_id % 5 <> 0"),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "winnow_fingerprints": _winnow_fingerprints_sql(),
         "bpe_merges": _bpe_merges_sql(),
@@ -3407,7 +3428,9 @@ def _chunk_documents_sql(
         WHERE len(c) >= {min_tokens} OR s = 0"""
 
 
-def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+def _bm25_sql(
+    k: int = 10, k1: float = 1.2, b: float = 0.75, corpus_where: str = ""
+) -> str:
     """SQL replica of retrieval.bm25_topk over the fixed BM25_QUERIES.
     Constants are interpolated from the SAME Python floats the Spark
     expression tree uses (repr round-trips the exact double), and each
@@ -3422,7 +3445,7 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     )
     return f"""
         WITH q(query_id, query) AS (VALUES {qvals}),
-        toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents),
+        toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents {corpus_where}),
         nz AS (SELECT * FROM toks WHERE len(t) > 0),
         stats AS (SELECT CAST(count(*) AS BIGINT) AS N,
                          CAST(sum(len(t)) AS BIGINT) AS dl_sum FROM nz),

@@ -1720,6 +1720,97 @@ def main():
         ],
     )
 
+    from walker_spark.operators.graph import _double_round, resolve_redirects
+
+    _redir = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 40) if i % 8 != 0], "src long, dst long"
+    )
+    _rstate = _redir.selectExpr(
+        "src as url", "dst as cur", "CAST(1 AS LONG) as n"
+    ).localCheckpoint()
+    ok &= grab(
+        "resolve_redirects round: pointer DOUBLING — one equi self-join "
+        "per round (log2(max_hops) rounds replace max_hops sequential "
+        "joins; each round is the cluster barrier at 10^9 redirect rows), "
+        "zero Python",
+        _double_round(_rstate),
+        [
+            ("exactly one join (the state composing with itself)",
+             r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", 1),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+    ok &= grab(
+        "resolve_redirects end-to-end (terminality = ONE join against "
+        "the deduped source keys; no pages/text column anywhere near "
+        "the loop)",
+        resolve_redirects(_redir, max_hops=5),
+        [
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+            ("never a nested loop", r"BroadcastNestedLoopJoin", 0),
+        ],
+    )
+
+    from walker_spark.operators.curation import grouped_split
+
+    ok &= grab(
+        "grouped_split: leakage-safe split assignment is a pure "
+        "ZERO-exchange projection over the corpus scan (the md5-u32 "
+        "CASE chain is whole-stage-codegen'd; no aggregation, no join, "
+        "no Python)",
+        grouped_split(_cr_docs),
+        [
+            ("zero exchanges", r"Exchange", 0),
+            ("no join", r"Join", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+            ("whole-stage codegen covers the projection (the *(n) marker)",
+             r"\*\(\d+\) Project", (1,)),
+        ],
+    )
+
+    from walker_spark.operators.textstats import host_boilerplate
+
+    ok &= grab(
+        "host_boilerplate: text collapses to distinct (doc, gram-md5) "
+        "keys in the scan tasks — no exchange is keyed on the text "
+        "column, the per-host doc count broadcasts, and every shuffle "
+        "moves 32-byte keys",
+        host_boilerplate(_cr_docs, n=2, min_docs=2),
+        [
+            ("no exchange keyed on the text column",
+             r"Exchange hashpartitioning\(text", 0),
+            ("the tiny per-host doc count broadcasts", r"BroadcastExchange", (1,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.dedup import quality_keeper
+
+    _qk_comps = spark.createDataFrame(
+        [(i, i % 7) for i in range(60)], "doc_id long, cluster_id long"
+    )
+    _qk_scores = spark.createDataFrame(
+        [(i, i * 3 % 11) for i in range(60)], "doc_id long, score long"
+    )
+    ok &= grab(
+        "quality_keeper: argmax-by-quality survivor — two CLUSTER-keyed "
+        "aggregations (map-side partials; a mega-cluster is a hot reduce "
+        "key, never a hot window partition), no window function, no "
+        "Python",
+        quality_keeper(_qk_comps, _qk_scores),
+        [
+            ("no window function", r"Window", 0),
+            ("cluster-keyed hash aggregates with partials",
+             r"HashAggregate", (2,)),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

@@ -2855,3 +2855,47 @@ def test_host_boilerplate_matches_python_reference(spark):
     assert all(got[i][2] > 0 for i in range(1, 5))
     assert got[10][2] == 0 and got[11][2] == 0  # min_docs guard
     assert 20 not in got
+
+
+def test_retract_postings_index_equals_rebuild(spark):
+    """retract(build(A u B), B) is bit-identical to build(A): every
+    index table row-for-row, and the served result; retracting an
+    absent id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from walker_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_postings_index,
+        retract_postings_index,
+    )
+
+    corpus = [
+        (0, "spark shuffle join spark spark"),
+        (1, "shuffle partition skew"),
+        (2, "join broadcast join small table"),
+        (3, "window rank dense rank"),
+        (4, "spark window shuffle join broadcast"),
+        (5, "rank appears only here exactly once skewqueue"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    full = build_postings_index(docs)
+    # retract 1, 3, 5 (5 holds the sole 'skewqueue' posting -> that
+    # term must vanish from dfreq) plus an id never indexed (999).
+    gone = spark.createDataFrame([(1,), (3,), (5,), (999,)], "doc_id long")
+    retracted = retract_postings_index(full, gone)
+    rebuilt = build_postings_index(docs.filter(~F.col("doc_id").isin(1, 3, 5)))
+
+    for a, b in (
+        (retracted.postings, rebuilt.postings),
+        (retracted.dfreq, rebuilt.dfreq),
+        (retracted.stats, rebuilt.stats),
+    ):
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert retracted.dfreq.filter("term = 'skewqueue'").count() == 0
+
+    qdf = spark.createDataFrame(
+        [(0, "spark join"), (1, "window rank")], "query_id int, query string"
+    )
+    served = sorted(map(tuple, bm25_topk_indexed(retracted, qdf, k=3).collect()))
+    direct = sorted(map(tuple, bm25_topk_indexed(rebuilt, qdf, k=3).collect()))
+    assert served == direct

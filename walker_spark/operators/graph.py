@@ -758,17 +758,7 @@ def resolve_redirects(
     ).localCheckpoint()
     span = 1  # rows still on a path have followed exactly `span` edges
     while span <= max_hops:
-        j = state.select(
-            F.col("url").alias("j_url"),
-            F.col("cur").alias("j_cur"),
-            F.col("n").alias("j_n"),
-        )
-        nxt = state.join(j, state["cur"] == j["j_url"], "left").select(
-            "url",
-            F.coalesce("j_cur", "cur").alias("cur"),
-            (F.col("n") + F.coalesce("j_n", F.lit(0).cast("long"))).alias("n"),
-            F.col("j_url").isNotNull().alias("_adv"),
-        )
+        nxt = _double_round(state)
         obs = Observation()
         nxt = nxt.observe(
             obs,
@@ -790,4 +780,22 @@ def resolve_redirects(
         F.when(ok, F.col("cur")).alias("final_url"),
         F.when(ok, F.col("n")).alias("n_hops"),
         ok.alias("resolved"),
+    )
+
+
+def _double_round(state: DataFrame) -> DataFrame:
+    """One un-checkpointed pointer-doubling round: the state self-joins
+    on ``cur == url`` — a match composes the two jumps, a miss freezes
+    the row at its terminal (factored out so explain_plans.py asserts
+    the real round plan: one equi join, no Python)."""
+    j = state.select(
+        F.col("url").alias("j_url"),
+        F.col("cur").alias("j_cur"),
+        F.col("n").alias("j_n"),
+    )
+    return state.join(j, state["cur"] == j["j_url"], "left").select(
+        "url",
+        F.coalesce("j_cur", "cur").alias("cur"),
+        (F.col("n") + F.coalesce("j_n", F.lit(0).cast("long"))).alias("n"),
+        F.col("j_url").isNotNull().alias("_adv"),
     )

@@ -345,6 +345,69 @@ def extend_postings_index(
     )
 
 
+def retract_postings_index(
+    index: PostingsIndex,
+    doc_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> PostingsIndex:
+    """Delete a document set from a :class:`PostingsIndex` WITHOUT
+    re-reading any corpus text — the takedown/expiry shape that
+    completes the index lifecycle next to :func:`build_postings_index`
+    (full build) and :func:`extend_postings_index` (append): crawl
+    corpora retract documents constantly (robots revocation, DMCA,
+    recrawl 404s, dedup keeper decisions) and a 10^10-doc index cannot
+    afford a rebuild per takedown batch. Bit-identical to rebuilding
+    over the surviving corpus (parity pytest-asserted).
+
+    Mechanics — the retracted docs' term statistics are recovered from
+    the index itself, never from text:
+
+    * removed postings = one semi-join of the postings table on the id
+      set (broadcast-able: takedown batches are small);
+    * per-term dfreq decrements by the removed docs' term counts (one
+      vocabulary-scale left join; terms whose dfreq reaches 0 drop —
+      exactly what a rebuild would produce);
+    * the one-row stats subtract the removed docs' count and length
+      sum, recovered from the DISTINCT (id, dl) pairs of the removed
+      postings (every indexed doc has >= 1 posting carrying dl, since
+      empty docs are never indexed — _tokenized filters them).
+
+    Ids absent from the index retract as no-ops. Persisting the result
+    writes the filtered postings plus a vocabulary-scale dfreq table —
+    on a merge-on-read table format the postings filter is a delete-
+    file commit, O(removed), not O(index).
+    """
+    ids = doc_ids.select(F.col(id_col).alias("id")).distinct()
+    removed = index.postings.join(F.broadcast(ids), "id", "left_semi")
+    kept = index.postings.join(F.broadcast(ids), "id", "left_anti")
+    rem_dfreq = removed.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_r")
+    )
+    new_dfreq = (
+        index.dfreq.join(rem_dfreq, "term", "left")
+        .select(
+            "term",
+            (F.col("dfreq") - F.coalesce(F.col("_r"), F.lit(0)))
+            .cast("long")
+            .alias("dfreq"),
+        )
+        .filter(F.col("dfreq") > 0)
+    )
+    rem_stats = (
+        removed.select("id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_rn"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("_rdl"),
+        )
+    )
+    new_stats = index.stats.crossJoin(F.broadcast(rem_stats)).select(
+        (F.col("_N") - F.col("_rn")).cast("long").alias("_N"),
+        (F.col("_dl_sum") - F.col("_rdl")).cast("long").alias("_dl_sum"),
+    )
+    return PostingsIndex(kept, new_dfreq, new_stats)
+
+
 def bm25_topk_indexed(
     index: PostingsIndex,
     queries: DataFrame,
