@@ -137,6 +137,7 @@ HEADLINE = [
     "quality_keeper",
     "grouped_split",
     "host_boilerplate",
+    "bm25_retracted",
 ]
 
 # crawl corpus sizing per benchmark scale
