@@ -1580,6 +1580,26 @@ def q_change_rates(spark, sf_dir):
     )
 
 
+#: politeness_audit driver param: ~4 h against the events table's
+#: ~10.7 h mean inter-event gap — violations and clean intervals both
+#: deterministically nonzero.
+POLITE_DELAY_MS: int = 14_400_000
+
+
+def q_politeness_audit(spark, sf_dir):
+    """Per-domain fetch-interval compliance report
+    (urlstats.politeness_audit — lag window over one dom exchange,
+    dom-keyed agg): events as the fetch log (user_id = domain,
+    epoch-ms times). Pure integer ms; single-fetch domains absent."""
+    from walker_spark.operators.urlstats import politeness_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("dom"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("time_ms"),
+    )
+    return politeness_audit(ev, crawl_delay_ms=POLITE_DELAY_MS)
+
+
 def q_url_templates(spark, sf_dir):
     """Crawl-trap template mining (urlstats.url_templates): URLs
     synthesized in-query from orders (20 hosts x 3 path shapes with
@@ -2138,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "hard_negatives": q_hard_negatives,
         "url_templates": q_url_templates,
+        "politeness_audit": q_politeness_audit,
         "corpus_report": q_corpus_report,
         "change_rates": q_change_rates,
         "cdc_chunks": q_cdc_chunks,
@@ -2923,6 +2944,21 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _knn_graph_sql(),
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
+        "politeness_audit": f"""
+            WITH iv AS (
+              SELECT user_id AS dom,
+                     epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                         PARTITION BY user_id ORDER BY epoch_ms(ts)) AS iv
+              FROM events
+            )
+            SELECT dom,
+                   CAST(count(*) + 1 AS BIGINT) AS n_fetches,
+                   CAST(min(iv) AS BIGINT) AS min_interval_ms,
+                   CAST(sum(iv) // count(*) AS BIGINT) AS avg_interval_ms,
+                   CAST(sum(CASE WHEN iv < {POLITE_DELAY_MS} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS violations
+            FROM iv WHERE iv IS NOT NULL
+            GROUP BY dom""",
         "corpus_report": _corpus_report_sql(),
         "change_rates": _change_rates_sql(),
         "cdc_chunks": _cdc_chunks_sql(),

@@ -138,6 +138,7 @@ HEADLINE = [
     "grouped_split",
     "host_boilerplate",
     "bm25_retracted",
+    "politeness_audit",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -41,3 +41,30 @@ def test_url_templates_topk_tiebreak(spark):
         ("/a/N", 1),
         ("/b/N", 2),
     ]
+
+
+def test_politeness_audit_intervals_and_violations(spark):
+    from walker_spark.operators.urlstats import politeness_audit
+
+    rows = [
+        ("a.com", 0), ("a.com", 500), ("a.com", 3000),   # ivs 500, 2500
+        ("b.com", 10_000),                               # single fetch: no row
+        ("c.com", 0), ("c.com", 0), ("c.com", 900),      # tie: ivs 0, 900
+    ]
+    df = spark.createDataFrame(rows, "dom string, time_ms long")
+    got = {
+        r["dom"]: (r["n_fetches"], r["min_interval_ms"],
+                   r["avg_interval_ms"], r["violations"])
+        for r in politeness_audit(df, crawl_delay_ms=1000).collect()
+    }
+    assert got == {
+        "a.com": (3, 500, 1500, 1),
+        "c.com": (3, 0, 450, 2),
+    }
+    # deterministic under repartitioning (tie intervals are a multiset law)
+    again = {
+        r["dom"]: (r["n_fetches"], r["min_interval_ms"],
+                   r["avg_interval_ms"], r["violations"])
+        for r in politeness_audit(df.repartition(5), crawl_delay_ms=1000).collect()
+    }
+    assert again == got

@@ -67,3 +67,52 @@ def url_templates(
         .filter(F.col("rank") <= top_k)
         .select("host", "template", "n_urls", "n_distinct", "rank")
     )
+
+
+def politeness_audit(
+    fetches: DataFrame,
+    crawl_delay_ms: int,
+    dom_col: str = "dom",
+    time_col: str = "time_ms",
+) -> DataFrame:
+    """Per-domain politeness compliance over the crawl HISTORY: did the
+    engine actually honor its delay envelope (reference config.go's
+    ≤10 URL/s/process politeness contract; fetch.py enforces it
+    forward — this is the audit that proves it backward, the report a
+    crawl operator pulls when a webmaster complains).
+
+    Input: one row per fetch event (domain, epoch-ms). Per domain the
+    consecutive-fetch intervals are the diffs of the time-sorted
+    sequence — well-defined as a multiset even under timestamp ties,
+    so the report is deterministic and the DuckDB oracle matches
+    bit-for-bit (pure integer ms; ``avg_interval_ms`` is an integer
+    ``div``). Output ``(dom, n_fetches, min_interval_ms,
+    avg_interval_ms, violations)`` with ``violations`` = intervals
+    strictly below ``crawl_delay_ms``; single-fetch domains emit no
+    row (no interval to audit — sparse contract).
+
+    Scale shape: one hash exchange on dom feeding a lag window, then a
+    dom-keyed aggregate with map-side partials. A mega-domain is a hot
+    window partition here; at 10^9-fetch domains, pre-segment the
+    history by (dom, time-bucket) and merge boundary terms — the
+    mergeable-segment fold streaming/recrawl_stream.py already
+    implements for change stats (same law, kept simple here because
+    the audit is an offline report, not a superstep).
+    """
+    w = Window.partitionBy("dom").orderBy("t")
+    iv = (
+        fetches.select(
+            F.col(dom_col).alias("dom"), F.col(time_col).cast("long").alias("t")
+        )
+        .withColumn("_prev", F.lag("t").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select("dom", (F.col("t") - F.col("_prev")).alias("_iv"))
+    )
+    return iv.groupBy("dom").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_fetches"),
+        F.min("_iv").cast("long").alias("min_interval_ms"),
+        F.expr("sum(_iv) div count(1)").cast("long").alias("avg_interval_ms"),
+        F.sum((F.col("_iv") < crawl_delay_ms).cast("long"))
+        .cast("long")
+        .alias("violations"),
+    )
