@@ -1,220 +1,296 @@
-"""WARC source — the archive format web crawls actually ship in
-(ISO 28500: WARC/1.0 and 1.1; every Common Crawl release is a set of
-~1 GB ``.warc.gz`` segment files). The reference engine fetches live
-HTTP (fetcher.go) — a Spark-first crawl/corpus engine additionally
-needs to INGEST crawls that already happened, and WARC is that
-interchange surface: read segments, surface (url, headers, html bytes)
-rows, and feed them straight into the pages table / parse kernel /
-training-data operators.
+"""WARC source: read ISO 28500 web-archive files into the engine's
+table model — the standard interchange format between crawlers
+(wget/Heritrix/CommonCrawl) and training-data pipelines (reference:
+walker persists fetches to its pages table, fetcher.go; WARC is the
+export/import surface a user swapping crawlers needs).
 
-Spark shape — file-granular parallelism, record parsing in Arrow
-batches:
+Format subset (public spec, ISO 28500 / IIPC warc-specifications):
+records are ``WARC/1.0`` header blocks terminated by CRLFCRLF, a body
+of exactly ``Content-Length`` bytes, then CRLFCRLF; ``response``
+records carry an HTTP message (status line, headers, body) as the
+block. ``.warc.gz`` files are the usual per-record gzip members —
+decoded as a multi-member stream.
 
-- ``spark.read.format("binaryFile")`` lists and distributes the
-  segment files; ONE FILE = ONE TASK. That is the honest scale unit
-  for WARC: a crawl is 10^4-10^5 segment files of ~1 GB (Common Crawl
-  publishes 64k/crawl, capped at 1 GB precisely so file-level
-  parallelism is enough), so a 1000-executor cluster saturates on the
-  file dimension alone. binaryFile's 2 GB/file JVM limit matches the
-  format's own convention.
-- Record splitting + header parsing happen in ``mapInPandas`` (Arrow
-  batches in, small row batches out) — pure byte scanning against the
-  framed ``Content-Length`` layout, NEVER a regex over payload bytes
-  (bodies are binary; a separator scan would tear records whose body
-  contains the separator).
-- ``.warc.gz`` is handled transparently: the format gzips each record
-  as its OWN gzip member and concatenates, and Python's zlib consumes
-  concatenated members in one stream — so the same parser serves both
-  plain and gz segments.
-
-Strictness contract mirrors read_jsonl: default raises on a torn/
-malformed record (FAILFAST); ``audit=True`` yields a per-file
-``_corrupt`` count instead and keeps the parse alive.
+Scale shape: one task per WARC file (``binaryFile`` source — WARC's
+record framing has no split points without an index, so the FILE is
+the parallelism unit; shard archives into many ~1 GB files, exactly
+how CommonCrawl ships). Parsing is one ``mapInPandas`` pass; payload
+bytes are born in the scan task and never shuffle (same contract as
+the pages table's html).
 """
 
 from __future__ import annotations
 
-import gzip
-import io
+import hashlib
+import zlib
 from typing import Iterator
 
-import pandas as pd  # module-level: pandas_udf/mapInPandas type hints
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-
-#: output schema of read_warc: one row per WARC record. body holds the
-#: record payload with any HTTP envelope stripped (response records);
-#: http_status/-content_type are parsed from that envelope and null
-#: for non-response records.
-WARC_SCHEMA = (
-    "path string, warc_type string, target_uri string, warc_date string, "
-    "record_id string, content_type string, http_status int, "
-    "http_content_type string, body binary, body_len long, _corrupt int"
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
 )
 
-_CRLF = b"\r\n"
-_BLANK = b"\r\n\r\n"
+WARC_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType(), False),
+        StructField("record_type", StringType(), True),
+        StructField("url", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("http_status", IntegerType(), True),
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("checksum", StringType(), False),
+    ]
+)
+
+_CRLF2 = b"\r\n\r\n"
 
 
-def _parse_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Yield (headers-lowercased, payload) per record from one
-    uncompressed WARC buffer. Framing is Content-Length only — the
-    ISO 28500 layout: version line, CRLF-separated headers, blank
-    line, exactly Content-Length payload bytes, blank line."""
-    i, n = 0, len(buf)
-    while i < n:
-        while buf[i : i + 2] == _CRLF:
-            i += 2
-        if i >= n:
-            return
-        eol = buf.find(_CRLF, i)
-        if eol < 0 or not buf[i:eol].startswith(b"WARC/"):
-            raise ValueError(f"not a WARC version line at offset {i}")
-        hdr_end = buf.find(_BLANK, eol)
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the .warc.gz
+    convention: one member per record). gzip.decompress stops after
+    the FIRST member, so loop a raw zlib stream instead."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        data = d.unused_data
+        if not d.eof:  # truncated trailing member
+            break
+    return b"".join(out)
+
+
+def _parse_warc_bytes(name: str, data: bytes, strict: bool = False):
+    """Yield WARC_SCHEMA dicts from raw (already-decompressed) bytes.
+    ``strict`` turns a torn/malformed record into a loud ValueError
+    (FAILFAST — the read_jsonl contract); default keeps the salvage
+    behavior: stop at the tear, keep everything parsed before it."""
+
+    def torn(msg: str):
+        if strict:
+            raise ValueError(f"{name}: {msg}")
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(_CRLF2, pos)
         if hdr_end < 0:
-            raise ValueError(f"unterminated WARC header block at offset {i}")
-        headers: dict = {}
-        for line in buf[eol + 2 : hdr_end].split(_CRLF):
-            k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("ascii", "replace")] = v.strip().decode(
-                "utf-8", "replace"
-            )
+            torn(f"unterminated WARC header block at offset {pos}")
+            break
+        header = data[pos:hdr_end].decode("utf-8", "replace")
+        lines = header.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            torn(f"not a WARC version line at offset {pos}")
+            break
+        fields = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            fields[k.strip().lower()] = v.strip()
         try:
-            clen = int(headers["content-length"])
-        except (KeyError, ValueError) as e:
-            raise ValueError(f"bad Content-Length at offset {i}") from e
-        start = hdr_end + 4
-        if start + clen > n:
-            raise ValueError(f"payload overruns file at offset {i}")
-        yield headers, buf[start : start + clen]
-        i = start + clen
-
-
-def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content-type, body) from an application/http payload;
-    (None, None, payload) when no HTTP envelope is present."""
-    sep = payload.find(_BLANK)
-    first = payload.split(_CRLF, 1)[0]
-    if sep < 0 or not first.startswith(b"HTTP/"):
-        return None, None, payload
-    parts = first.split()
-    status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
-    ctype = None
-    for line in payload[:sep].split(_CRLF)[1:]:
-        k, _, v = line.partition(b":")
-        if k.strip().lower() == b"content-type":
-            ctype = v.strip().decode("utf-8", "replace")
-    return status, ctype, payload[sep + 4 :]
-
-
-def _decompress(raw: bytes) -> bytes:
-    """Transparent per-record-gzip-member handling: gzip.GzipFile over
-    the whole stream consumes concatenated members (the .warc.gz
-    convention) as well as a single member or plain bytes."""
-    if raw[:2] != b"\x1f\x8b":
-        return raw
-    return gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+            clen = int(fields.get("content-length", "0"))
+        except ValueError:
+            torn(f"bad Content-Length at offset {pos}")
+            break
+        if hdr_end + 4 + clen > n:
+            torn(f"payload overruns file at offset {pos}")
+        block = data[hdr_end + 4 : hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        rtype = fields.get("warc-type")
+        url = fields.get("warc-target-uri")
+        wdate = fields.get("warc-date")
+        status = None
+        mime = None
+        payload = block
+        if rtype == "response" and block.startswith(b"HTTP/"):
+            he = block.find(_CRLF2)
+            if he >= 0:
+                hlines = block[:he].decode("utf-8", "replace").split("\r\n")
+                parts = hlines[0].split(" ", 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                for ln in hlines[1:]:
+                    k, _, v = ln.partition(":")
+                    if k.strip().lower() == "content-type":
+                        mime = v.strip()
+                payload = block[he + 4 :]
+        yield {
+            "warc_file": name,
+            "record_type": rtype,
+            "url": url,
+            "warc_date": wdate,
+            "http_status": status,
+            "mime": mime,
+            "payload": payload,
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+        }
 
 
 def read_warc(
     spark: SparkSession,
     path: str,
-    audit: bool = False,
     types: tuple[str, ...] | None = None,
+    strict: bool = False,
 ) -> DataFrame:
-    """Read WARC/WARC.GZ segment files into one row per record
-    (:data:`WARC_SCHEMA`). ``types`` filters by WARC-Type at parse
-    time (e.g. ``("response",)`` — the usual ingest wants responses
-    only, and dropping request/metadata records inside the scan task
-    avoids materializing them at all). Default FAILFAST; ``audit=True``
-    swallows a file's records after the first torn record and reports
-    the file as one row with ``_corrupt = 1`` (body null), so a
-    quality pass can quarantine segments without losing the scan.
-    """
-    files = spark.read.format("binaryFile").load(path)
+    """Read WARC (or per-record-gzipped .warc.gz) files into a
+    DataFrame of WARC_SCHEMA rows — one row per record, ``payload``
+    the HTTP body for response records (raw block otherwise).
+
+    ``types`` filters by WARC-Type INSIDE the parse task (the usual
+    ingest wants ``("response",)`` only; dropping request/metadata
+    records before they become rows avoids materializing them at
+    all). ``strict=True`` raises on a torn/malformed record (the
+    read_jsonl FAILFAST contract); the default salvages — a torn
+    segment keeps every record before the tear, the quarantine mode
+    for damaged archives."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list = []
-            for fpath, raw in zip(pdf["path"], pdf["content"]):
-                try:
-                    buf = _decompress(bytes(raw))
-                    for h, payload in _parse_records(buf):
-                        wtype = h.get("warc-type", "")
-                        if types is not None and wtype not in types:
-                            continue
-                        status, hctype, body = (
-                            _split_http(payload)
-                            if wtype == "response"
-                            and h.get("content-type", "").startswith("application/http")
-                            else (None, None, payload)
-                        )
-                        out.append(
-                            (
-                                fpath,
-                                wtype,
-                                h.get("warc-target-uri"),
-                                h.get("warc-date"),
-                                h.get("warc-record-id"),
-                                h.get("content-type"),
-                                status,
-                                hctype,
-                                body,
-                                len(body),
-                                0,
-                            )
-                        )
-                except Exception:
-                    if not audit:
-                        raise
-                    out.append(
-                        (fpath, None, None, None, None, None, None, None, None, None, 1)
+            rows = {f.name: [] for f in WARC_SCHEMA.fields}
+            for name, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if name.endswith(".gz"):
+                    data = _gunzip_members(data)
+                for rec in _parse_warc_bytes(name, data, strict=strict):
+                    if types is not None and rec["record_type"] not in types:
+                        continue
+                    for k, v in rec.items():
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(parse, WARC_SCHEMA)
+
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType(), False),
+        StructField("n_records", LongType(), False),
+        StructField("file_bytes", LongType(), False),
+        StructField("payload_bytes", LongType(), False),
+    ]
+)
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    gzip_members: bool = True,
+    date: str = "1970-01-01T00:00:00Z",
+) -> DataFrame:
+    """Distributed WARC export: every partition of ``df`` (columns
+    ``url``, ``http_status``, ``mime``, ``payload``; optional
+    ``warc_date`` overriding ``date``) becomes ONE ``part-NNNNN.warc``
+    (``.gz`` with per-record gzip members, mtime=0, when
+    ``gzip_members``) shard in ``out_dir`` — the CommonCrawl sharding
+    convention, so the file count IS the read-side parallelism. Shards
+    are written to a dot-tmp name then atomically renamed (task retry
+    leaves no partial shard); empty partitions write nothing. Eager:
+    runs one job and returns the collected per-file manifest as a
+    (tiny) DataFrame. Payload bytes stay in the task that owns the
+    partition — repartition upstream to choose shard count/size.
+    Reference parity: walker persists fetches to its pages table
+    (fetcher.go); this is the export half of the WARC interchange
+    surface, read_warc the import half."""
+    import os
+
+    spark = df.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    has_date = "warc_date" in df.columns
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = os.path.join(out_dir, f".part-{pid:05d}{ext}.tmp")
+        n_rec = 0
+        n_payload = 0
+        f = None
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if f is None:
+                    f = open(tmp, "wb")
+                dates = pdf["warc_date"] if has_date else None
+                recs = [
+                    (
+                        u,
+                        dates.iloc[i] if dates is not None else date,
+                        int(s),
+                        m,
+                        bytes(p),
                     )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "path",
-                    "warc_type",
-                    "target_uri",
-                    "warc_date",
-                    "record_id",
-                    "content_type",
-                    "http_status",
-                    "http_content_type",
-                    "body",
-                    "body_len",
-                    "_corrupt",
-                ],
-            )
+                    for i, (u, s, m, p) in enumerate(
+                        zip(
+                            pdf["url"],
+                            pdf["http_status"],
+                            pdf["mime"],
+                            pdf["payload"],
+                        )
+                    )
+                ]
+                f.write(build_warc_bytes(recs, gzip_members=gzip_members))
+                n_rec += len(recs)
+                n_payload += int(sum(len(r[4]) for r in recs))
+            if f is not None:
+                f.close()
+                f = None
+                os.replace(tmp, final)
+                yield pd.DataFrame(
+                    {
+                        "warc_file": [final],
+                        "n_records": [n_rec],
+                        "file_bytes": [os.path.getsize(final)],
+                        "payload_bytes": [n_payload],
+                    }
+                )
+        finally:
+            if f is not None:
+                f.close()
 
-    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+    cols = ["url", "http_status", "mime", "payload"] + (
+        ["warc_date"] if has_date else []
+    )
+    manifest = df.select(*cols).mapInPandas(writer, MANIFEST_SCHEMA).collect()
+    return spark.createDataFrame(manifest, MANIFEST_SCHEMA)
 
 
-def build_warc_bytes(
-    records: list[dict], gz: bool = False, per_record_members: bool = True
-) -> bytes:
-    """Serialize records to WARC bytes (the test/fixture twin of
-    read_warc; also the shape a WARC SINK would emit per partition).
-    Each record dict: ``warc_type``, ``target_uri``, ``payload``
-    (bytes), optional ``warc_date``/``record_id``/``content_type``.
-    ``gz=True`` emits the standard one-gzip-member-per-record layout
-    (``per_record_members=False`` degrades to a single member — both
-    must parse identically)."""
-    chunks: list[bytes] = []
-    for i, r in enumerate(records):
-        payload = r["payload"]
-        hdrs = [
-            b"WARC/1.0",
-            f"WARC-Type: {r['warc_type']}".encode(),
-            f"WARC-Record-ID: {r.get('record_id', f'<urn:test:{i}>')}".encode(),
-            f"WARC-Date: {r.get('warc_date', '2024-01-01T00:00:00Z')}".encode(),
-            f"Content-Length: {len(payload)}".encode(),
-        ]
-        if r.get("target_uri"):
-            hdrs.append(f"WARC-Target-URI: {r['target_uri']}".encode())
-        if r.get("content_type"):
-            hdrs.append(f"Content-Type: {r['content_type']}".encode())
-        rec = _CRLF.join(hdrs) + _BLANK + payload + _BLANK
-        chunks.append(gzip.compress(rec) if gz and per_record_members else rec)
-    if gz and not per_record_members:
-        return gzip.compress(b"".join(chunks))
-    return b"".join(chunks)
+def build_warc_bytes(records, gzip_members: bool = False) -> bytes:
+    """Serialize ``(url, date, status, mime, body_bytes)`` tuples as a
+    WARC response stream (deterministic — the test/fixture writer and
+    the export path share it; gzip members use mtime=0 so shard bytes
+    are bit-reproducible)."""
+    import gzip as _gzip
+
+    out = []
+    for url, date, status, mime, body in records:
+        http = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {mime}\r\n\r\n"
+        ).encode() + body
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{hashlib.md5(url.encode()).hexdigest()}>\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        rec = hdr + http + _CRLF2
+        out.append(_gzip.compress(rec, mtime=0) if gzip_members else rec)
+    return b"".join(out)
