@@ -1111,6 +1111,21 @@ def q_pagerank(spark, sf_dir):
     return pagerank(_planted_doc_edges(spark, sf_dir), iterations=PAGERANK_ITERS)
 
 
+LPA_ITERS = 4
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007; deterministic min-label tie-break, exactly LPA_ITERS rounds)
+    on the planted doc graph — the oracle unrolls the identical
+    rounds one CTE each."""
+    from walker_spark.operators.graph import lpa_communities
+
+    return lpa_communities(
+        _planted_doc_edges(spark, sf_dir), iterations=LPA_ITERS
+    )
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs/authorities (Kleinberg 1999), exact-integer L1
     variant, on the planted doc graph."""
@@ -1535,6 +1550,26 @@ def q_salted_join(spark, sf_dir):
     return salted_join(
         ev, dim, on=["user_id"], scatter_col="event_id", n_salts=8
     ).select("event_id", "user_id", "tier")
+
+
+def q_bloom_join(spark, sf_dir):
+    """Runtime-Bloom-filter join pushdown (joins.bloom_filtered_join):
+    orders probe a negative-balance customer subset through k=4
+    chained broadcast LEFT-SEMI joins on the Bloom bit table, then the
+    real equi-join. Exact by construction (no false negatives; false
+    positives die in the equi-join), so the oracle IS the plain
+    join."""
+    from walker_spark.operators.joins import bloom_filtered_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+    return bloom_filtered_join(orders, cust, "o_custkey").select(
+        "o_orderkey", "o_custkey", "c_nationkey"
+    )
 
 
 def q_cdc_chunks(spark, sf_dir):
@@ -2150,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "tokenize_ids": q_tokenize_ids,
         "pagerank": q_pagerank,
+        "lpa_communities": q_lpa_communities,
         "hits": q_hits,
         "triangle_counts": q_triangle_counts,
         "hop_distances": q_hop_distances,
@@ -2164,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "key_skew": q_key_skew,
         "salted_join": q_salted_join,
+        "bloom_join": q_bloom_join,
         "weighted_sample": q_weighted_sample,
         "zone_map_prune": q_zone_map_prune,
         "bloom_file_prune": q_bloom_file_prune,
@@ -2936,6 +2973,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _vocab_coverage_sql(),
         "tokenize_ids": _tokenize_ids_sql(),
         "pagerank": _pagerank_sql(),
+        "lpa_communities": _lpa_sql(),
         "hits": _hits_graph_sql(),
         "triangle_counts": _triangle_counts_sql(),
         "hop_distances": _hop_distances_sql(),
@@ -2964,6 +3002,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_chunks_sql(),
         "key_skew": _key_skew_sql(),
         "salted_join": _salted_join_sql(),
+        "bloom_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_nationkey
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_acctbal < 0""",
         "weighted_sample": _weighted_sample_sql(),
         "zone_map_prune": _zone_map_prune_sql(),
         "bloom_file_prune": _bloom_file_prune_sql(),
@@ -4109,6 +4151,35 @@ _PLANTED_GRAPH_CTES = """dn AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn
                 UNION SELECT dst FROM edges) u
           LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
                      FROM edges GROUP BY src) o ON o.node = u.node)"""
+
+
+def _lpa_sql(iterations: int = LPA_ITERS) -> str:
+    """SQL replica of graph.lpa_communities on the planted doc graph:
+    canonical undirected simple edges, then one CTE per synchronous
+    round (most-frequent neighbor label, min label on ties) — pure
+    integer, bit-identical to the Spark labels."""
+    its = []
+    for i in range(iterations):
+        its.append(f"""
+        l{i + 1} AS (
+          SELECT node, label FROM (
+            SELECT d.dst AS node, p.label,
+                   row_number() OVER (PARTITION BY d.dst
+                       ORDER BY count(*) DESC, p.label) AS rn
+            FROM l{i} p JOIN dir d ON d.src = p.node
+            GROUP BY d.dst, p.label) t
+          WHERE rn = 1
+        )""")
+    return f"""
+        WITH {_PLANTED_GRAPH_CTES},
+        ce AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM edges WHERE src <> dst),
+        dir AS (SELECT u AS src, v AS dst FROM ce
+                UNION ALL SELECT v AS src, u AS dst FROM ce),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM dir),
+        {", ".join(its)}
+        SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        FROM l{iterations}"""
 
 
 def _embedding_communities_sql(k: int = 4, n_centroids: int = 16, dim: int = 64) -> str:

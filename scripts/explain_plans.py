@@ -1811,6 +1811,27 @@ def main():
         ],
     )
 
+    # 14. bloom_filtered_join: the probe side must be reduced by k
+    # BROADCAST LeftSemi joins (map-side, zero probe exchange before
+    # the equi-join) — at scale this is the shuffle-bytes reduction.
+    from walker_spark.operators.joins import bloom_filtered_join
+
+    _bf_probe = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS v")
+    _bf_build = spark.range(0, 5000, 17).selectExpr("id AS k", "'d' AS tag")
+    ok &= grab(
+        "bloom_filtered_join: k=4 broadcast LEFT-SEMI pre-filters on the "
+        "probe side (never shuffled semis) — only surviving probe rows "
+        "reach the equi-join",
+        bloom_filtered_join(_bf_probe, _bf_build, "k", k=4),
+        [
+            ("four LeftSemi pre-filters", r"LeftSemi", 4),
+            ("every semi is broadcast",
+             r"(ShuffledHashJoin|SortMergeJoin) LeftSemi", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

@@ -203,3 +203,101 @@ def test_range_join_with_keys(spark):
         ).collect()
     )
     assert got == want
+
+
+class TestBloomFilteredJoin:
+    """bloom_filtered_join: exact parity with the plain join (incl.
+    forced false positives via a tiny bit table), null/composite
+    keys, left_semi mode, prebuilt-bits reuse, and the map-side plan
+    shape (k broadcast LEFT-SEMI joins, no exchange on the probe side
+    before them)."""
+
+    def _frames(self, spark):
+        import pyspark.sql.functions as F
+
+        probe = spark.range(0, 3000).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 97).alias("v")
+        )
+        build = spark.range(0, 3000, 11).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        return probe, build
+
+    def test_parity_inner(self, spark):
+        from walker_spark.operators.joins import bloom_filtered_join
+
+        probe, build = self._frames(spark)
+        got = sorted(bloom_filtered_join(probe, build, "k").collect())
+        exp = sorted(probe.join(build, "k").collect())
+        assert got == exp and len(exp) > 0
+
+    def test_parity_under_false_positives(self, spark):
+        from walker_spark.operators.joins import bloom_filtered_join
+
+        probe, build = self._frames(spark)
+        # m_bits=4, k=1: nearly every probe row passes the bloom —
+        # the equi-join must still drop every false positive.
+        got = sorted(
+            bloom_filtered_join(probe, build, "k", m_bits=4, k=1).collect()
+        )
+        assert got == sorted(probe.join(build, "k").collect())
+
+    def test_left_semi_and_null_composite_keys(self, spark):
+        import pyspark.sql.functions as F
+
+        from walker_spark.operators.joins import bloom_filtered_join
+
+        probe, build = self._frames(spark)
+        p2 = probe.withColumn(
+            "k2", F.when(F.col("k") % 5 == 0, None).otherwise(F.col("k") % 3)
+        )
+        b2 = build.withColumn("k2", F.col("k") % 3)
+        got = sorted(
+            bloom_filtered_join(p2, b2, ["k", "k2"], how="left_semi").collect()
+        )
+        exp = sorted(p2.join(b2, ["k", "k2"], "left_semi").collect())
+        assert got == exp and len(exp) > 0
+
+    def test_prebuilt_bits_reuse(self, spark):
+        import pyspark.sql.functions as F
+
+        from walker_spark.operators.joins import bloom_filtered_join
+        from walker_spark.operators.sketches import bloom_bits
+
+        probe, build = self._frames(spark)
+        bits = bloom_bits(
+            build.select(F.col("k").cast("string").alias("_bloom_key")),
+            "_bloom_key",
+            m_bits=1 << 12,
+            k=3,
+        ).localCheckpoint()
+        got = sorted(
+            bloom_filtered_join(
+                probe, build, "k", bits=bits, m_bits=1 << 12, k=3
+            ).collect()
+        )
+        assert got == sorted(probe.join(build, "k").collect())
+
+    def test_rejects_outer(self, spark):
+        import pytest as _pytest
+
+        from walker_spark.operators.joins import bloom_filtered_join
+
+        probe, build = self._frames(spark)
+        with _pytest.raises(ValueError):
+            bloom_filtered_join(probe, build, "k", how="left")
+
+    def test_plan_probe_side_map_side(self, spark):
+        from walker_spark.operators.joins import bloom_filtered_join
+
+        probe, build = self._frames(spark)
+        plan = (
+            bloom_filtered_join(probe, build, "k", k=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("LeftSemi") == 4
+        # every semi is a broadcast hash join, never shuffled
+        assert "ShuffledHashJoin LeftSemi" not in plan
+        assert "SortMergeJoin LeftSemi" not in plan

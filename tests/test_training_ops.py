@@ -2899,3 +2899,80 @@ def test_retract_postings_index_equals_rebuild(spark):
     served = sorted(map(tuple, bm25_topk_indexed(retracted, qdf, k=3).collect()))
     direct = sorted(map(tuple, bm25_topk_indexed(rebuilt, qdf, k=3).collect()))
     assert served == direct
+
+
+def _py_lpa(edge_list, iterations):
+    """Synchronous LPA reference: most-frequent neighbor label, min
+    label on ties, early stop on convergence (idempotent)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {n: n for n in adj}
+    for _ in range(iterations):
+        new = {}
+        for n in adj:
+            c = collections.Counter(lab[m] for m in adj[n])
+            mx = max(c.values())
+            new[n] = min(l for l, k in c.items() if k == mx)
+        if new == lab:
+            break
+        lab = new
+    return lab
+
+
+def test_lpa_two_triangles_bridge(spark):
+    from walker_spark.operators.graph import lpa_communities
+
+    # two triangles joined by one bridge: exactly two communities,
+    # labeled by each triangle's min node
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    got = {
+        r["node"]: r["label"]
+        for r in lpa_communities(
+            spark.createDataFrame(edges, "src long, dst long"), iterations=6
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_lpa_random_parity(spark):
+    import random
+
+    from walker_spark.operators.graph import lpa_communities
+
+    rng = random.Random(47)
+    for trial in range(3):
+        edge_list = [
+            (rng.randint(0, 29), rng.randint(0, 29)) for _ in range(90)
+        ] + [(7, 7)]
+        got = {
+            r["node"]: r["label"]
+            for r in lpa_communities(
+                spark.createDataFrame(edge_list, "src long, dst long"),
+                iterations=4,
+            ).collect()
+        }
+        assert got == _py_lpa(edge_list, 4), f"trial {trial}"
+
+
+def test_lpa_fixed_rounds_are_the_semantics(spark):
+    from walker_spark.operators.graph import lpa_communities
+
+    # a 4-cycle oscillates under synchronous LPA: round counts with
+    # different parity give different labelings, and each must equal
+    # the reference at the same round count (fixed rounds ARE the
+    # contract; the oracle unrolls the same count)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    for iters in (1, 2):
+        got = {
+            r["node"]: r["label"]
+            for r in lpa_communities(
+                spark.createDataFrame(edges, "src long, dst long"),
+                iterations=iters,
+            ).collect()
+        }
+        assert got == _py_lpa(edges, iters), iters

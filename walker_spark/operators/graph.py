@@ -799,3 +799,97 @@ def _double_round(state: DataFrame) -> DataFrame:
         (F.col("n") + F.coalesce("j_n", F.lit(0).cast("long"))).alias("n"),
         F.col("j_url").isNotNull().alias("_adv"),
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan, Albert &
+    Kumara 2007) over the undirected simple graph: every node starts
+    as its own label and, each round, adopts the most frequent label
+    among its NEIGHBORS — ties broken by the smallest label, so the
+    whole run is deterministic pure-integer math. Returns
+    ``(node, label)`` (both BIGINT); isolated nodes (absent from the
+    edge set) are absent, the embedding_communities fill-in contract.
+
+    Exactly ``iterations`` synchronous rounds are run (synchronous LPA
+    can oscillate on bipartite-ish structures, so a fixpoint is not
+    guaranteed — the fixed round count IS the semantics, and the
+    DuckDB oracle unrolls the identical rounds). If the labels do
+    converge early the loop stops — a converged round is idempotent,
+    so the fixed-round oracle still matches bit-for-bit.
+
+    Round shape (the plan a 10^10-edge link graph needs): labels hash-
+    join the directed edge list on ``src`` (labels table is one row
+    per node — orders of magnitude smaller than the edges it joins),
+    one ``(dst, label)``-keyed count with map-side partials (a mega-
+    hub is a hot REDUCE key, never a hot window partition), a per-node
+    integer argmax via ``max(struct(cnt, -label))``, and one join back
+    to the previous labels so the changed-label count rides the
+    round's single ``localCheckpoint`` as an Observation (one job per
+    round — the connected_components pattern).
+
+    Reference parity note: walker has no graph analytics; this is the
+    host/community clustering a crawl link graph feeds (same tier as
+    pagerank/hits/kcore above, SURVEY.md training-data ops).
+    """
+    from pyspark.sql import Observation
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    ce = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    directed = (
+        ce.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(ce.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        directed.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        nxt = _lpa_round(directed, labels)
+        obs = Observation()
+        nxt = nxt.observe(
+            obs,
+            F.sum((F.col("label") != F.col("_prev")).cast("long")).alias(
+                "changed"
+            ),
+        ).localCheckpoint()
+        changed = obs.get["changed"]
+        labels = nxt.select("node", "label")
+        if changed == 0:
+            break
+    return labels
+
+
+def _lpa_round(directed: DataFrame, labels: DataFrame) -> DataFrame:
+    """One un-checkpointed synchronous LPA round — factored out so
+    explain_plans.py asserts the real round plan. Emits
+    ``(node, label, _prev)``."""
+    nbr = directed.join(
+        labels.select(F.col("node").alias("src"), "label"), "src"
+    ).select(F.col("dst").alias("node"), "label")
+    counts = nbr.groupBy("node", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    best = counts.groupBy("node").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias(
+            "m"
+        )
+    )
+    return best.join(
+        labels.select("node", F.col("label").alias("_prev")), "node"
+    ).select("node", (-F.col("m.neg")).alias("label"), "_prev")

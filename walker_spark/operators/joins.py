@@ -198,3 +198,81 @@ def range_join(
         (F.col("_pt") >= F.col("_s")) & (F.col("_pt") < F.col("_e"))
     )
     return out.drop("_pt", "_bucket", "_s", "_e")
+
+
+def bloom_filtered_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Union[str, Sequence[str]],
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    how: str = "inner",
+    bits: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Equi-join with a runtime Bloom-filter pushdown on the probe
+    side (the semi-join reduction Spark's own
+    ``spark.sql.optimizer.runtimeFilter.bloomFilter`` applies, here as
+    an explicit operator so the reduction also works across separately
+    materialized stages and with the repo's mergeable
+    :func:`~walker_spark.operators.sketches.bloom_bits` tables).
+
+    Shape: the build side's join keys hash into a plain-row bit table
+    (at most ``m_bits`` rows regardless of build size); the probe side
+    is then reduced MAP-SIDE by ``k`` chained broadcast LEFT-SEMI
+    joins — one per hash position, zero exchange on the probe side —
+    before the real equi-join sees it. At scale this is the difference
+    between shuffling the full probe table and shuffling only the
+    rows that can possibly match: Bloom false positives pass the
+    pre-filter but are dropped by the final equi-join, and there are
+    no false negatives, so the result is EXACTLY the plain join (the
+    oracle runs the plain join).
+
+    ``bits=`` accepts a precomputed/persisted ``bloom_bits`` table
+    over the SAME key expression (the pairs=/edges= reuse pattern) so
+    a daily-increment pipeline can probe yesterday's sketch without
+    touching the build table. ``how`` is ``inner`` or ``left_semi`` —
+    outer joins would need the filtered-out probe rows back and are
+    not what a Bloom reduction is for.
+
+    Reference parity note: walker's seen-set check (urlseen) is the
+    crawl-specific instance of this shape; this is the generic join
+    operator over any key.
+    """
+    from .sketches import _md5_u32, bloom_bits
+
+    if how not in ("inner", "left_semi"):
+        raise ValueError("bloom_filtered_join supports inner/left_semi only")
+    keys = [on] if isinstance(on, str) else list(on)
+    # Null-propagating composite key (concat, NOT concat_ws): a null
+    # in any key column can never equi-match, and its null hash
+    # position fails the semi-join, so the pre-filter drops exactly
+    # the rows the join would drop.
+    def _key(df: DataFrame) -> F.Column:
+        cols = [df[c].cast("string") for c in keys]
+        if len(cols) == 1:
+            return cols[0]
+        sep = F.lit("\x1f")
+        parts: list = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(sep)
+            parts.append(c)
+        return F.concat(*parts)
+
+    if bits is None:
+        bits = bloom_bits(
+            build.select(_key(build).alias("_bloom_key")),
+            "_bloom_key",
+            m_bits=m_bits,
+            k=k,
+        )
+    pkey = _key(probe)
+    filtered = probe
+    for j in range(k):
+        bj = bits.select(F.col("bit").alias(f"_bloom_bit_{j}"))
+        pos = _md5_u32(F.concat(pkey, F.lit(f":{j}"))) % m_bits
+        filtered = filtered.join(
+            F.broadcast(bj), pos == F.col(f"_bloom_bit_{j}"), "left_semi"
+        )
+    return filtered.join(build, keys, how)
