@@ -1411,6 +1411,16 @@ def q_embedding_communities(spark, sf_dir):
     )
 
 
+def q_entropy_scores(spark, sf_dir):
+    """RedPajama-v2-family entropy quality signals: per-doc character
+    and whitespace-token Shannon entropy in exact integer micro-nats
+    (zero-exchange in-row run-length histograms — no per-char explode,
+    no Python; the oracle replays the identical qlog quantization)."""
+    from walker_spark.operators.textstats import entropy_scores
+
+    return entropy_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_readability(spark, sf_dir):
     """Flesch reading-ease per doc in exact integer milli-units
     (textstats.readability_scores): ratio terms quantized by integer
@@ -2205,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_map_prune": q_zone_map_prune,
         "bloom_file_prune": q_bloom_file_prune,
         "readability": q_readability,
+        "entropy_scores": q_entropy_scores,
         "embedding_communities": q_embedding_communities,
         "kcore": q_kcore,
         "host_graph": q_host_graph,
@@ -3010,6 +3021,46 @@ def oracle_sql() -> dict[str, str]:
         "zone_map_prune": _zone_map_prune_sql(),
         "bloom_file_prune": _bloom_file_prune_sql(),
         "readability": _readability_sql(),
+        "entropy_scores": """
+            WITH ch AS (
+              SELECT doc_id, substr(text, i, 1) AS ch
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, length(text) + 1)) AS i
+                    FROM documents)
+            ),
+            cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                   FROM ch GROUP BY doc_id, ch),
+            ce AS (SELECT doc_id,
+                          CAST(sum(c) AS BIGINT) AS n_chars,
+                          CAST((CAST(sum(c) AS BIGINT)
+                                * CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                                - CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT))
+                               // CAST(sum(c) AS BIGINT) AS BIGINT) AS char_entropy_micro
+                   FROM cc GROUP BY doc_id),
+            tk AS (SELECT doc_id, t
+                   FROM (SELECT doc_id,
+                                unnest(regexp_split_to_array(text, '\\s+')) AS t
+                         FROM documents)
+                   WHERE t <> ''),
+            tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+                   FROM tk GROUP BY doc_id, t),
+            te AS (SELECT doc_id,
+                          CAST(sum(c) AS BIGINT) AS n_tokens,
+                          CAST(count(*) AS BIGINT) AS distinct_tokens,
+                          CAST((CAST(sum(c) AS BIGINT)
+                                * CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                                - CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT))
+                               // CAST(sum(c) AS BIGINT) AS BIGINT) AS token_entropy_micro
+                   FROM tc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(ce.n_chars, 0) AS n_chars,
+                   COALESCE(ce.char_entropy_micro, 0) AS char_entropy_micro,
+                   COALESCE(te.n_tokens, 0) AS n_tokens,
+                   COALESCE(te.distinct_tokens, 0) AS distinct_tokens,
+                   COALESCE(te.token_entropy_micro, 0) AS token_entropy_micro
+            FROM documents d
+            LEFT JOIN ce ON ce.doc_id = d.doc_id
+            LEFT JOIN te ON te.doc_id = d.doc_id""",
         "embedding_communities": _embedding_communities_sql(),
         "kcore": _kcore_sql(),
         "host_graph": _host_graph_sql(),

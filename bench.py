@@ -139,6 +139,7 @@ HEADLINE = [
     "host_boilerplate",
     "bm25_retracted",
     "politeness_audit",
+    "entropy_scores",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -2976,3 +2976,71 @@ def test_lpa_fixed_rounds_are_the_semantics(spark):
             ).collect()
         }
         assert got == _py_lpa(edges, iters), iters
+
+
+def _py_entropy_micro(items):
+    # the operator's exact integer contract: qlog(x) = floor(ln(x)*1e6
+    # + 0.5) per histogram term, H_micro = (n*qlog(n) - sum c*qlog(c))
+    # div n (numerator non-negative because qlog is monotone, so
+    # Python // == Spark div here)
+    import math
+    from collections import Counter
+
+    n = len(items)
+    if n == 0:
+        return 0
+    qlog = lambda x: math.floor(math.log(x) * 1e6 + 0.5)
+    s = sum(c * qlog(c) for c in Counter(items).values())
+    return (n * qlog(n) - s) // n
+
+
+def test_entropy_scores_random_parity(spark):
+    import random
+    import re
+
+    from walker_spark.operators.textstats import entropy_scores
+
+    rng = random.Random(73)
+    words = ["the", "cat", "sat", "aa", "zzz", "é", "mat!", "x"]
+    texts = [
+        (i, " ".join(rng.choices(words, k=rng.randint(1, 30))))
+        for i in range(30)
+    ] + [(30, ""), (31, "   "), (32, "aaaa"), (33, "a\tb\nc  d")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_chars"],
+            r["char_entropy_micro"],
+            r["n_tokens"],
+            r["distinct_tokens"],
+            r["token_entropy_micro"],
+        )
+        for r in entropy_scores(df).collect()
+    }
+    for i, t in texts:
+        chars = list(t)
+        toks = [w for w in re.split(r"\s+", t) if w]
+        assert got[i] == (
+            len(chars),
+            _py_entropy_micro(chars),
+            len(toks),
+            len(set(toks)),
+            _py_entropy_micro(toks),
+        ), i
+
+
+def test_entropy_scores_orders_degenerate_below_diverse(spark):
+    from walker_spark.operators.textstats import entropy_scores
+
+    # keyboard-mash / single-char boilerplate scores LOWER entropy
+    # than natural-looking text of the same length — the RedPajama-v2
+    # signal's whole point
+    df = spark.createDataFrame(
+        [(0, "aaaaaaaaaaaaaaaaaaaa"), (1, "the quick brown fox!")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["char_entropy_micro"]
+        for r in entropy_scores(df).collect()
+    }
+    assert got[0] == 0 and got[1] > 0

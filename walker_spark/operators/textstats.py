@@ -1805,3 +1805,121 @@ def host_boilerplate(
         )
         .withColumn("boiler_ppm", F.expr("(n_boiler * 1000000L) div n_grams"))
     )
+
+
+_QLOG = "CAST(FLOOR(LOG({x}) * 1000000.0D + 0.5D) AS BIGINT)"
+
+
+def _boundaries_sql(sorted_col: str) -> str:
+    """1-based indexes of run ENDS in an (already sorted) array column
+    — empty array in, empty array out (guarded: Spark's
+    ``sequence(1, 0)`` is the DESCENDING ``[1, 0]``, not empty).
+    ``sorted_col`` must be a plain column NAME (a bound attribute),
+    never an inline expression: ``element_at`` inside the lambda is
+    evaluated once per element, and an inline ``array_sort(...)``
+    there would re-sort per access — O(n² log n) per row (measured:
+    150 s vs ~2 s at sf0.01)."""
+    n = f"size({sorted_col})"
+    return (
+        f"IF({n} = 0, array(), "
+        f"filter(sequence(1, {n}), i -> i = {n} "
+        f"OR element_at({sorted_col}, i + 1) != element_at({sorted_col}, i)))"
+    )
+
+
+def _run_lengths_sql(bounds_col: str) -> str:
+    """Run lengths from the boundary-index column: each run's length is
+    its end index minus the previous run's end (0-prepended shift)."""
+    b = bounds_col
+    return (
+        f"IF(size({b}) = 0, CAST(array() AS array<bigint>), "
+        f"zip_with({b}, concat(array(0), slice({b}, 1, size({b}) - 1)), "
+        f"(a, b) -> CAST(a - b AS BIGINT)))"
+    )
+
+
+def _entropy_micro_sql(rl_col: str, n_sql: str) -> str:
+    """Shannon entropy in integer micro-nats from a run-length column:
+    ``H_micro = (n*qlog(n) - sum_c c*qlog(c)) div n`` with ``qlog(x) =
+    floor(ln(x)*1e6 + 0.5)`` — the repo's order-invariant micro-unit
+    quantization (BM25 precedent; DuckDB replays the identical
+    quantized terms, so the integer sum has no float-order
+    sensitivity). The numerator is non-negative because qlog is
+    monotone, so truncating and flooring division agree cross-engine."""
+    qn = _QLOG.format(x=f"CAST({n_sql} AS DOUBLE)")
+    qc = _QLOG.format(x="CAST(c AS DOUBLE)")
+    return (
+        f"CASE WHEN {n_sql} = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST(({n_sql} * {qn} - aggregate({rl_col}, CAST(0 AS BIGINT), "
+        f"(acc, c) -> acc + c * {qc})) div {n_sql} AS BIGINT) END"
+    )
+
+
+def entropy_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RedPajama-v2-family entropy quality signals (Together AI 2023;
+    the "unigram entropy" / character-diversity signals used to catch
+    degenerate boilerplate and keyboard-mash documents): per document,
+    the Shannon entropy of its CHARACTER distribution and of its
+    whitespace-token distribution, both as exact integer micro-nats
+    (BIGINT — no float ever crosses an engine boundary), plus the
+    token counts the entropies normalize over.
+
+    Emits ``(id, n_chars, char_entropy_micro, n_tokens,
+    distinct_tokens, token_entropy_micro)``.
+
+    Scale shape: a ZERO-exchange projection stack — each document's
+    histogram is derived in-row by sorting its char/token array and
+    folding run lengths (no explode: a 100 TB corpus would otherwise
+    fan out one row PER CHARACTER), no Python anywhere, and document
+    text never shuffles. Each stage (sorted array → run boundaries →
+    run lengths → fold) is materialized as a real column so every
+    array is built ONCE per row — CollapseProject keeps repeatedly-
+    referenced non-cheap exprs staged (the CDC-chunks lesson); the
+    first draft inlined ``array_sort`` into the boundary lambda and
+    re-sorted per element access, 75× slower. The micro-nat
+    quantization ``qlog(x) = floor(ln(x)*1e6 + 0.5)`` happens per
+    histogram term, so the fold is an integer sum — order-invariant,
+    replayed bit-for-bit by the DuckDB oracle (the BM25/tfidf
+    micro-unit rule)."""
+    chars = f"array_sort(filter(split({text_col}, ''), c -> c != ''))"
+    toks = (
+        f"array_sort(filter(split({text_col}, '\\\\s+'), t -> t != ''))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(chars).alias("_schars"),
+            F.expr(toks).alias("_stoks"),
+        )
+        .select(
+            id_col,
+            "_schars",
+            "_stoks",
+            F.expr(_boundaries_sql("_schars")).alias("_cb"),
+            F.expr(_boundaries_sql("_stoks")).alias("_tb"),
+        )
+        .select(
+            id_col,
+            "_schars",
+            "_stoks",
+            "_tb",
+            F.expr(_run_lengths_sql("_cb")).alias("_crl"),
+            F.expr(_run_lengths_sql("_tb")).alias("_trl"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("_schars").cast("long").alias("n_chars"),
+            F.expr(
+                _entropy_micro_sql("_crl", "size(_schars)")
+            ).alias("char_entropy_micro"),
+            F.size("_stoks").cast("long").alias("n_tokens"),
+            F.size("_tb").cast("long").alias("distinct_tokens"),
+            F.expr(
+                _entropy_micro_sql("_trl", "size(_stoks)")
+            ).alias("token_entropy_micro"),
+        )
+    )
