@@ -1832,6 +1832,24 @@ def main():
         ],
     )
 
+    from walker_spark.operators.textstats import entropy_scores
+
+    ok &= grab(
+        "entropy_scores: zero-exchange projection stack — per-doc "
+        "char/token entropy from IN-ROW sorted-array run-length "
+        "histograms; each array_sort is materialized exactly once per "
+        "column (CollapseProject must NOT inline it into the boundary "
+        "lambda — that re-sorts per element_at, measured 75x slower)",
+        entropy_scores(_cr_docs),
+        [
+            ("no exchange anywhere (pure projection)", r"Exchange", 0),
+            ("each sorted array built exactly once (2 columns)",
+             r"array_sort", 2),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"
