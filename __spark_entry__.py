@@ -1665,6 +1665,69 @@ def q_url_templates(spark, sf_dir):
     return url_templates(urls, top_k=2)
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap XML parse (sitemaps.parse_sitemaps): 8 per-host urlset
+    docs + 1 cross-host sitemapindex synthesized in-query from orders
+    (entries exercise entity-decoded locs, present/absent/garbage
+    lastmod, changefreq case-folding, DECIMAL priority, cross-host
+    declarations); zero-exchange regex parse, one explode, exact
+    integer epoch-days / priority-milli outputs."""
+    from walker_spark.operators.sitemaps import parse_sitemaps
+
+    orders = _t(spark, sf_dir, "orders")
+    host = "'http://h' || CAST(o_custkey % 8 AS STRING) || '.example.com'"
+    entry = (
+        "'<url><loc>'"
+        f" || CASE WHEN o_orderkey % 11 = 0 THEN 'http://other.example.net'"
+        f"      ELSE {host} END"
+        " || '/p/' || CAST(o_orderkey AS STRING)"
+        " || CASE WHEN o_orderkey % 7 = 0 THEN '?a=1&amp;b=2' ELSE '' END"
+        " || '</loc>'"
+        " || CASE WHEN o_orderkey % 3 = 0 THEN"
+        "      '<lastmod>2024-'"
+        "      || lpad(CAST(1 + o_orderkey % 12 AS STRING), 2, '0')"
+        "      || '-' || lpad(CAST(1 + o_orderkey % 28 AS STRING), 2, '0')"
+        "      || CASE WHEN o_orderkey % 2 = 0 THEN 'T08:30:00Z' ELSE '' END"
+        "      || '</lastmod>'"
+        "    WHEN o_orderkey % 3 = 1 THEN '<lastmod>unknown</lastmod>'"
+        "    ELSE '' END"
+        " || CASE WHEN o_orderkey % 4 = 0 THEN"
+        "      '<changefreq>'"
+        "      || CASE WHEN o_orderkey % 8 = 0 THEN 'DAILY' ELSE 'weekly' END"
+        "      || '</changefreq>' ELSE '' END"
+        " || CASE WHEN o_orderkey % 5 = 0 THEN"
+        "      '<priority>0.' || CAST((o_orderkey div 5) % 10 AS STRING)"
+        "      || '</priority>' ELSE '' END"
+        " || '</url>'"
+    )
+    urlsets = (
+        orders.select(
+            F.expr(f"{host} || '/sitemap.xml'").alias("url"),
+            F.expr(entry).alias("_e"),
+        )
+        .groupBy("url")
+        .agg(F.concat_ws("", F.collect_list("_e")).alias("body"))
+        .select("url", F.expr("'<urlset>' || body || '</urlset>'").alias("body"))
+    )
+    index = (
+        orders.select(
+            F.expr(
+                f"'<sitemap><loc>' || {host} || '/sitemap.xml</loc>'"
+                "|| '<lastmod>2024-01-15</lastmod></sitemap>'"
+            ).alias("_e")
+        )
+        .distinct()
+        .agg(F.concat_ws("", F.collect_list("_e")).alias("body"))
+        .select(
+            F.lit("http://master.example.com/sitemap_index.xml").alias("url"),
+            F.expr("'<sitemapindex>' || body || '</sitemapindex>'").alias(
+                "body"
+            ),
+        )
+    )
+    return parse_sitemaps(urlsets.unionByName(index))
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords):
     idf quantized to integer micro-units at the term level (BM25
@@ -2204,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "hard_negatives": q_hard_negatives,
         "url_templates": q_url_templates,
+        "sitemap_entries": q_sitemap_entries,
         "politeness_audit": q_politeness_audit,
         "corpus_report": q_corpus_report,
         "change_rates": q_change_rates,
@@ -2993,6 +3057,87 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _knn_graph_sql(),
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
+        "sitemap_entries": r"""
+            WITH src AS (
+              SELECT 'http://h' || CAST(o_custkey % 8 AS VARCHAR)
+                       || '.example.com' AS host,
+                     o_orderkey AS k
+              FROM orders),
+            entries AS (
+              SELECT host || '/sitemap.xml' AS sitemap_url,
+                '<url><loc>'
+                || CASE WHEN k % 11 = 0 THEN 'http://other.example.net'
+                        ELSE host END
+                || '/p/' || CAST(k AS VARCHAR)
+                || CASE WHEN k % 7 = 0 THEN '?a=1&amp;b=2' ELSE '' END
+                || '</loc>'
+                || CASE WHEN k % 3 = 0 THEN
+                     '<lastmod>2024-'
+                     || lpad(CAST(1 + k % 12 AS VARCHAR), 2, '0')
+                     || '-' || lpad(CAST(1 + k % 28 AS VARCHAR), 2, '0')
+                     || CASE WHEN k % 2 = 0 THEN 'T08:30:00Z' ELSE '' END
+                     || '</lastmod>'
+                   WHEN k % 3 = 1 THEN '<lastmod>unknown</lastmod>'
+                   ELSE '' END
+                || CASE WHEN k % 4 = 0 THEN
+                     '<changefreq>'
+                     || CASE WHEN k % 8 = 0 THEN 'DAILY' ELSE 'weekly' END
+                     || '</changefreq>' ELSE '' END
+                || CASE WHEN k % 5 = 0 THEN
+                     '<priority>0.' || CAST((k // 5) % 10 AS VARCHAR)
+                     || '</priority>' ELSE '' END
+                || '</url>' AS entry
+              FROM src),
+            docs AS (
+              SELECT sitemap_url,
+                     '<urlset>' || string_agg(entry, '') || '</urlset>' AS body
+              FROM entries GROUP BY sitemap_url
+              UNION ALL
+              SELECT 'http://master.example.com/sitemap_index.xml',
+                     '<sitemapindex>' || string_agg(e, '') || '</sitemapindex>'
+              FROM (SELECT DISTINCT '<sitemap><loc>http://h'
+                      || CAST(o_custkey % 8 AS VARCHAR)
+                      || '.example.com/sitemap.xml</loc>'
+                      || '<lastmod>2024-01-15</lastmod></sitemap>' AS e
+                    FROM orders)),
+            blocks AS (
+              SELECT sitemap_url, 'url' AS kind,
+                     unnest(regexp_extract_all(body,
+                       '(?s)<url>(.*?)</url>', 1)) AS block
+              FROM docs
+              UNION ALL
+              SELECT sitemap_url, 'sitemap',
+                     unnest(regexp_extract_all(body,
+                       '(?s)<sitemap>(.*?)</sitemap>', 1))
+              FROM docs),
+            fields AS (
+              SELECT sitemap_url, kind,
+                trim(replace(replace(replace(replace(replace(
+                  regexp_extract(block, '(?s)<loc>\s*(.*?)\s*</loc>', 1),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&apos;', ''''), '&amp;', '&')) AS loc,
+                regexp_extract(block,
+                  '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1) AS lm,
+                lower(regexp_extract(block,
+                  '(?s)<changefreq>\s*(.*?)\s*</changefreq>', 1))
+                  AS changefreq,
+                regexp_extract(block,
+                  '(?s)<priority>\s*(.*?)\s*</priority>', 1) AS pr
+              FROM blocks)
+            SELECT sitemap_url, kind, loc,
+              lower(regexp_extract(loc,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+                = lower(regexp_extract(sitemap_url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS same_host,
+              CAST(COALESCE(datediff('day', DATE '1970-01-01',
+                    try_cast(regexp_extract(lm,
+                      '^(\d{4}-\d{2}-\d{2})', 1) AS DATE)), -1)
+                AS BIGINT) AS lastmod_days,
+              changefreq,
+              CAST(COALESCE(CAST(try_cast(pr AS DECIMAL(4,3)) * 1000
+                    AS BIGINT), 500) AS BIGINT) AS priority_milli
+            FROM fields
+            WHERE loc <> '' AND length(loc) <= 2048""",
         "politeness_audit": f"""
             WITH iv AS (
               SELECT user_id AS dom,

@@ -140,6 +140,7 @@ HEADLINE = [
     "bm25_retracted",
     "politeness_audit",
     "entropy_scores",
+    "sitemap_entries",
 ]
 
 # crawl corpus sizing per benchmark scale
