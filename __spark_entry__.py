@@ -1728,6 +1728,29 @@ def q_sitemap_entries(spark, sf_dir):
     return parse_sitemaps(urlsets.unionByName(index))
 
 
+BLOCKLIST_LEXICON = [
+    ("speed", "slow"),
+    ("speed", "fast"),
+    ("speed", "Fast"),  # normalization dup -> collapses, never double-counts
+    ("storage", "table table"),
+    ("storage", "row scan"),
+    ("exec", "agg row scan"),
+    ("exec", "window"),
+    ("exotic", "zzz qqq"),  # zero hits -> absent (sparse contract)
+]
+
+
+def q_blocklist_tags(spark, sf_dir):
+    """Dolma/UT1-style phrase-blocklist tagging over documents
+    (textstats.blocklist_tags): mixed 1/2/3-token phrases across four
+    tags, fused single-scan gram projection + broadcast lexicon join,
+    sparse per-(doc, tag) hit stats with exact integer hits_ppm."""
+    from walker_spark.operators.textstats import blocklist_tags
+
+    lex = spark.createDataFrame(BLOCKLIST_LEXICON, "tag string, phrase string")
+    return blocklist_tags(_t(spark, sf_dir, "documents"), lex)
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-doc top-5 TF-IDF keywords (textstats.tfidf_keywords):
     idf quantized to integer micro-units at the term level (BM25
@@ -2268,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "url_templates": q_url_templates,
         "sitemap_entries": q_sitemap_entries,
+        "blocklist_tags": q_blocklist_tags,
         "politeness_audit": q_politeness_audit,
         "corpus_report": q_corpus_report,
         "change_rates": q_change_rates,
@@ -3057,6 +3081,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _knn_graph_sql(),
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
+        "blocklist_tags": _blocklist_tags_sql(),
         "sitemap_entries": r"""
             WITH src AS (
               SELECT 'http://h' || CAST(o_custkey % 8 AS VARCHAR)
@@ -4031,6 +4056,41 @@ def _phrase_search_sql() -> str:
                CAST(min(g.pos) AS BIGINT) AS first_pos
         FROM grams g JOIN pk ON g.gram = pk.gram AND g.n = pk.n
         GROUP BY 1, 2"""
+
+
+def _blocklist_tags_sql() -> str:
+    """SQL replica of textstats.blocklist_tags over BLOCKLIST_LEXICON:
+    the oracle joins on (gram TEXT, n) where Spark joins on the md5
+    key (text equality == key equality, the phrase_search rule);
+    hits_ppm via HUGEINT // cast back to BIGINT (the dtype rule)."""
+    lvals = ", ".join(f"('{t}', '{p}')" for t, p in BLOCKLIST_LEXICON)
+    ptok = (
+        "list_filter(string_split_regex(trim(regexp_replace(lower(phrase),"
+        " '\\s+', ' ', 'g')), ' '), s0 -> len(s0) > 0)"
+    )
+    return f"""
+        WITH lex(tag, phrase) AS (VALUES {lvals}),
+        pk AS (SELECT DISTINCT tag, array_to_string(t, ' ') AS gram,
+                      CAST(len(t) AS BIGINT) AS n
+               FROM (SELECT tag, {ptok} AS t FROM lex)
+               WHERE len(t) > 0),
+        lens AS (SELECT DISTINCT n FROM pk),
+        toks AS (SELECT doc_id, {_FILTERED_TOKS_SQL} AS t FROM documents),
+        posx AS (SELECT doc_id, t, n,
+                        unnest(range(0, CAST(len(t) AS BIGINT) - n + 1)) AS pos
+                 FROM toks, lens WHERE len(t) >= n),
+        grams AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, n,
+                         array_to_string(t[pos + 1 : pos + n], ' ') AS gram
+                  FROM posx),
+        m AS (SELECT g.doc_id, pk.tag, g.n_tokens, g.gram, pk.n
+              FROM grams g JOIN pk ON g.gram = pk.gram AND g.n = pk.n)
+        SELECT doc_id, tag,
+               CAST(count(DISTINCT gram) AS BIGINT) AS n_phrases,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(sum(n) AS BIGINT) AS hit_tokens,
+               CAST((CAST(sum(n) AS BIGINT) * 1000000) // n_tokens
+                 AS BIGINT) AS hits_ppm
+        FROM m GROUP BY doc_id, tag, n_tokens"""
 
 
 def _vocab_coverage_sql(top_v: int = 50) -> str:

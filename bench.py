@@ -141,6 +141,7 @@ HEADLINE = [
     "politeness_audit",
     "entropy_scores",
     "sitemap_entries",
+    "blocklist_tags",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -3044,3 +3044,53 @@ def test_entropy_scores_orders_degenerate_below_diverse(spark):
         for r in entropy_scores(df).collect()
     }
     assert got[0] == 0 and got[1] > 0
+
+
+def test_blocklist_tags_counts_and_overlap(spark):
+    from walker_spark.operators.textstats import blocklist_tags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Bad  Apple and bad apple pie"),
+            (1, "bad bad bad"),
+            (2, "clean text only here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    lex = spark.createDataFrame(
+        [
+            ("fruit", "bad apple"),
+            ("fruit", "BAD  APPLE"),  # normalization dup -> collapses
+            ("fruit", "pie"),
+            ("rep", "bad bad"),
+            ("never", "zz qq"),
+        ],
+        "tag string, phrase string",
+    )
+    got = {
+        (r["doc_id"], r["tag"]): (
+            r["n_phrases"], r["n_hits"], r["hit_tokens"], r["hits_ppm"]
+        )
+        for r in blocklist_tags(docs, lex).collect()
+    }
+    # doc 0 (6 tokens): 'bad apple' x2 + 'pie' x1 -> 2 phrases, 3 hits,
+    # 5 tokens covered
+    assert got[(0, "fruit")] == (2, 3, 5, 5 * 1_000_000 // 6)
+    # doc 1 (3 tokens): OVERLAPPING 'bad bad' hits both count ->
+    # hit_tokens 4 > n_tokens 3, ppm past 1e6 (documented contract)
+    assert got[(1, "rep")] == (1, 2, 4, 4 * 1_000_000 // 3)
+    # sparse: clean/empty docs and the never-matching tag are absent
+    assert set(got) == {(0, "fruit"), (1, "rep")}
+
+
+def test_blocklist_tags_empty_lexicon(spark):
+    from walker_spark.operators.textstats import blocklist_tags
+
+    docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    lex = spark.createDataFrame([("t", "  ")], "tag string, phrase string")
+    out = blocklist_tags(docs, lex)
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "tag", "n_phrases", "n_hits", "hit_tokens", "hits_ppm"
+    ]

@@ -1923,3 +1923,113 @@ def entropy_scores(
             ).alias("token_entropy_micro"),
         )
     )
+
+
+def blocklist_tags(
+    docs: DataFrame,
+    lexicon: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tag_col: str = "tag",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Dolma-style blocklist/lexicon tagging (Soldaini et al. 2024's
+    taggers; the UT1-blocklist / bad-words filter every production
+    pipeline runs): match a phrase lexicon — each phrase labeled with
+    a ``tag`` (e.g. category) — against every document as contiguous
+    token runs, and emit per-(doc, tag) hit statistics. SPARSE
+    contract: only (doc, tag) pairs with ≥1 hit appear (at 10^10 docs
+    × K tags the dense frame is the bug).
+
+    Returns ``(doc_id, tag, n_phrases, n_hits, hit_tokens, hits_ppm)``
+    — distinct lexicon phrases matched, total occurrences, tokens
+    covered (n_hits weighted by phrase length; OVERLAPPING hits each
+    count, so hits_ppm may exceed 1e6 on pathological repeats — the
+    honest occurrence count, not a span union), and hit_tokens ×1e6
+    div n_tokens (exact integer, oracle-stable).
+
+    Scale shape: the corpus is scanned exactly ONCE — the
+    phrase_search fused-gram projection (retrieval.py): distinct
+    phrase lengths are driver-collected (bounded by the lexicon, the
+    IVF-codebook precedent), one projection emits md5 gram keys for
+    every needed length, a single explode, then a BROADCAST join
+    against the lexicon keys (lexicons are MBs; the corpus side never
+    builds). The only exchange is the final (doc, tag)-keyed aggregate
+    over matched rows — shuffle volume is hit count, never corpus
+    size, and the keys are 32-byte md5 + tag. Text never shuffles; no
+    Python anywhere. Normalization is dedup.tokens — the same
+    tokenizer as phrase_search/bm25, so one lexicon serves retrieval
+    and filtering identically."""
+    from .dedup import tokens
+
+    ptoks = F.filter(tokens(F.col(phrase_col)), lambda s: F.length(s) > 0)
+    pkeys = (
+        lexicon.select(
+            F.col(tag_col).alias("tag"),
+            F.md5(F.encode(F.concat_ws(" ", ptoks), "UTF-8")).alias(
+                "gram_key"
+            ),
+            F.size(ptoks).alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        # duplicate lexicon lines (same normalized phrase, same tag)
+        # collapse so they never double-count
+        .dropDuplicates(["tag", "gram_key"])
+    )
+    lengths = sorted(
+        {r["_n"] for r in pkeys.select("_n").distinct().collect()}
+    )
+    spark = docs.sparkSession
+    out_schema = (
+        "doc_id long, tag string, n_phrases long, n_hits long, "
+        "hit_tokens long, hits_ppm long"
+    )
+    if not lengths:
+        return spark.createDataFrame([], out_schema)
+
+    toks = F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    ).filter(F.size("_t") >= lengths[0])
+
+    def _gram_arr(n: int):
+        # unary lambda only: transform() hands a binary lambda the
+        # array INDEX as the second arg (the phrase_search gotcha)
+        return F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.md5(
+                    F.encode(
+                        F.concat_ws(" ", F.slice("_t", i + 1, n)), "UTF-8"
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = base.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.explode(
+            F.flatten(F.array(*[_gram_arr(n) for n in lengths]))
+        ).alias("gram_key"),
+    )
+    return (
+        grams.join(F.broadcast(pkeys), "gram_key")
+        .groupBy("doc_id", "tag", "n_tokens")
+        .agg(
+            F.count_distinct("gram_key").cast("long").alias("n_phrases"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum("_n").cast("long").alias("hit_tokens"),
+        )
+        .select(
+            "doc_id",
+            "tag",
+            "n_phrases",
+            "n_hits",
+            "hit_tokens",
+            F.expr("(hit_tokens * 1000000L) div n_tokens").alias(
+                "hits_ppm"
+            ),
+        )
+    )
