@@ -1728,6 +1728,118 @@ def q_sitemap_entries(spark, sf_dir):
     return parse_sitemaps(urlsets.unionByName(index))
 
 
+#: shared CDX-J line synthesis (Spark SQL expr over orders) — the
+#: DuckDB oracle replays the same derivation field-by-field instead of
+#: re-parsing, so the parse itself is what the compare gates.
+_CDX_Q = "CASE WHEN o_orderkey % 7 = 0 THEN '?a=1&b=2' ELSE '' END"
+_CDX_URL = (
+    "'http://h' || CAST(o_orderkey % 8 AS STRING) || '.example.com/p/'"
+    " || CAST(o_orderkey div 50 AS STRING) || " + _CDX_Q
+)
+_CDX_KEY = (
+    "'com,example,h' || CAST(o_orderkey % 8 AS STRING) || ')/p/'"
+    " || CAST(o_orderkey div 50 AS STRING) || " + _CDX_Q +
+    " || CASE WHEN o_orderkey % 13 = 0 THEN '-x' ELSE '' END"
+)
+_CDX_TS = (
+    "CASE WHEN o_orderkey % 23 = 0 THEN 'BADSTAMP'"
+    " WHEN o_orderkey % 17 = 0 THEN"
+    "  '202413' || lpad(CAST(1 + o_orderkey % 28 AS STRING), 2, '0')"
+    "  || '000000'"
+    " ELSE '2024'"
+    "  || lpad(CAST(1 + o_orderkey % 12 AS STRING), 2, '0')"
+    "  || lpad(CAST(1 + o_orderkey % 28 AS STRING), 2, '0')"
+    "  || lpad(CAST(o_orderkey % 24 AS STRING), 2, '0')"
+    "  || lpad(CAST((o_orderkey div 7) % 60 AS STRING), 2, '0')"
+    "  || lpad(CAST(o_orderkey % 60 AS STRING), 2, '0')"
+    " END"
+)
+_CDX_JSON = (
+    "CASE WHEN o_orderkey % 19 = 0 THEN '{bad}'"
+    " ELSE '{\"url\": \"' || " + _CDX_URL + " || '\", \"mime\": \"'"
+    " || CASE WHEN o_orderkey % 31 = 0 THEN 'image/png'"
+    "         ELSE 'text/html' END"
+    " || '\", \"status\": \"'"
+    " || CASE WHEN o_orderkey % 29 = 0 THEN '404' ELSE '200' END"
+    " || '\", \"digest\": \"sha1:' || CAST(o_orderkey AS STRING)"
+    " || '\", \"length\": \"' || CAST(100 + o_orderkey % 1000 AS STRING)"
+    " || '\", \"offset\": \"' || CAST((o_orderkey * 7) % 100000 AS STRING)"
+    " || '\", \"filename\": \"seg-' || CAST(o_orderkey % 16 AS STRING)"
+    " || '.warc.gz\"}' END"
+)
+_CDX_LINE = _CDX_KEY + " || ' ' || " + _CDX_TS + " || ' ' || " + _CDX_JSON
+
+#: DuckDB replay of the same per-row derivation (shared CTE chain for
+#: both cdx oracles): error precedence format > json > ts mirrors
+#: parse_cdx_lines; epoch seconds via make_date is exact integer math.
+_CDX_FIELDS_SQL = """
+            WITH src AS (
+              SELECT o_orderkey AS k,
+                     CAST(o_orderkey % 8 AS VARCHAR) AS h,
+                     CAST(o_orderkey // 50 AS VARCHAR) AS g,
+                     CASE WHEN o_orderkey % 7 = 0 THEN '?a=1&b=2'
+                          ELSE '' END AS q
+              FROM orders),
+            f AS (
+              SELECT k,
+                CASE WHEN k % 23 = 0 THEN 'format'
+                     WHEN k % 19 = 0 THEN 'json'
+                     WHEN k % 17 = 0 THEN 'ts'
+                     ELSE '' END AS _error,
+                'com,example,h' || h || ')/p/' || g || q
+                  || CASE WHEN k % 13 = 0 THEN '-x' ELSE '' END AS surt,
+                'http://h' || h || '.example.com/p/' || g || q AS url,
+                CAST((make_date(2024, CAST(1 + k % 12 AS INT),
+                                CAST(1 + k % 28 AS INT))
+                      - DATE '1970-01-01') AS BIGINT) * 86400
+                  + (k % 24) * 3600 + ((k // 7) % 60) * 60
+                  + (k % 60) AS ts_s,
+                CASE WHEN k % 31 = 0 THEN 'image/png'
+                     ELSE 'text/html' END AS mime,
+                CAST(CASE WHEN k % 29 = 0 THEN 404 ELSE 200 END
+                     AS BIGINT) AS status,
+                'sha1:' || CAST(k AS VARCHAR) AS digest,
+                CAST(100 + k % 1000 AS BIGINT) AS length_b,
+                CAST((k * 7) % 100000 AS BIGINT) AS offset_b,
+                'seg-' || CAST(k % 16 AS VARCHAR)
+                  || '.warc.gz' AS filename,
+                (k % 13 <> 0) AS surt_matches
+              FROM src)
+"""
+
+
+def _cdx_parsed(spark, sf_dir):
+    from walker_spark.sources.cdx import parse_cdx_lines
+
+    lines = _t(spark, sf_dir, "orders").select(
+        F.expr(_CDX_LINE).alias("value")
+    )
+    return parse_cdx_lines(lines)
+
+
+def q_cdx_captures(spark, sf_dir):
+    """CDX-J capture-index parse (sources/cdx.py): one line per orders
+    row with planted format/json/ts malformations, surt mismatches,
+    non-200 statuses and query-string URLs; zero-exchange projection,
+    session-timezone-proof epoch seconds, audit _error classification.
+    The oracle derives every typed field from the same modular
+    arithmetic — the Spark side actually parses, so regex split,
+    from_json under the explicit schema, try_cast typing, the epoch
+    math and surt_key recomputation are all value-gated."""
+    return _cdx_parsed(spark, sf_dir)
+
+
+def q_cdx_latest_captures(spark, sf_dir):
+    """Latest capture per URL (sources/cdx.py latest_captures): ONE
+    max(struct(ts_s, ...)) aggregation — a mega-URL with millions of
+    captures is a hot reduce key with map-side partials, never a hot
+    window partition. ts_s is unique per URL in the synthesis, so the
+    DuckDB row_number replay picks the identical row."""
+    from walker_spark.sources.cdx import latest_captures
+
+    return latest_captures(_cdx_parsed(spark, sf_dir))
+
+
 BLOCKLIST_LEXICON = [
     ("speed", "slow"),
     ("speed", "fast"),
@@ -2291,6 +2403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "url_templates": q_url_templates,
         "sitemap_entries": q_sitemap_entries,
+        "cdx_captures": q_cdx_captures,
+        "cdx_latest_captures": q_cdx_latest_captures,
         "blocklist_tags": q_blocklist_tags,
         "politeness_audit": q_politeness_audit,
         "corpus_report": q_corpus_report,
@@ -3082,6 +3196,30 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
         "blocklist_tags": _blocklist_tags_sql(),
+        "cdx_captures": _CDX_FIELDS_SQL + """
+            SELECT
+              CASE WHEN _error = '' THEN surt END AS surt,
+              CASE WHEN _error = '' THEN ts_s END AS ts_s,
+              CASE WHEN _error = '' THEN url END AS url,
+              CASE WHEN _error = '' THEN mime END AS mime,
+              CASE WHEN _error = '' THEN status END AS status,
+              CASE WHEN _error = '' THEN digest END AS digest,
+              CASE WHEN _error = '' THEN length_b END AS length_b,
+              CASE WHEN _error = '' THEN offset_b END AS offset_b,
+              CASE WHEN _error = '' THEN filename END AS filename,
+              CASE WHEN _error = '' THEN surt_matches END AS surt_matches,
+              _error
+            FROM f
+        """,
+        "cdx_latest_captures": _CDX_FIELDS_SQL + """
+            , r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY url ORDER BY ts_s DESC) AS rn
+              FROM f WHERE _error = '')
+            SELECT url, surt, ts_s, mime, status, digest,
+                   length_b, offset_b, filename, surt_matches
+            FROM r WHERE rn = 1
+        """,
         "sitemap_entries": r"""
             WITH src AS (
               SELECT 'http://h' || CAST(o_custkey % 8 AS VARCHAR)
