@@ -142,6 +142,10 @@ HEADLINE = [
     "entropy_scores",
     "sitemap_entries",
     "blocklist_tags",
+    "cdx_captures",
+    "cdx_latest_captures",
+    "bpe_merges",
+    "bpe_encode",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -1850,6 +1850,46 @@ def main():
         ],
     )
 
+    from walker_spark.operators.bpe import (
+        _merge_expr,
+        bpe_encode,
+        word_table,
+    )
+
+    _bpe_docs = spark.createDataFrame(
+        [(i, "low lower lowest new newer " * 3) for i in range(40)],
+        "doc_id long, text string",
+    )
+    _bpe_words = word_table(_bpe_docs).localCheckpoint()
+    ok &= grab(
+        "bpe merge round: the greedy-leftmost fold merge over the "
+        "checkpointed word table is ONE zero-exchange projection "
+        "(aggregate() over the symbol array) — per round only the "
+        "pair-count argmax shuffles, and that is a map-side-combinable "
+        "aggregation over |vocab| rows, never corpus bytes",
+        _bpe_words.withColumn("sym", F.expr(_merge_expr("l", "o"))),
+        [
+            ("zero exchanges in the merge step", r"Exchange", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    ok &= grab(
+        "bpe_encode: distinct words run the fold stack once (one "
+        "word-keyed exchange), the corpus token stream joins the "
+        "BROADCAST word->subwords map — corpus text never shuffles",
+        bpe_encode(_bpe_docs, [("l", "o"), ("lo", "w")]),
+        [
+            ("wordmap side: exactly one hash exchange (the distinct)",
+             r"Exchange hashpartitioning", 1),
+            ("the join is broadcast", r"BroadcastHashJoin", 1),
+            ("no sort-merge join", r"SortMergeJoin", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"
