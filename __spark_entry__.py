@@ -1840,6 +1840,86 @@ def q_cdx_latest_captures(spark, sf_dir):
     return latest_captures(_cdx_parsed(spark, sf_dir))
 
 
+_FEED_MON = (
+    "element_at(array('Jan','Feb','Mar','Apr','May','Jun','Jul','Aug',"
+    "'Sep','Oct','Nov','Dec'), CAST(1 + o_orderkey % 12 AS INT))"
+)
+
+
+def q_feed_entries(spark, sf_dir):
+    """RSS/Atom feed parse (operators/feeds.py): 4 RSS + 4 Atom feeds
+    synthesized in-query from orders — entries exercise RFC 822 vs
+    W3C dates (plus garbage dates), guid/id identity vs link
+    fallback, cross-host links, dropped linkless items, entity-free
+    round-trip. Zero-exchange regex parse, one explode, exact
+    epoch-days output; oracle derives every field from the same
+    modular arithmetic."""
+    from walker_spark.operators.feeds import parse_feeds
+
+    orders = _t(spark, sf_dir, "orders")
+    host = "'http://h' || CAST(o_orderkey % 8 AS STRING) || '.example.com'"
+    link = (
+        "CASE WHEN o_orderkey % 19 = 0 THEN ''"
+        " WHEN o_orderkey % 11 = 0 THEN"
+        "   'http://other.example.net/post/' || CAST(o_orderkey AS STRING)"
+        f" ELSE {host} || '/post/' || CAST(o_orderkey AS STRING) END"
+    )
+    rss_date = (
+        "CASE WHEN o_orderkey % 9 = 0 THEN 'not a date'"
+        " ELSE 'Tue, ' || CAST(1 + o_orderkey % 28 AS STRING) || ' ' || "
+        + _FEED_MON
+        + " || ' 2024 08:30:00 GMT' END"
+    )
+    atom_date = (
+        "CASE WHEN o_orderkey % 9 = 0 THEN 'soon'"
+        " ELSE '2024-' || lpad(CAST(1 + o_orderkey % 12 AS STRING), 2, '0')"
+        " || '-' || lpad(CAST(1 + o_orderkey % 28 AS STRING), 2, '0')"
+        " || 'T08:30:00Z' END"
+    )
+    rss_item = (
+        f"'<item><link>' || {link} || '</link><pubDate>' || {rss_date}"
+        " || '</pubDate>'"
+        " || CASE WHEN o_orderkey % 3 = 0 THEN"
+        "      '<guid isPermaLink=\"false\">g-'"
+        "      || CAST(o_orderkey AS STRING) || '</guid>'"
+        "    ELSE '' END"
+        " || '</item>'"
+    )
+    atom_entry = (
+        f"'<entry><link rel=\"alternate\" href=\"' || {link}"
+        f" || '\"/><updated>' || {atom_date} || '</updated>'"
+        " || CASE WHEN o_orderkey % 3 = 0 THEN"
+        "      '<id>urn:o-' || CAST(o_orderkey AS STRING) || '</id>'"
+        "    ELSE '' END"
+        " || '</entry>'"
+    )
+    entry = (
+        f"CASE WHEN o_orderkey % 2 = 0 THEN {rss_item}"
+        f" ELSE {atom_entry} END"
+    )
+    docs = (
+        orders.select(
+            F.expr(host).alias("_host"),
+            F.expr("o_orderkey % 2 = 0").alias("_rss"),
+            F.expr(entry).alias("_e"),
+        )
+        .groupBy("_host", "_rss")
+        .agg(F.concat_ws("", F.collect_list("_e")).alias("_body"))
+        .select(
+            F.expr(
+                "_host || CASE WHEN _rss THEN '/feed.xml'"
+                " ELSE '/atom.xml' END"
+            ).alias("url"),
+            F.expr(
+                "CASE WHEN _rss THEN '<rss><channel>' || _body"
+                " || '</channel></rss>'"
+                " ELSE '<feed>' || _body || '</feed>' END"
+            ).alias("body"),
+        )
+    )
+    return parse_feeds(docs)
+
+
 _BPE_ROUNDS = 8
 
 
@@ -2488,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "url_templates": q_url_templates,
         "sitemap_entries": q_sitemap_entries,
+        "feed_entries": q_feed_entries,
         "cdx_captures": q_cdx_captures,
         "cdx_latest_captures": q_cdx_latest_captures,
         "bpe_merges": q_bpe_merges,
@@ -3284,6 +3365,36 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
         "blocklist_tags": _blocklist_tags_sql(),
+        "feed_entries": """
+            WITH src AS (
+              SELECT o_orderkey AS k, o_orderkey % 8 AS h FROM orders),
+            f AS (
+              SELECT k,
+                CASE WHEN k % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+                'http://h' || CAST(h AS VARCHAR)
+                  || '.example.com' AS hosturl,
+                CASE WHEN k % 19 = 0 THEN ''
+                     WHEN k % 11 = 0 THEN
+                       'http://other.example.net/post/' || CAST(k AS VARCHAR)
+                     ELSE 'http://h' || CAST(h AS VARCHAR)
+                       || '.example.com/post/' || CAST(k AS VARCHAR)
+                END AS link
+              FROM src)
+            SELECT
+              hosturl || CASE WHEN kind = 'rss' THEN '/feed.xml'
+                              ELSE '/atom.xml' END AS feed_url,
+              kind, link,
+              (k % 11 <> 0) AS same_host,
+              CAST(CASE WHEN k % 9 = 0 THEN -1
+                   ELSE (make_date(2024, CAST(1 + k % 12 AS INT),
+                                   CAST(1 + k % 28 AS INT))
+                         - DATE '1970-01-01') END AS BIGINT) AS pub_days,
+              CASE WHEN k % 3 = 0 THEN
+                     CASE WHEN kind = 'rss' THEN 'g-' || CAST(k AS VARCHAR)
+                          ELSE 'urn:o-' || CAST(k AS VARCHAR) END
+                   ELSE link END AS entry_id
+            FROM f WHERE link <> ''
+        """,
         "cdx_captures": _CDX_FIELDS_SQL + """
             SELECT
               CASE WHEN _error = '' THEN surt END AS surt,

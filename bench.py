@@ -142,6 +142,7 @@ HEADLINE = [
     "entropy_scores",
     "sitemap_entries",
     "blocklist_tags",
+    "feed_entries",
     "cdx_captures",
     "cdx_latest_captures",
     "bpe_merges",
