@@ -1920,6 +1920,82 @@ def q_feed_entries(spark, sf_dir):
     return parse_feeds(docs)
 
 
+_FUNNEL_STEPS = ("view", "click", "signup", "purchase")
+_FUNNEL_SPAN_MS = 10 * 86400000  # 10 days — cuts real conversions
+
+
+def q_funnel_user_levels(spark, sf_dir):
+    """Per-user ordered-funnel state (operators/funnel.py): greedy
+    first-touch chain over (ts, event_id)-sorted step events, 10-day
+    completion window — ONE user-keyed exchange + zero-exchange fold.
+    The oracle computes the SAME contract via K chained conditional
+    mins (earliest step-i strictly after match i-1, within the window
+    of the step-1 anchor) — two algorithms, one answer, per user."""
+    from walker_spark.operators.funnel import funnel_users
+
+    return funnel_users(
+        _t(spark, sf_dir, "events"),
+        _FUNNEL_STEPS,
+        span_ms=_FUNNEL_SPAN_MS,
+    )
+
+
+def q_funnel_steps(spark, sf_dir):
+    """The funnel rollup: users reaching each step + exact-integer
+    conversion ppm (floor div, the DECIMAL-div precedent); every step
+    emitted even at zero users."""
+    from walker_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        _FUNNEL_STEPS,
+        span_ms=_FUNNEL_SPAN_MS,
+    )
+
+
+def _funnel_ctes() -> str:
+    """Chained-conditional-min replay of the funnel chain. The sort
+    key packs (ms, event_id) into one BIGINT (ms*1e6 + id — exact
+    while event_id < 1e6, true through sf1); Spark's struct sort uses
+    the same (ms, id) order unpacked."""
+    steps, span = _FUNNEL_STEPS, _FUNNEL_SPAN_MS
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    parts = [f"""
+            WITH ev AS MATERIALIZED (
+              SELECT user_id AS u,
+                     epoch_ms(ts) * 1000000 + event_id AS sk,
+                     epoch_ms(ts) AS ms, event_type AS typ
+              FROM events WHERE event_type IN ({in_list})),
+            s1 AS MATERIALIZED (
+              SELECT u, min(sk) AS k FROM ev
+              WHERE typ = '{steps[0]}' GROUP BY u)"""]
+    for i in range(2, len(steps) + 1):
+        parts.append(f"""
+            , s{i} AS MATERIALIZED (
+              SELECT e.u, min(e.sk) AS k FROM ev e
+              JOIN s{i - 1} p ON e.u = p.u
+              JOIN s1 a ON e.u = a.u
+              WHERE e.typ = '{steps[i - 1]}' AND e.sk > p.k
+                AND e.ms - (a.k // 1000000) <= {span}
+              GROUP BY e.u)""")
+    lvl = "CASE " + " ".join(
+        f"WHEN s{i}.u IS NOT NULL THEN {i}"
+        for i in range(len(steps), 0, -1)
+    ) + " ELSE 0 END"
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON b.u = s{i}.u"
+        for i in range(1, len(steps) + 1)
+    )
+    parts.append(f"""
+            , lv AS MATERIALIZED (
+              SELECT b.u, CAST({lvl} AS BIGINT) AS level,
+                     CAST(CASE WHEN s1.u IS NOT NULL
+                          THEN s1.k // 1000000 ELSE -1 END
+                          AS BIGINT) AS entered_ms
+              FROM (SELECT DISTINCT u FROM ev) b {joins})""")
+    return "".join(parts)
+
+
 _BPE_ROUNDS = 8
 
 
@@ -2569,6 +2645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "sitemap_entries": q_sitemap_entries,
         "feed_entries": q_feed_entries,
+        "funnel_user_levels": q_funnel_user_levels,
+        "funnel_steps": q_funnel_steps,
         "cdx_captures": q_cdx_captures,
         "cdx_latest_captures": q_cdx_latest_captures,
         "bpe_merges": q_bpe_merges,
@@ -3365,6 +3443,23 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
         "blocklist_tags": _blocklist_tags_sql(),
+        "funnel_user_levels": _funnel_ctes() + """
+            SELECT u AS user_id, level, entered_ms FROM lv
+        """,
+        "funnel_steps": _funnel_ctes() + """
+            , u1 AS (SELECT count(*) AS n FROM lv WHERE level >= 1)
+            SELECT CAST(s.step AS BIGINT) AS step, s.step_name,
+                   CAST((SELECT count(*) FROM lv
+                         WHERE level >= s.step) AS BIGINT) AS users,
+                   CAST(CASE WHEN (SELECT n FROM u1) > 0
+                        THEN ((SELECT count(*) FROM lv
+                               WHERE level >= s.step) * 1000000)
+                             // (SELECT n FROM u1)
+                        ELSE 0 END AS BIGINT) AS conversion_ppm
+            FROM (VALUES (1, 'view'), (2, 'click'),
+                         (3, 'signup'), (4, 'purchase'))
+                 AS s(step, step_name)
+        """,
         "feed_entries": """
             WITH src AS (
               SELECT o_orderkey AS k, o_orderkey % 8 AS h FROM orders),

@@ -143,6 +143,8 @@ HEADLINE = [
     "sitemap_entries",
     "blocklist_tags",
     "feed_entries",
+    "funnel_user_levels",
+    "funnel_steps",
     "cdx_captures",
     "cdx_latest_captures",
     "bpe_merges",

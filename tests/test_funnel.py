@@ -1,0 +1,135 @@
+"""Funnel operators vs a pure-Python reference of the documented
+first-touch semantics, randomized + hand-built edge cases."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from walker_spark.operators.funnel import funnel_counts, funnel_users
+
+STEPS = ("view", "click", "signup", "purchase")
+
+
+def ref_funnel(rows, steps, span=None):
+    per = defaultdict(list)
+    for u, ms, i, t in rows:
+        if t in steps:
+            per[u].append((ms, i, t))
+    out = {}
+    for u, evs in per.items():
+        lvl, t1 = 0, 0
+        for ms, i, t in sorted(evs):
+            if lvl < len(steps) and t == steps[lvl] and (
+                lvl == 0 or span is None or ms - t1 <= span
+            ):
+                lvl += 1
+                if lvl == 1:
+                    t1 = ms
+        out[u] = (lvl, t1 if lvl > 0 else -1)
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(u, ms, i, t) for u, ms, i, t in rows],
+        "user_id long, ms long, event_id long, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "event_id",
+        "event_type",
+    )
+
+
+def _got(spark, rows, span=None):
+    return {
+        r["user_id"]: (r["level"], r["entered_ms"])
+        for r in funnel_users(_df(spark, rows), STEPS, span_ms=span).collect()
+    }
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        # u1 completes in order
+        (1, 100, 1, "view"), (1, 200, 2, "click"),
+        (1, 300, 3, "signup"), (1, 400, 4, "purchase"),
+        # u2 has everything but clicks BEFORE viewing -> stuck at 1
+        (2, 100, 5, "click"), (2, 200, 6, "view"),
+        (2, 50, 7, "purchase"),
+        # u3 never views (only later steps) -> level 0, no anchor
+        (3, 100, 8, "click"), (3, 200, 9, "purchase"),
+        # u4 non-step events only are filtered upstream; a lone view
+        (4, 700, 10, "view"), (4, 700, 11, "error"),
+    ]
+    got = _got(spark, rows)
+    assert got[1] == (4, 100)
+    assert got[2] == (1, 200)
+    assert got[3] == (0, -1)
+    assert got[4] == (1, 700)
+
+
+def test_funnel_span_window_cuts(spark):
+    rows = [
+        (1, 0, 1, "view"), (1, 500, 2, "click"), (1, 2000, 3, "signup"),
+        # no restart: the second view at 1500 is NOT a new anchor
+        (2, 0, 4, "view"), (2, 1500, 5, "view"), (2, 1600, 6, "click"),
+    ]
+    got = _got(spark, rows, span=1000)
+    assert got[1] == (2, 0)   # signup at 2000 falls outside the window
+    assert got[2] == (1, 0)   # first-touch anchor, click too late
+    # without the window both progress
+    got2 = _got(spark, rows)
+    assert got2[1] == (3, 0) and got2[2] == (2, 0)
+
+
+def test_funnel_ties_break_by_event_id(spark):
+    # same millisecond: (ms, id) order decides -> view(id=1) precedes
+    # click(id=2), so the chain completes
+    rows = [(1, 100, 1, "view"), (1, 100, 2, "click")]
+    assert _got(spark, rows)[1] == (2, 100)
+    # reversed ids: click sorts first, view anchors after -> level 1
+    rows2 = [(1, 100, 2, "view"), (1, 100, 1, "click")]
+    assert _got(spark, rows2)[1] == (1, 100)
+
+
+def test_funnel_randomized_vs_reference(spark):
+    rng = random.Random(0xF0)
+    types = list(STEPS) + ["error"]
+    rows = []
+    eid = 0
+    for u in range(60):
+        for _ in range(rng.randint(1, 25)):
+            rows.append(
+                (u, rng.randrange(0, 5000), eid, rng.choice(types))
+            )
+            eid += 1
+    for span in (None, 800):
+        got = _got(spark, rows, span=span)
+        assert got == ref_funnel(rows, STEPS, span=span)
+
+
+def test_funnel_counts_rollup(spark):
+    rows = [
+        (1, 100, 1, "view"), (1, 200, 2, "click"), (1, 300, 3, "signup"),
+        (2, 100, 4, "view"), (2, 200, 5, "click"),
+        (3, 100, 6, "view"),
+        (4, 100, 7, "click"),  # level 0
+    ]
+    got = {
+        r["step"]: (r["step_name"], r["users"], r["conversion_ppm"])
+        for r in funnel_counts(_df(spark, rows), STEPS).collect()
+    }
+    assert got[1] == ("view", 3, 1000000)
+    assert got[2] == ("click", 2, 666666)
+    assert got[3] == ("signup", 1, 333333)
+    assert got[4] == ("purchase", 0, 0)  # zero-user steps still emitted
+
+
+def test_funnel_empty_steps_raise(spark):
+    with pytest.raises(ValueError):
+        funnel_users(_df(spark, []), ())

@@ -1,0 +1,137 @@
+"""Ordered-funnel analytics over event streams — which users
+completed step 1 → 2 → … → K IN ORDER, and where they dropped off.
+
+The events surface already has sessionization, windowed rollups,
+as-of attribution and range joins (streaming/windowed.py, joins.py);
+the funnel is the remaining classic: ORDERED multi-step sequence
+matching, the query product analytics engines special-case because
+naive SQL needs a K-way self-join.
+
+Semantics — FIRST-TOUCH, NO RESTART (documented subset of the many
+industry variants): a user's chain anchors at their earliest step-1
+event; each later step matches at its earliest event strictly after
+the previous match in (time, event_id) order; an optional
+``span_ms`` requires every later step within that window of the
+anchor. No re-anchoring on failure — re-dated retries are a separate
+funnel run.
+
+Scale shape: events filter to the K step types at the scan (pushed
+predicate), then ONE user-keyed exchange builds the per-user sorted
+step-event array — the rows carry only (ms, id, type) triples, never
+payloads, and a mega-user is a hot REDUCE key, not a hot window
+partition. The greedy chain evaluates as a ZERO-EXCHANGE fold
+(aggregate() with a (level, anchor) struct accumulator), and the
+funnel rollup is a K-row aggregate. Greedy-earliest over the sorted
+array is provably equivalent to K chained conditional mins
+("earliest step-i event after match i-1"), which is exactly how the
+DuckDB oracle computes it — two different algorithms, one contract
+(the asof_join precedent).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def funnel_users(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    span_ms: int | None = None,
+) -> DataFrame:
+    """Per-user funnel state: ``(user_id, level, entered_ms)`` —
+    ``level`` ∈ [0, K] is the deepest step reached under the ordered
+    first-touch semantics, ``entered_ms`` the epoch-ms of the step-1
+    anchor (-1 if the user never did step 1). Covers users with at
+    least one step-type event (others have no funnel signal)."""
+    k = len(steps)
+    if k == 0:
+        raise ValueError("funnel needs at least one step")
+    steps_arr = "array(" + ", ".join(_lit(s) for s in steps) + ")"
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("_u"),
+        F.struct(
+            ms.alias("ms"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("typ"),
+        ).alias("_e"),
+    )
+    span_cond = (
+        f"x.ms - acc.t1 <= {int(span_ms)}" if span_ms is not None else "true"
+    )
+    fold = (
+        "aggregate(_evs, named_struct('lvl', 0, 't1', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> CASE WHEN acc.lvl < {k} "
+        f"AND x.typ = element_at({steps_arr}, acc.lvl + 1) "
+        f"AND (acc.lvl = 0 OR ({span_cond})) "
+        "THEN named_struct('lvl', acc.lvl + 1, "
+        "'t1', IF(acc.lvl = 0, x.ms, acc.t1)) "
+        "ELSE acc END)"
+    )
+    return (
+        ev.groupBy("_u")
+        .agg(F.array_sort(F.collect_list("_e")).alias("_evs"))
+        .select(F.col("_u"), F.expr(fold).alias("_f"))
+        .select(
+            F.col("_u").alias(user_col),
+            F.col("_f.lvl").cast("long").alias("level"),
+            F.when(F.col("_f.lvl") > 0, F.col("_f.t1"))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("entered_ms"),
+        )
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    span_ms: int | None = None,
+) -> DataFrame:
+    """The funnel itself: one row per step ``(step, step_name, users,
+    conversion_ppm)`` — users who reached at least that step, and the
+    exact-integer conversion rate vs step 1 (ppm, floor division;
+    zero-user funnels report 0). Every step appears even at zero
+    users. The per-level histogram is K+1 rows, so the rollup joins
+    are driver-trivial regardless of corpus size."""
+    spark = events.sparkSession
+    users = funnel_users(
+        events, steps, user_col, type_col, ts_col, id_col, span_ms
+    )
+    lvls = users.groupBy("level").agg(F.count(F.lit(1)).alias("_n"))
+    steps_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step long, step_name string",
+    )
+    reached = (
+        steps_df.join(lvls, F.col("level") >= F.col("step"), "left")
+        .groupBy("step", "step_name")
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("users"))
+    )
+    first = reached.filter(F.col("step") == 1).select(
+        F.col("users").alias("_u1")
+    )
+    return reached.crossJoin(F.broadcast(first)).select(
+        "step",
+        "step_name",
+        "users",
+        F.expr(
+            "CASE WHEN _u1 > 0 THEN (users * 1000000) div _u1 "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("conversion_ppm"),
+    )
