@@ -1920,6 +1920,84 @@ def q_feed_entries(spark, sf_dir):
     return parse_feeds(docs)
 
 
+def _clustering_zones(spark, sf_dir):
+    """Two zone-map sets from events: 'ordered' (files split along
+    event_id, which tracks time — the well-clustered layout) vs
+    'mod7' (files by event_id % 7 — every file spans the whole time
+    domain, the worst case). The contrast is the point of the
+    metric."""
+    from walker_spark.operators.layout import zone_maps
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("v"),
+    )
+    ordered = base.select(
+        F.expr(
+            "'f' || lpad(CAST(event_id div 200 AS STRING), 4, '0')"
+        ).alias("file"),
+        "v",
+    )
+    mod7 = base.select(
+        F.expr("'g' || CAST(event_id % 7 AS STRING)").alias("file"), "v"
+    )
+    return zone_maps(ordered, "file", "v").withColumn(
+        "tbl", F.lit("ordered")
+    ).unionByName(
+        zone_maps(mod7, "file", "v").withColumn("tbl", F.lit("mod7"))
+    )
+
+
+def q_clustering_report(spark, sf_dir):
+    """Per-file zone-overlap counts (layout.clustering_report, the
+    public analog of Snowflake's clustering information): NO pairwise
+    join — one sweep-line window over 2N boundary events gives
+    overlaps_i = #{vmin_j <= vmax_i} - #{vmax_j < vmin_i} - 1 per
+    table partition. The oracle computes the same closed-interval
+    contract with a quadratic correlated count — two algorithms, one
+    answer."""
+    from walker_spark.operators.layout import clustering_report
+
+    return clustering_report(
+        _clustering_zones(spark, sf_dir), partition_cols=("tbl",)
+    )
+
+
+def q_clustering_stats(spark, sf_dir):
+    """Partition-level clustering health: n_files / total_rows /
+    max_depth (the sweep peak — what a point lookup must scan) /
+    max_overlaps / exact-integer avg_overlaps_ppm."""
+    from walker_spark.operators.layout import clustering_stats
+
+    return clustering_stats(
+        _clustering_zones(spark, sf_dir), partition_cols=("tbl",)
+    )
+
+
+_CLUSTERING_Z_SQL = """
+            WITH ev AS (SELECT event_id, epoch_ms(ts) AS v FROM events),
+            z AS MATERIALIZED (
+              SELECT 'ordered' AS tbl,
+                     'f' || lpad(CAST(event_id // 200 AS VARCHAR), 4, '0')
+                       AS file,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     min(v) AS vmin, max(v) AS vmax
+              FROM ev GROUP BY 1, 2
+              UNION ALL
+              SELECT 'mod7', 'g' || CAST(event_id % 7 AS VARCHAR),
+                     CAST(count(*) AS BIGINT), min(v), max(v)
+              FROM ev GROUP BY 1, 2),
+            rep AS MATERIALIZED (
+              SELECT z1.tbl, z1.file, z1.n_rows, z1.vmin, z1.vmax,
+                     CAST((SELECT count(*) FROM z z2
+                           WHERE z2.tbl = z1.tbl AND z2.file <> z1.file
+                             AND z2.vmin <= z1.vmax
+                             AND z2.vmax >= z1.vmin) AS BIGINT) AS overlaps
+              FROM z z1)
+"""
+
+
 _FUNNEL_STEPS = ("view", "click", "signup", "purchase")
 _FUNNEL_SPAN_MS = 10 * 86400000  # 10 days — cuts real conversions
 
@@ -2647,6 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "funnel_user_levels": q_funnel_user_levels,
         "funnel_steps": q_funnel_steps,
+        "clustering_report": q_clustering_report,
+        "clustering_stats": q_clustering_stats,
         "cdx_captures": q_cdx_captures,
         "cdx_latest_captures": q_cdx_latest_captures,
         "bpe_merges": q_bpe_merges,
@@ -3443,6 +3523,30 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
         "blocklist_tags": _blocklist_tags_sql(),
+        "clustering_report": _CLUSTERING_Z_SQL + """
+            SELECT tbl, file, n_rows, vmin, vmax, overlaps FROM rep
+        """,
+        "clustering_stats": _CLUSTERING_Z_SQL + """
+            , dpt AS MATERIALIZED (
+              SELECT r.tbl,
+                     (SELECT count(*) FROM z z2
+                      WHERE z2.tbl = r.tbl AND z2.vmin <= r.vmin
+                        AND z2.vmax >= r.vmin) AS c
+              FROM z r),
+            depth AS (
+              SELECT tbl, CAST(max(c) AS BIGINT) AS max_depth
+              FROM dpt GROUP BY tbl),
+            agg AS (
+              SELECT tbl, CAST(count(*) AS BIGINT) AS n_files,
+                     CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                     CAST(max(overlaps) AS BIGINT) AS max_overlaps,
+                     CAST((sum(overlaps) * 1000000) // count(*)
+                          AS BIGINT) AS avg_overlaps_ppm
+              FROM rep GROUP BY tbl)
+            SELECT a.tbl, a.n_files, a.total_rows, d.max_depth,
+                   a.max_overlaps, a.avg_overlaps_ppm
+            FROM agg a JOIN depth d USING (tbl)
+        """,
         "funnel_user_levels": _funnel_ctes() + """
             SELECT u AS user_id, level, entered_ms FROM lv
         """,

@@ -145,6 +145,8 @@ HEADLINE = [
     "feed_entries",
     "funnel_user_levels",
     "funnel_steps",
+    "clustering_report",
+    "clustering_stats",
     "cdx_captures",
     "cdx_latest_captures",
     "bpe_merges",

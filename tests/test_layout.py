@@ -194,3 +194,101 @@ def test_zone_map_prune_goldens(spark):
     )
     got2 = {r["file"]: r["must_scan"] for r in zone_map_prune(zm, b2).collect()}
     assert got2 == {0: 1, 1: 0, 2: 0, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# clustering report / stats (sweep-line overlap metric)
+# ---------------------------------------------------------------------------
+
+
+def _zones(spark, rows, parts=False):
+    schema = (
+        "tbl string, file string, n_rows long, vmin long, vmax long"
+        if parts
+        else "file string, n_rows long, vmin long, vmax long"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_clustering_report_hand_case(spark):
+    from walker_spark.operators.layout import (
+        clustering_report,
+        clustering_stats,
+    )
+
+    z = _zones(
+        spark,
+        [
+            ("A", 10, 0, 10),
+            ("B", 10, 5, 15),
+            ("C", 10, 20, 30),
+            ("D", 10, 30, 40),   # closed intervals: touching at 30 overlaps
+            ("E", 10, 100, 100),
+            ("N", 10, None, None),  # stats-absent file excluded
+        ],
+    )
+    got = {r["file"]: r["overlaps"] for r in clustering_report(z).collect()}
+    assert got == {"A": 1, "B": 1, "C": 1, "D": 1, "E": 0}
+    s = clustering_stats(z).collect()[0]
+    assert s["n_files"] == 5 and s["max_depth"] == 2
+    assert s["max_overlaps"] == 1
+    assert s["avg_overlaps_ppm"] == (4 * 1000000) // 5
+
+
+def test_clustering_randomized_vs_brute(spark):
+    from walker_spark.operators.layout import (
+        clustering_report,
+        clustering_stats,
+    )
+
+    rng = random.Random(0xC1)
+    rows = []
+    for i in range(120):
+        lo = rng.randint(0, 500)
+        rows.append((f"f{i:03d}", 1, lo, lo + rng.randint(0, 80)))
+    got = {
+        r["file"]: r["overlaps"]
+        for r in clustering_report(_zones(spark, rows)).collect()
+    }
+    want = {
+        f: sum(
+            1
+            for g, _, lo2, hi2 in rows
+            if g != f and lo2 <= hi and hi2 >= lo
+        )
+        for f, _, lo, hi in rows
+    }
+    assert got == want
+    # max_depth == max pointwise cover over all interval endpoints
+    depth = max(
+        sum(1 for _, _, lo2, hi2 in rows if lo2 <= v <= hi2)
+        for _, _, v, _ in rows
+    )
+    assert clustering_stats(_zones(spark, rows)).collect()[0][
+        "max_depth"
+    ] == depth
+
+
+def test_clustering_partitioned_sweeps_independent(spark):
+    from walker_spark.operators.layout import clustering_report
+
+    z = _zones(
+        spark,
+        [
+            ("t1", "A", 1, 0, 10),
+            ("t1", "B", 1, 5, 15),
+            ("t2", "A", 1, 0, 10),   # same file id, other partition
+            ("t2", "C", 1, 50, 60),
+        ],
+        parts=True,
+    )
+    got = {
+        (r["tbl"], r["file"]): r["overlaps"]
+        for r in clustering_report(z, partition_cols=("tbl",)).collect()
+    }
+    assert got == {
+        ("t1", "A"): 1,
+        ("t1", "B"): 1,
+        ("t2", "A"): 0,
+        ("t2", "C"): 0,
+    }

@@ -366,3 +366,125 @@ def zone_map_prune(
         .cast("long")
         .alias("fully_covered"),
     )
+
+
+def _clustering_events(
+    zmaps: DataFrame, partition_cols: Sequence[str]
+) -> DataFrame:
+    """Sweep-line state over zone-map boundary events: one row per
+    file endpoint, ordered (v, kind) with OPENs (kind 0) before
+    CLOSEs (kind 1) at equal values so closed-interval overlap
+    semantics are exact. Carries the running open-interval count
+    (``depth``) and the two prefix counts the overlap formula needs.
+    Files with NULL bounds (all-NULL value column — parquet
+    stats-absent) are excluded; they can never participate in a
+    range-overlap decision."""
+    from pyspark.sql import Window
+
+    z = zmaps.filter(
+        F.col("vmin").isNotNull() & F.col("vmax").isNotNull()
+    )
+    ev = z.select(
+        *partition_cols,
+        "file",
+        F.col("vmin").alias("v"),
+        F.lit(0).alias("kind"),
+    ).unionByName(
+        z.select(
+            *partition_cols,
+            "file",
+            F.col("vmax").alias("v"),
+            F.lit(1).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in partition_cols])
+        .orderBy("v", "kind", "file")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if partition_cols
+        else Window.orderBy("v", "kind", "file").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    is_min = (F.col("kind") == 0).cast("long")
+    is_max = (F.col("kind") == 1).cast("long")
+    return ev.select(
+        *partition_cols,
+        "file",
+        "kind",
+        F.sum(is_min).over(w).alias("_cum_mins"),
+        # maxes strictly before the current row (a CLOSE event does
+        # not count itself)
+        (F.sum(is_max).over(w) - is_max).alias("_cum_maxs"),
+    )
+
+
+def clustering_report(
+    zmaps: DataFrame, partition_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Per-file overlap counts from zone maps — the metric behind
+    every OPTIMIZE/ZORDER decision (the public analog of Snowflake's
+    SYSTEM$CLUSTERING_INFORMATION): ``overlaps`` = number of OTHER
+    files whose [vmin, vmax] range intersects this file's (closed
+    intervals). A perfectly clustered table reports 0 everywhere; a
+    fully unclustered one reports n_files-1.
+
+    NO pairwise join: overlaps_i = #{vmin_j <= vmax_i} −
+    #{vmax_j < vmin_i} − 1, both prefix counts read off ONE
+    sweep-line window over 2·n_files boundary events. File
+    inventories are metadata-scale; pass ``partition_cols`` (the
+    compaction_plan convention) so each table partition sweeps
+    independently — per-partition inventories are thousands of rows,
+    so no window partition is ever data-volume sized."""
+    ev = _clustering_events(zmaps, partition_cols)
+    per_file = ev.groupBy(*partition_cols, "file").agg(
+        F.max(F.when(F.col("kind") == 1, F.col("_cum_mins"))).alias("_t1"),
+        F.max(F.when(F.col("kind") == 0, F.col("_cum_maxs"))).alias("_t2"),
+    )
+    z = zmaps.filter(
+        F.col("vmin").isNotNull() & F.col("vmax").isNotNull()
+    )
+    return z.join(per_file, [*partition_cols, "file"]).select(
+        *partition_cols,
+        "file",
+        "n_rows",
+        "vmin",
+        "vmax",
+        (F.col("_t1") - F.col("_t2") - 1).cast("long").alias("overlaps"),
+    )
+
+
+def clustering_stats(
+    zmaps: DataFrame, partition_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Partition-level clustering health: ``(partition..., n_files,
+    total_rows, max_depth, max_overlaps, avg_overlaps_ppm)``.
+    ``max_depth`` is the sweep peak — the most files any single point
+    value hits (what a point lookup must scan); ``avg_overlaps_ppm``
+    is exact-integer mean overlaps × 10^6 (floor). Metadata-scale
+    output: one row per table partition."""
+    ev = _clustering_events(zmaps, partition_cols)
+    depth = ev.groupBy(*partition_cols).agg(
+        F.max(F.col("_cum_mins") - F.col("_cum_maxs")).alias("max_depth")
+    )
+    rep = clustering_report(zmaps, partition_cols)
+    agg = rep.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.max("overlaps").alias("max_overlaps"),
+        F.sum("overlaps").alias("_sum_ov"),
+    )
+    joined = (
+        agg.join(depth, list(partition_cols)) if partition_cols
+        else agg.crossJoin(F.broadcast(depth))
+    )
+    return joined.select(
+        *partition_cols,
+        "n_files",
+        "total_rows",
+        F.col("max_depth").cast("long").alias("max_depth"),
+        F.col("max_overlaps").cast("long").alias("max_overlaps"),
+        F.expr("(_sum_ov * 1000000) div n_files").alias(
+            "avg_overlaps_ppm"
+        ),
+    )
