@@ -1998,6 +1998,60 @@ _CLUSTERING_Z_SQL = """
 """
 
 
+_MIME_CORRECT = (
+    "CASE CAST(o_orderkey % 8 AS INT)"
+    " WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'"
+    " WHEN 2 THEN 'application/pdf' WHEN 3 THEN 'image/gif'"
+    " WHEN 4 THEN 'audio/wav' WHEN 5 THEN 'video/mp4'"
+    " WHEN 6 THEN 'text/html'"
+    " ELSE 'application/octet-stream' END"
+)
+_MIME_FILLER = "lpad(hex(o_orderkey), 16, '0')"
+_MIME_PAYLOAD_HEX = (
+    "CASE CAST(o_orderkey % 8 AS INT)"
+    " WHEN 0 THEN '89504E470D0A1A0A' || " + _MIME_FILLER +
+    " WHEN 1 THEN 'FFD8FFE0' || " + _MIME_FILLER +
+    " WHEN 2 THEN '255044462D' || " + _MIME_FILLER +
+    " WHEN 3 THEN '474946383961' || " + _MIME_FILLER +
+    " WHEN 4 THEN '52494646' || lpad(hex(o_orderkey), 8, '0')"
+    "   || '57415645'"
+    " WHEN 5 THEN lpad(hex(o_orderkey), 8, '0') || '66747970'"
+    "   || " + _MIME_FILLER +
+    " WHEN 6 THEN '3C21444F43545950' || " + _MIME_FILLER +
+    " ELSE " + _MIME_FILLER + " END"
+)
+_MIME_DECLARED = (
+    "CASE CAST(o_orderkey % 4 AS INT)"
+    " WHEN 0 THEN " + _MIME_CORRECT +
+    " WHEN 1 THEN upper(" + _MIME_CORRECT + ") || '; charset=utf-8'"
+    " WHEN 2 THEN CASE WHEN " + _MIME_CORRECT + " = 'image/jpeg'"
+    "   THEN 'image/jpg' ELSE " + _MIME_CORRECT + " END"
+    " ELSE 'application/x-wrong' END"
+)
+
+
+def q_mime_audit(spark, sf_dir):
+    """Magic-byte MIME sniffing + declared-type audit
+    (multimodal.sniff_content_type): payloads synthesized via unhex
+    from orders cover 8 signature classes (incl. the RIFF and
+    ISO-BMFF offset probes), declared types cover parameter noise,
+    case noise, the image/jpg alias and outright lies. ONE projection
+    — only a 16-byte hexed prefix leaves the binary column. The
+    oracle independently RE-SNIFFS hex(payload) with the same
+    signature table, so the byte-prefix semantics are what's gated,
+    not the synthesis arithmetic."""
+    from walker_spark.operators.multimodal import sniff_content_type
+
+    assets = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(f"unhex({_MIME_PAYLOAD_HEX})").alias("payload"),
+        F.expr(_MIME_DECLARED).alias("mime"),
+    )
+    return sniff_content_type(assets, declared_col="mime").select(
+        "k", "sniffed_mime", "declared_norm", "mime_matches"
+    )
+
+
 _FUNNEL_STEPS = ("view", "click", "signup", "purchase")
 _FUNNEL_SPAN_MS = 10 * 86400000  # 10 days — cuts real conversions
 
@@ -2727,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "clustering_report": q_clustering_report,
         "clustering_stats": q_clustering_stats,
+        "mime_audit": q_mime_audit,
         "cdx_captures": q_cdx_captures,
         "cdx_latest_captures": q_cdx_latest_captures,
         "bpe_merges": q_bpe_merges,
@@ -3523,6 +3578,83 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
         "blocklist_tags": _blocklist_tags_sql(),
+        "mime_audit": """
+            WITH src AS (
+              SELECT o_orderkey AS k,
+                hex(from_hex(
+                  CASE CAST(o_orderkey % 8 AS INT)
+                    WHEN 0 THEN '89504E470D0A1A0A' || flr
+                    WHEN 1 THEN 'FFD8FFE0' || flr
+                    WHEN 2 THEN '255044462D' || flr
+                    WHEN 3 THEN '474946383961' || flr
+                    WHEN 4 THEN '52494646'
+                      || lpad(hex(o_orderkey), 8, '0') || '57415645'
+                    WHEN 5 THEN lpad(hex(o_orderkey), 8, '0')
+                      || '66747970' || flr
+                    WHEN 6 THEN '3C21444F43545950' || flr
+                    ELSE flr END)) AS hx,
+                CASE CAST(o_orderkey % 4 AS INT)
+                  WHEN 0 THEN corr
+                  WHEN 1 THEN upper(corr) || '; charset=utf-8'
+                  WHEN 2 THEN CASE WHEN corr = 'image/jpeg'
+                    THEN 'image/jpg' ELSE corr END
+                  ELSE 'application/x-wrong' END AS declared
+              FROM (SELECT o_orderkey,
+                      lpad(hex(o_orderkey), 16, '0') AS flr,
+                      CASE CAST(o_orderkey % 8 AS INT)
+                        WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                        WHEN 2 THEN 'application/pdf'
+                        WHEN 3 THEN 'image/gif' WHEN 4 THEN 'audio/wav'
+                        WHEN 5 THEN 'video/mp4' WHEN 6 THEN 'text/html'
+                        ELSE 'application/octet-stream' END AS corr
+                    FROM orders)),
+            sn AS (
+              SELECT k, declared,
+                CASE
+                  WHEN starts_with(hx, '255044462D')
+                    THEN 'application/pdf'
+                  WHEN starts_with(hx, '89504E470D0A1A0A')
+                    THEN 'image/png'
+                  WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+                  WHEN starts_with(hx, '474946383761')
+                    OR starts_with(hx, '474946383961') THEN 'image/gif'
+                  WHEN starts_with(hx, '1F8B') THEN 'application/gzip'
+                  WHEN starts_with(hx, '504B0304')
+                    THEN 'application/zip'
+                  WHEN starts_with(hx, '494433') THEN 'audio/mpeg'
+                  WHEN starts_with(hx, 'FFFB') THEN 'audio/mpeg'
+                  WHEN starts_with(hx, '4F676753')
+                    THEN 'application/ogg'
+                  WHEN starts_with(hx, '3C21444F43545950')
+                    THEN 'text/html'
+                  WHEN starts_with(hx, '3C68746D6C') THEN 'text/html'
+                  WHEN starts_with(hx, '3C48544D4C') THEN 'text/html'
+                  WHEN starts_with(hx, '3C3F786D6C')
+                    THEN 'application/xml'
+                  WHEN starts_with(hx, '52494646')
+                    AND substring(hx, 17, 8) = '57415645'
+                    THEN 'audio/wav'
+                  WHEN starts_with(hx, '52494646')
+                    AND substring(hx, 17, 8) = '57454250'
+                    THEN 'image/webp'
+                  WHEN starts_with(hx, '52494646')
+                    AND substring(hx, 17, 8) = '41564920'
+                    THEN 'video/x-msvideo'
+                  WHEN substring(hx, 9, 8) = '66747970'
+                    THEN 'video/mp4'
+                  ELSE 'application/octet-stream' END AS sniffed_mime
+              FROM src)
+            SELECT k, sniffed_mime,
+              CASE WHEN lower(trim(split_part(declared, ';', 1)))
+                     = 'image/jpg' THEN 'image/jpeg'
+                   ELSE lower(trim(split_part(declared, ';', 1)))
+              END AS declared_norm,
+              (CASE WHEN lower(trim(split_part(declared, ';', 1)))
+                      = 'image/jpg' THEN 'image/jpeg'
+                    ELSE lower(trim(split_part(declared, ';', 1)))
+               END = sniffed_mime) AS mime_matches
+            FROM sn
+        """,
         "clustering_report": _CLUSTERING_Z_SQL + """
             SELECT tbl, file, n_rows, vmin, vmax, overlaps FROM rep
         """,

@@ -147,6 +147,7 @@ HEADLINE = [
     "funnel_steps",
     "clustering_report",
     "clustering_stats",
+    "mime_audit",
     "cdx_captures",
     "cdx_latest_captures",
     "bpe_merges",

@@ -202,3 +202,97 @@ def hamming_near_dups(
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+#: magic-byte table (public file-format signatures, the same list
+#: Go's http.DetectContentType / the `file` utility encode): hex
+#: prefix (at byte 1 unless noted) -> canonical MIME. RIFF and MP4
+#: need a second probe at an offset; HTML/XML match explicit leading
+#: markers only (no heuristic text scoring — that's quality_scores'
+#: job on decoded text).
+_MAGIC_PREFIX = (
+    ("255044462D", "application/pdf"),          # %PDF-
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("474946383761", "image/gif"),              # GIF87a
+    ("474946383961", "image/gif"),              # GIF89a
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("494433", "audio/mpeg"),                   # ID3
+    ("FFFB", "audio/mpeg"),                     # bare MPEG frame
+    ("4F676753", "application/ogg"),            # OggS
+    ("3C21444F43545950", "text/html"),          # <!DOCTYP
+    ("3C68746D6C", "text/html"),                # <html
+    ("3C48544D4C", "text/html"),                # <HTML
+    ("3C3F786D6C", "application/xml"),          # <?xml
+)
+
+#: RIFF container format tags at bytes 9-12
+_RIFF_KINDS = (
+    ("57415645", "audio/wav"),                  # WAVE
+    ("57454250", "image/webp"),                 # WEBP
+    ("41564920", "video/x-msvideo"),            # AVI(space)
+)
+
+#: declared-MIME aliases normalized before comparison
+_MIME_ALIASES = (("image/jpg", "image/jpeg"),)
+
+
+def sniff_mime(bin_col) -> "F.Column":
+    """Magic-byte MIME sniff of a binary column as ONE case
+    expression over the hex of the first 16 bytes — zero Python,
+    zero exchange, payload bytes never leave the scan (only a
+    16-byte prefix is hexed). Unknown signatures report
+    application/octet-stream; sniffing is deliberately marker-based
+    (no statistical text detection)."""
+    col = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    h = F.hex(F.expr(f"substring({bin_col}, 1, 16)")) if isinstance(
+        bin_col, str
+    ) else F.hex(F.substring(col, 1, 16))
+    out = None
+    for pfx, mime in _MAGIC_PREFIX:
+        cond = h.startswith(pfx)
+        out = F.when(cond, mime) if out is None else out.when(cond, mime)
+    riff = h.startswith("52494646")
+    for tag, mime in _RIFF_KINDS:
+        out = out.when(riff & (h.substr(17, 8) == tag), mime)
+    # ISO-BMFF: 'ftyp' at byte offset 4 (hex chars 9-16)
+    out = out.when(h.substr(9, 8) == "66747970", "video/mp4")
+    return out.otherwise("application/octet-stream")
+
+
+def normalize_mime(declared_col) -> "F.Column":
+    """Declared Content-Type → canonical comparison form: parameters
+    stripped (everything after ';'), trimmed, lowercased, common
+    aliases folded (image/jpg → image/jpeg)."""
+    col = (
+        F.col(declared_col)
+        if isinstance(declared_col, str)
+        else declared_col
+    )
+    norm = F.lower(F.trim(F.split(col, ";").getItem(0)))
+    for alias, canon in _MIME_ALIASES:
+        norm = F.when(norm == alias, canon).otherwise(norm)
+    return norm
+
+
+def sniff_content_type(
+    df: DataFrame, bin_col: str = "payload", declared_col: str | None = None
+) -> DataFrame:
+    """Audit actual vs declared content types over a binary column:
+    adds ``sniffed_mime`` and, when ``declared_col`` is given,
+    ``declared_norm`` + ``mime_matches``. The crawl-filter tier (F3)
+    trusts response headers; at 100 TB a mislabeled-payload audit is
+    how you find the servers that lie — and it runs as a pure
+    projection on the asset scan, composable with any downstream
+    filter. Reference parity: fetcher.go trusts Content-Type for the
+    parse gate; this is the verification the reference lacks."""
+    out = df.withColumn("sniffed_mime", sniff_mime(bin_col))
+    if declared_col is not None:
+        out = out.withColumn(
+            "declared_norm", normalize_mime(declared_col)
+        ).withColumn(
+            "mime_matches",
+            F.col("declared_norm") == F.col("sniffed_mime"),
+        )
+    return out
