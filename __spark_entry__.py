@@ -1998,6 +1998,29 @@ _CLUSTERING_Z_SQL = """
 """
 
 
+_SWEEP_THS = (20, 40, 60, 80, 95)
+
+
+def q_quality_sweep(spark, sf_dir):
+    """Quality-threshold survival curve (curation.threshold_sweep):
+    docs + token weight surviving each candidate min-token cutoff,
+    with exact-integer ppm shares — ONE corpus pass (per-row count of
+    passed ascending thresholds, (K+1)-bucket histogram, funnel-style
+    suffix rollup); everything after the bucket agg is K-row
+    metadata. The oracle recounts each threshold directly."""
+    from walker_spark.operators.curation import threshold_sweep
+    from walker_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.size(
+            F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+        ).alias("n_tokens")
+    )
+    return threshold_sweep(
+        docs, "n_tokens", list(_SWEEP_THS), weight_col="n_tokens"
+    )
+
+
 _MIME_CORRECT = (
     "CASE CAST(o_orderkey % 8 AS INT)"
     " WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'"
@@ -2782,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_report": q_clustering_report,
         "clustering_stats": q_clustering_stats,
         "mime_audit": q_mime_audit,
+        "quality_sweep": q_quality_sweep,
         "cdx_captures": q_cdx_captures,
         "cdx_latest_captures": q_cdx_latest_captures,
         "bpe_merges": q_bpe_merges,
@@ -3578,6 +3602,28 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
         "blocklist_tags": _blocklist_tags_sql(),
+        "quality_sweep": f"""
+            WITH tk AS MATERIALIZED (
+              SELECT len(list_filter(string_split_regex(
+                       {_NORM_TEXT_SQL}, ' '), s0 -> len(s0) > 0)) AS n
+              FROM documents)
+            SELECT CAST(s.step AS BIGINT) AS step,
+                   CAST(s.t AS BIGINT) AS threshold,
+                   CAST((SELECT count(*) FROM tk WHERE n >= s.t)
+                        AS BIGINT) AS docs,
+                   CAST(COALESCE((SELECT sum(n) FROM tk WHERE n >= s.t),
+                        0) AS BIGINT) AS weight,
+                   CAST(((SELECT count(*) FROM tk WHERE n >= s.t)
+                         * 1000000) // (SELECT count(*) FROM tk)
+                        AS BIGINT) AS docs_ppm,
+                   CAST(((SELECT COALESCE(sum(n), 0) FROM tk
+                          WHERE n >= s.t) * 1000000)
+                        // (SELECT sum(n) FROM tk)
+                        AS BIGINT) AS weight_ppm
+            FROM (VALUES {", ".join(
+                f"({i + 1}, {t})" for i, t in enumerate(_SWEEP_THS)
+            )}) AS s(step, t)
+        """,
         "mime_audit": """
             WITH src AS (
               SELECT o_orderkey AS k,

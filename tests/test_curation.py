@@ -345,3 +345,54 @@ def test_grouped_split_rejects_bad_fractions(spark):
 
     with _pytest.raises(ValueError):
         grouped_split(df, fractions=(("a", 0.5), ("b", 0.4)))
+
+
+def test_threshold_sweep_hand_and_random(spark):
+    import random
+
+    from walker_spark.operators.curation import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(1, 7), (5, 3), (10, 2), (20, 4)], "score long, w long"
+    )
+    got = {
+        r["threshold"]: (r["docs"], r["weight"], r["docs_ppm"], r["weight_ppm"])
+        for r in threshold_sweep(
+            df, "score", [15, 5, 10], weight_col="w"  # unsorted input
+        ).collect()
+    }
+    # totals: 4 docs, weight 16
+    assert got[5] == (3, 9, 750000, 562500)
+    assert got[10] == (2, 6, 500000, 375000)
+    assert got[15] == (1, 4, 250000, 250000)
+
+    rng = random.Random(0x5E)
+    rows = [(rng.randint(0, 100), rng.randint(1, 9)) for _ in range(300)]
+    ths = [10, 33, 50, 90]
+    got2 = {
+        r["threshold"]: (r["docs"], r["weight"])
+        for r in threshold_sweep(
+            spark.createDataFrame(rows, "score long, w long"),
+            "score",
+            ths,
+            weight_col="w",
+        ).collect()
+    }
+    for t in ths:
+        want = [r for r in rows if r[0] >= t]
+        assert got2[t] == (len(want), sum(w for _, w in want))
+
+    # default weight = 1 per doc
+    got3 = {
+        r["threshold"]: r["weight"]
+        for r in threshold_sweep(
+            spark.createDataFrame(rows, "score long, w long"), "score", ths
+        ).collect()
+    }
+    for t in ths:
+        assert got3[t] == sum(1 for r in rows if r[0] >= t)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        threshold_sweep(df, "score", [])

@@ -923,3 +923,74 @@ def grouped_split(
         F.col(group_col).alias("group"),
         split.alias("split"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Survival curve for a quality-filter threshold decision: one
+    row per candidate threshold ``(step, threshold, docs, weight,
+    docs_ppm, weight_ppm)`` — how many documents (and how much
+    token/byte weight) survive ``score >= t``, with exact-integer ppm
+    shares of the full corpus. The curve is what a curator actually
+    looks at before picking a cutoff (quality-vs-quantity pareto);
+    computing it per-threshold would rescan the corpus K times.
+
+    ONE corpus pass: each row maps to the COUNT of (ascending)
+    thresholds it passes — ``score >= t_i`` is monotone in i, so
+    "passes t_i" ⟺ "count >= i" — then a (K+1)-bucket histogram rolls
+    up with the funnel_counts suffix-sum shape. Everything after the
+    bucket aggregation is K-row metadata; ``weight_col`` (token
+    counts, bytes) defaults to 1 per doc."""
+    spark = df.sparkSession
+    ths = sorted(thresholds)
+    if not ths:
+        raise ValueError("threshold_sweep needs at least one threshold")
+    arr = F.array(*[F.lit(t) for t in ths])
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    score = F.col(score_col)
+    buckets = (
+        df.select(
+            F.size(F.filter(arr, lambda t: score >= t)).alias("_idx"),
+            w.cast("long").alias("_w"),
+        )
+        .groupBy("_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_docs"),
+            F.sum("_w").cast("long").alias("_weight"),
+        )
+    )
+    totals = buckets.agg(
+        F.sum("_docs").cast("long").alias("_td"),
+        F.sum("_weight").cast("long").alias("_tw"),
+    )
+    steps = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(ths)], ["step", "threshold"]
+    )
+    reached = (
+        steps.join(buckets, F.col("_idx") >= F.col("step"), "left")
+        .groupBy("step", "threshold")
+        .agg(
+            F.coalesce(F.sum("_docs"), F.lit(0)).cast("long").alias("docs"),
+            F.coalesce(F.sum("_weight"), F.lit(0))
+            .cast("long")
+            .alias("weight"),
+        )
+    )
+    return reached.crossJoin(F.broadcast(totals)).select(
+        F.col("step").cast("long").alias("step"),
+        "threshold",
+        "docs",
+        "weight",
+        F.expr(
+            "CASE WHEN _td > 0 THEN (docs * 1000000) div _td "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("docs_ppm"),
+        F.expr(
+            "CASE WHEN _tw > 0 THEN (weight * 1000000) div _tw "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("weight_ppm"),
+    )
