@@ -152,6 +152,7 @@ HEADLINE = [
     "cdx_latest_captures",
     "bpe_merges",
     "bpe_encode",
+    "quality_sweep",
 ]
 
 # crawl corpus sizing per benchmark scale
