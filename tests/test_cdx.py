@@ -183,3 +183,40 @@ def test_seed_from_cdx_filters_and_idempotent(spark, tmp_path):
     m2 = seed_from_cdx(store, cfg, parsed)
     assert m2["links_new"] == 0 and m2["domains_new"] == 0
     assert store.read("links").count() == 2
+
+
+def test_stream_cdx_captures_incremental(spark, tmp_path):
+    from tests.crawlfix import build_store
+    from walker_spark.streaming.ingest import stream_cdx_captures
+
+    store = build_store(spark, str(tmp_path / "store"), [], [])
+    cfg = WalkerConfig()
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    mk = (
+        'k {ts} {{"url": "{u}", "mime": "text/html", "status": "200"}}'
+    )
+    (drop / "day1.cdxj").write_text(
+        mk.format(ts="20240305120000", u="http://s1.com/a.html")
+        + "\n"
+        + mk.format(ts="20240306120000", u="http://s1.com/b.html")
+        + "\nbroken line {}\n"
+    )
+    stream_cdx_captures(store, cfg, str(drop), ckpt)
+    assert store.read("links").count() == 2
+
+    # a second drop processes ONLY the new file (stream checkpoint);
+    # its duplicate URL dedupes through URL-seen
+    (drop / "day2.cdxj").write_text(
+        mk.format(ts="20240307120000", u="http://s1.com/a.html")
+        + "\n"
+        + mk.format(ts="20240307120000", u="http://s1.com/c.html")
+        + "\n"
+    )
+    stream_cdx_captures(store, cfg, str(drop), ckpt)
+    assert store.read("links").count() == 3
+
+    # a fresh checkpoint redelivers everything — idempotent end state
+    stream_cdx_captures(store, cfg, str(drop), str(tmp_path / "ckpt2"))
+    assert store.read("links").count() == 3

@@ -55,3 +55,48 @@ def stream_seed_urls(
     if available_now:
         query.awaitTermination()
     return query
+
+
+def stream_cdx_captures(
+    store: FrontierStore,
+    cfg: WalkerConfig,
+    input_dir: str,
+    checkpoint_dir: str,
+    statuses: tuple = (200,),
+    mime_prefix: str = "text/html",
+    available_now: bool = True,
+):
+    """Streaming capture-index ingestion — the "daily cc-index drop"
+    shape: CDX-J files land in a directory, `readStream` tails them,
+    and every batch runs the SAME parse → status/MIME filter →
+    distinct-URL → seed path as the batch source
+    (:func:`walker_spark.sources.cdx.seed_from_cdx`), so batch and
+    stream cannot diverge and re-delivered batches dedupe through
+    URL-seen exactly like re-seeded sitemaps/feeds. Malformed lines
+    follow the audit contract (typed `_error` rows are filtered by
+    the seed path, never crash the stream). Returns the
+    StreamingQuery."""
+    from walker_spark.sources.cdx import parse_cdx_lines, seed_from_cdx
+
+    lines = store.spark.readStream.format("text").load(input_dir)
+
+    def handle_batch(batch_df, batch_id: int):
+        seed_from_cdx(
+            store,
+            cfg,
+            parse_cdx_lines(batch_df),
+            statuses=statuses,
+            mime_prefix=mime_prefix,
+        )
+
+    writer = (
+        lines.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query
