@@ -1998,6 +1998,40 @@ _CLUSTERING_Z_SQL = """
 """
 
 
+_BUDGET_FETCHES = 4000  # vs ~8010 total demand — a real split
+_BUDGET_WINDOW_MS = 30 * 86_400_000
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Budget-constrained refresh allocation (recrawl.crawl_budget):
+    the change-rate estimates from q_change_rates ranked by activity,
+    desired cadences funded by a distributed weighted prefix sum
+    until the global fetch budget runs out (PREFIX semantics — a
+    clean cut of the ranking, no fill-in), the rest demoted to the
+    30-day floor. The oracle replays the prefix sum with one window
+    over the same total order."""
+    from walker_spark.operators.recrawl import (
+        change_rate_estimates,
+        crawl_budget,
+    )
+
+    hist = _t(spark, sf_dir, "events").select(
+        F.expr("'http://h' || CAST(user_id AS STRING) || '.com/'").alias(
+            "url"
+        ),
+        F.col("ts"),
+        F.col("event_type").alias("content_key"),
+    )
+    rates = change_rate_estimates(
+        hist, min_interval_ms=60_000, max_interval_ms=86_400_000
+    )
+    return crawl_budget(
+        rates,
+        budget_fetches=_BUDGET_FETCHES,
+        window_ms=_BUDGET_WINDOW_MS,
+    )
+
+
 _SWEEP_THS = (20, 40, 60, 80, 95)
 
 
@@ -2806,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_stats": q_clustering_stats,
         "mime_audit": q_mime_audit,
         "quality_sweep": q_quality_sweep,
+        "crawl_budget": q_crawl_budget,
         "cdx_captures": q_cdx_captures,
         "cdx_latest_captures": q_cdx_latest_captures,
         "bpe_merges": q_bpe_merges,
@@ -3602,6 +3637,31 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
         "blocklist_tags": _blocklist_tags_sql(),
+        "crawl_budget": f"""
+            WITH cr AS MATERIALIZED ({_change_rates_sql()}),
+            ranked AS MATERIALIZED (
+              SELECT url, change_ppm, n_obs, suggested_interval_ms,
+                     CAST({_BUDGET_WINDOW_MS} AS BIGINT)
+                       // greatest(suggested_interval_ms, 1)
+                       AS cost_fetches,
+                     COALESCE(sum(CAST({_BUDGET_WINDOW_MS} AS BIGINT)
+                       // greatest(suggested_interval_ms, 1)) OVER (
+                         ORDER BY change_ppm DESC, n_obs DESC, url ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cum_before
+              FROM cr)
+            SELECT url, change_ppm, n_obs, cost_fetches,
+                   suggested_interval_ms,
+                   CAST(CASE WHEN cum_before + cost_fetches
+                          <= {_BUDGET_FETCHES}
+                        THEN suggested_interval_ms
+                        ELSE {30 * 86_400_000} END AS BIGINT)
+                     AS granted_interval_ms,
+                   CAST(CASE WHEN cum_before + cost_fetches
+                          <= {_BUDGET_FETCHES}
+                        THEN 0 ELSE 1 END AS BIGINT) AS demoted
+            FROM ranked
+        """,
         "quality_sweep": f"""
             WITH tk AS MATERIALIZED (
               SELECT len(list_filter(string_split_regex(

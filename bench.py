@@ -153,6 +153,7 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode",
     "quality_sweep",
+    "crawl_budget",
 ]
 
 # crawl corpus sizing per benchmark scale

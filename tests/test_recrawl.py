@@ -73,3 +73,70 @@ def test_change_rates_clamp_and_tie_determinism(spark):
 
     with pytest.raises(ValueError):
         change_rate_estimates(df, min_interval_ms=0)
+
+
+def test_crawl_budget_funds_most_active_first(spark):
+    import random
+
+    from walker_spark.operators.recrawl import crawl_budget
+
+    rows = [
+        # (url, change_ppm, n_obs, suggested_interval_ms)
+        ("u_hot", 900000, 10, 1000),    # cost 100
+        ("u_warm", 500000, 10, 2000),   # cost 50
+        ("u_cool", 100000, 10, 10000),  # cost 10
+        ("u_cold", 0, 10, 100000),      # cost 1
+    ]
+    rates = spark.createDataFrame(
+        rows,
+        "url string, change_ppm long, n_obs long,"
+        " suggested_interval_ms long",
+    )
+    got = {
+        r["url"]: (r["cost_fetches"], r["granted_interval_ms"], r["demoted"])
+        for r in crawl_budget(
+            rates, budget_fetches=155, window_ms=100000,
+            fallback_interval_ms=999999,
+        ).collect()
+    }
+    # hot (100) + warm (50) fit in 155; cool (10) would cross -> strict
+    # boundary demotes it AND everything after
+    assert got["u_hot"] == (100, 1000, 0)
+    assert got["u_warm"] == (50, 2000, 0)
+    assert got["u_cool"] == (10, 999999, 1)
+    assert got["u_cold"] == (1, 999999, 1)
+
+    # randomized parity vs a plain sorted prefix sum
+    rng = random.Random(0xB0)
+    rows2 = [
+        (f"u{i:03d}", rng.randrange(0, 1000000), rng.randint(2, 50),
+         rng.choice([1000, 2000, 5000, 10000, 50000]))
+        for i in range(200)
+    ]
+    budget = 3000
+    got2 = {
+        r["url"]: (r["granted_interval_ms"], r["demoted"])
+        for r in crawl_budget(
+            spark.createDataFrame(
+                rows2,
+                "url string, change_ppm long, n_obs long,"
+                " suggested_interval_ms long",
+            ),
+            budget_fetches=budget,
+            window_ms=100000,
+            fallback_interval_ms=777,
+        ).collect()
+    }
+    # PREFIX semantics: the budget funds a maximal prefix of the
+    # activity ranking — no greedy fill-in past the first crossing
+    # (fill-in would fund a less-active URL past a starved
+    # more-active one)
+    cum = 0
+    want = {}
+    for u, ppm, n, sug in sorted(
+        rows2, key=lambda r: (-r[1], -r[2], r[0])
+    ):
+        cost = 100000 // sug
+        want[u] = (sug, 0) if cum + cost <= budget else (777, 1)
+        cum += cost
+    assert got2 == want

@@ -139,3 +139,103 @@ def change_rate_estimates(
         min_interval_ms,
         max_interval_ms,
     )
+
+
+def crawl_budget(
+    rates: DataFrame,
+    budget_fetches: int,
+    window_ms: int = 30 * 86_400_000,
+    fallback_interval_ms: int = 30 * 86_400_000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Budget-constrained refresh allocation over change-rate
+    estimates: spend a global fetch budget (fetches per ``window_ms``)
+    on the most change-active URLs first. Cho & Garcia-Molina's core
+    observation is that a crawler cannot afford to chase every change;
+    ranking by OBSERVED change activity concentrates the refresh
+    budget where it buys freshness, and everyone else falls back to a
+    slow floor instead of silently starving.
+
+    - cost of a URL = ``window_ms div suggested_interval_ms`` — its
+      fetches per window at the desired cadence;
+    - URLs rank by (change_ppm, n_obs, url) in descending-activity
+      order (url is unique, so the order is total — deterministic);
+    - a distributed weighted prefix sum over that order (the
+      assign_shards machinery: repartitionByRange localCheckpointed
+      ONCE, per-partition cost totals as a broadcast offset table,
+      local cumulative window keyed on the partition id) funds desired
+      cadences until the budget is exhausted; PREFIX semantics — the
+      budget funds a maximal prefix of the ranking, and the first URL
+      whose cost would cross the budget is demoted along with
+      everything ranked after it (no greedy fill-in: funding a
+      less-active URL past a starved more-active one would invert the
+      priority order and make the allocation order-sensitive);
+    - unfunded URLs get ``fallback_interval_ms``.
+
+    Output: ``(url, change_ppm, n_obs, cost_fetches,
+    suggested_interval_ms, granted_interval_ms, demoted)`` — all
+    BIGINT (demoted 0/1), exact-oracle integer arithmetic
+    throughout."""
+    if budget_fetches < 0:
+        raise ValueError(f"budget must be >= 0: {budget_fetches}")
+    spark = rates.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    order = [
+        F.col("change_ppm").desc(),
+        F.col("n_obs").desc(),
+        F.col("url").asc(),
+    ]
+    ranged = (
+        rates.select(
+            "url",
+            "change_ppm",
+            "n_obs",
+            "suggested_interval_ms",
+            F.expr(
+                f"CAST({int(window_ms)} AS BIGINT)"
+                " div greatest(suggested_interval_ms, 1)"
+            ).alias("cost_fetches"),
+        )
+        .repartitionByRange(p, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_prev = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("cost_fetches").alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off"),
+        )
+    )
+    w_pid = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    funded = (
+        F.col("_off") + F.col("_local") + F.col("cost_fetches")
+        <= F.lit(int(budget_fetches))
+    )
+    return (
+        ranged.withColumn(
+            "_local",
+            F.coalesce(F.sum("cost_fetches").over(w_pid), F.lit(0)),
+        )
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            "url",
+            "change_ppm",
+            "n_obs",
+            "cost_fetches",
+            "suggested_interval_ms",
+            F.when(funded, F.col("suggested_interval_ms"))
+            .otherwise(F.lit(int(fallback_interval_ms)))
+            .cast("long")
+            .alias("granted_interval_ms"),
+            (~funded).cast("long").alias("demoted"),
+        )
+    )
