@@ -1998,6 +1998,74 @@ _CLUSTERING_Z_SQL = """
 """
 
 
+_SDC_THRESHOLD = 0.3  # random 64-d cosines: a nonempty, partial flag set
+
+
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-level benchmark decontamination
+    (curation.semantic_decontaminate): bench = vec_id % 17 == 0 rows
+    of embeddings, corpus = the rest; IVF cells learned from the
+    bench side, bench items broadcast per cell as arrays, each corpus
+    row folds its cell's cosines IN PLACE (zero-exchange corpus
+    path). Oracle replays assignment with the ivf_topk argmin chain
+    and picks the max via row_number — two shapes, one contract."""
+    from walker_spark.operators.curation import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    return semantic_decontaminate(
+        corpus, bench, threshold=_SDC_THRESHOLD, n_centroids=16
+    )
+
+
+def _semantic_decontam_sql(dim: int = 64, n_centroids: int = 16) -> str:
+    sq = (
+        "list_aggregate(list_transform(range(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i])"
+        " * (CAST({a}[i] AS DOUBLE) - {b}[i])), 'sum')"
+    )
+    bd = sq.format(n=dim + 1, a="b.bv", b="c.cvv")
+    cd = sq.format(n=dim + 1, a="e.cv", b="c.cvv")
+    return f"""
+        WITH bench AS MATERIALIZED (
+          SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+          FROM embeddings WHERE vec_id % 17 = 0),
+        corpus AS MATERIALIZED (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id % 17 <> 0),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY bid) - 1 AS cid, bv AS cvv
+          FROM (SELECT bid, bv FROM bench ORDER BY bid
+                LIMIT {n_centroids})),
+        ba AS MATERIALIZED (
+          SELECT bid, bv, cid FROM (
+            SELECT b.bid, b.bv, c.cid,
+                   row_number() OVER (PARTITION BY b.bid
+                     ORDER BY {bd}, c.cid) AS rn
+            FROM bench b CROSS JOIN c0 c) WHERE rn = 1),
+        ca AS MATERIALIZED (
+          SELECT id, cv, cid FROM (
+            SELECT e.id, e.cv, c.cid,
+                   row_number() OVER (PARTITION BY e.id
+                     ORDER BY {cd}, c.cid) AS rn
+            FROM corpus e CROSS JOIN c0 c) WHERE rn = 1),
+        best AS MATERIALIZED (
+          SELECT id, bid, c FROM (
+            SELECT ca.id, ba.bid,
+                   round(list_cosine_similarity(ca.cv, ba.bv), 3) AS c,
+                   row_number() OVER (PARTITION BY ca.id
+                     ORDER BY round(list_cosine_similarity(
+                       ca.cv, ba.bv), 3) DESC, ba.bid DESC) AS rn
+            FROM ca JOIN ba USING (cid)) WHERE rn = 1)
+        SELECT ca.id, CAST(COALESCE(best.bid, -1) AS BIGINT) AS bench_id,
+               COALESCE(best.c, -1.0) AS cosine,
+               CAST(CASE WHEN COALESCE(best.c, -1.0)
+                 >= {_SDC_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT)
+                 AS contaminated
+        FROM ca LEFT JOIN best USING (id)"""
+
+
 _BUDGET_FETCHES = 4000  # vs ~8010 total demand — a real split
 _BUDGET_WINDOW_MS = 30 * 86_400_000
 
@@ -2841,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_audit": q_mime_audit,
         "quality_sweep": q_quality_sweep,
         "crawl_budget": q_crawl_budget,
+        "semantic_decontam": q_semantic_decontam,
         "cdx_captures": q_cdx_captures,
         "cdx_latest_captures": q_cdx_latest_captures,
         "bpe_merges": q_bpe_merges,
@@ -3637,6 +3706,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "url_templates": _url_templates_sql(),
         "blocklist_tags": _blocklist_tags_sql(),
+        "semantic_decontam": _semantic_decontam_sql(),
         "crawl_budget": f"""
             WITH cr AS MATERIALIZED ({_change_rates_sql()}),
             ranked AS MATERIALIZED (

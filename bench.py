@@ -154,6 +154,7 @@ HEADLINE = [
     "bpe_encode",
     "quality_sweep",
     "crawl_budget",
+    "semantic_decontam",
 ]
 
 # crawl corpus sizing per benchmark scale

@@ -396,3 +396,63 @@ def test_threshold_sweep_hand_and_random(spark):
 
     with _pytest.raises(ValueError):
         threshold_sweep(df, "score", [])
+
+
+def test_semantic_decontaminate_vs_brute(spark):
+    import math
+    import random
+
+    from walker_spark.operators.curation import semantic_decontaminate
+    from walker_spark.operators.similarity import ivf_sample_centroids
+
+    rng = random.Random(0xDECA)
+    dim = 8
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    bench_rows = [(i, vec()) for i in range(0, 12)]
+    corpus_rows = [(100 + i, vec()) for i in range(60)]
+    # plant an exact leak: corpus 199 == bench 3's vector
+    corpus_rows.append((199, list(bench_rows[3][1])))
+    schema = "vec_id long, embedding array<double>"
+    bench = spark.createDataFrame(bench_rows, schema)
+    corpus = spark.createDataFrame(corpus_rows, schema)
+
+    got = {
+        r["id"]: (r["bench_id"], r["cosine"], r["contaminated"])
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.95, n_centroids=4
+        ).collect()
+    }
+
+    # python reference with the same blocking
+    cents = ivf_sample_centroids(bench, 4)
+
+    def cell(v):
+        d = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+        return d.index(min(d))
+
+    bcell = {}
+    for bid, bv in bench_rows:
+        bcell.setdefault(cell(bv), []).append((bid, bv))
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 3)
+
+    for cid_, cv_ in corpus_rows:
+        items = bcell.get(cell(cv_), [])
+        if not items:
+            want = (-1, -1.0, 0)
+        else:
+            c, b = max(
+                (cos(cv_, bv), bid) for bid, bv in items
+            )
+            want = (b, c, int(c >= 0.95))
+        assert got[cid_] == want, (cid_, got[cid_], want)
+
+    # the planted leak is flagged iff it shares the bench item's cell
+    # (same vector -> same cell by construction)
+    assert got[199][0] == 3 and got[199][2] == 1

@@ -994,3 +994,99 @@ def threshold_sweep(
             "ELSE CAST(0 AS BIGINT) END"
         ).alias("weight_ppm"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the fuzzy
+    complement of :func:`contaminated_docs`' exact n-gram matching
+    (the "semantic leakage" check training reports run next to string
+    decontamination): flag corpus items whose nearest BENCHMARK
+    embedding has cosine >= threshold.
+
+    Scale shape — the corpus path is ZERO-exchange: the IVF codebook
+    is learned from the BENCH side (first-n deterministic sample —
+    bench sets are small, the codebook is KB driver state); bench
+    items group per cell into arrays and BROADCAST; each corpus row
+    computes its own cell with the same argmin projection and folds
+    the cosines of that cell's bench items in place (array_max over a
+    (cosine, bench_id) struct array — ties to the larger bench id).
+    Cost is N x B/C instead of N x B; cross-cell near-matches are
+    missed — the SemDeDup blocking approximation, documented.
+
+    Output ``(id, bench_id, cosine, contaminated)``: cosine ROUNDED
+    to 3 before thresholding and ranking (the knn_graph cross-engine
+    rule); corpus items whose cell holds no bench item report
+    (-1, -1.0, 0)."""
+    from .similarity import (
+        _dot,
+        _norm,
+        _sq_l2,
+        ivf_sample_centroids,
+    )
+
+    centroids = ivf_sample_centroids(bench, n_centroids, id_col, vec_col)
+
+    def assign(vcol):
+        dists = F.array(*[_sq_l2(vcol, c) for c in centroids])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast(
+            "int"
+        )
+
+    bcells = (
+        bench.select(
+            F.col(id_col).alias("bid"),
+            F.col(vec_col).cast("array<double>").alias("bv"),
+        )
+        .withColumn("cid", assign(F.col("bv")))
+        .withColumn("bn", _norm(F.col("bv")))
+        .groupBy("cid")
+        .agg(
+            F.collect_list(F.struct("bv", "bn", "bid")).alias("_items")
+        )
+    )
+    cv = F.col("_cv")
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        .withColumn("cid", assign(cv))
+        .withColumn("_cn", _norm(cv))
+        .join(F.broadcast(bcells), "cid", "left")
+        .withColumn(
+            "_best",
+            F.array_max(
+                F.transform(
+                    F.col("_items"),
+                    lambda x: F.struct(
+                        F.round(
+                            F.try_divide(
+                                _dot(cv, x["bv"]), F.col("_cn") * x["bn"]
+                            ),
+                            3,
+                        ).alias("c"),
+                        x["bid"].alias("b"),
+                    ),
+                )
+            ),
+        )
+    )
+    return scored.select(
+        "id",
+        F.coalesce(F.col("_best.b"), F.lit(-1)).cast("long").alias(
+            "bench_id"
+        ),
+        F.coalesce(F.col("_best.c"), F.lit(-1.0)).alias("cosine"),
+        (
+            F.coalesce(F.col("_best.c"), F.lit(-1.0)) >= F.lit(threshold)
+        )
+        .cast("long")
+        .alias("contaminated"),
+    )
