@@ -3832,7 +3832,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sn
         """,
         "clustering_report": _CLUSTERING_Z_SQL + """
-            SELECT tbl, file, n_rows, vmin, vmax, overlaps FROM rep
+            -- bare `file` after a comma trips DuckDB's parser
+            -- (COPY-file syntax); qualification disambiguates
+            SELECT rep.tbl, rep.file, rep.n_rows, rep.vmin, rep.vmax,
+                   rep.overlaps
+            FROM rep
         """,
         "clustering_stats": _CLUSTERING_Z_SQL + """
             , dpt AS MATERIALIZED (
@@ -3845,10 +3849,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT tbl, CAST(max(c) AS BIGINT) AS max_depth
               FROM dpt GROUP BY tbl),
             agg AS (
+              -- OVERLAPS is an SQL keyword (datetime range
+              -- predicate): the column must be quoted in expressions
               SELECT tbl, CAST(count(*) AS BIGINT) AS n_files,
                      CAST(sum(n_rows) AS BIGINT) AS total_rows,
-                     CAST(max(overlaps) AS BIGINT) AS max_overlaps,
-                     CAST((sum(overlaps) * 1000000) // count(*)
+                     CAST(max("overlaps") AS BIGINT) AS max_overlaps,
+                     CAST((sum("overlaps") * 1000000) // count(*)
                           AS BIGINT) AS avg_overlaps_ppm
               FROM rep GROUP BY tbl)
             SELECT a.tbl, a.n_files, a.total_rows, d.max_depth,

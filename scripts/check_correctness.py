@@ -101,7 +101,15 @@ def frame_signature(cols: list[str], rows: list[tuple]):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept both `a b c` and `--only a,b,c`; a filter naming unknown
+    # queries (or matching none) is an ERROR, never a vacuous ALL OK
+    only = {
+        n
+        for a in sys.argv[2:]
+        if a != "--only"
+        for n in a.split(",")
+        if n
+    }
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -123,6 +131,11 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"UNKNOWN query names in filter: {sorted(unknown)}")
+            return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
