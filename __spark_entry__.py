@@ -1825,8 +1825,26 @@ def q_cdx_captures(spark, sf_dir):
     The oracle derives every typed field from the same modular
     arithmetic — the Spark side actually parses, so regex split,
     from_json under the explicit schema, try_cast typing, the epoch
-    math and surt_key recomputation are all value-gated."""
-    return _cdx_parsed(spark, sf_dir)
+    math and surt_key recomputation are all value-gated. Nullable
+    numerics/booleans carry -1 sentinels on BOTH sides (the asof
+    rule: NULL BIGINT/BOOLEAN turns float/nan under the driver's
+    pandas fetch)."""
+    parsed = _cdx_parsed(spark, sf_dir)
+    return parsed.select(
+        "surt",
+        F.coalesce("ts_s", F.lit(-1)).alias("ts_s"),
+        "url",
+        "mime",
+        F.coalesce("status", F.lit(-1)).alias("status"),
+        "digest",
+        F.coalesce("length_b", F.lit(-1)).alias("length_b"),
+        F.coalesce("offset_b", F.lit(-1)).alias("offset_b"),
+        "filename",
+        F.coalesce(F.col("surt_matches").cast("long"), F.lit(-1)).alias(
+            "surt_matches"
+        ),
+        "_error",
+    )
 
 
 def q_cdx_latest_captures(spark, sf_dir):
@@ -2251,91 +2269,6 @@ def _funnel_ctes() -> str:
                           AS BIGINT) AS entered_ms
               FROM (SELECT DISTINCT u FROM ev) b {joins})""")
     return "".join(parts)
-
-
-_BPE_ROUNDS = 8
-
-
-def _bpe_model(spark, sf_dir):
-    from walker_spark.operators.bpe import bpe_train
-
-    return bpe_train(_t(spark, sf_dir, "documents"), _BPE_ROUNDS)
-
-
-def _bpe_ctes(rounds: int) -> str:
-    """Unrolled BPE training chain for DuckDB: w0 (word-frequency
-    table with char+marker symbols) then per round m{r} (argmax pair,
-    binary-collation tiebreak == Spark's max(struct)) and w{r} (the
-    SAME greedy-leftmost fold under list_reduce — verified
-    bit-identical to Spark's aggregate()). MATERIALIZED is mandatory:
-    w{r-1} is referenced twice per round and the CTE tree would
-    otherwise inline exponentially (the hop_distances lesson)."""
-    parts = [
-        """
-            WITH w0 AS MATERIALIZED (
-              SELECT w AS word, count(*) AS cnt,
-                     list_append(string_split(w, ''), '</w>') AS sym
-              FROM (SELECT unnest(""" + _FILTERED_TOKS_SQL + """) AS w
-                    FROM documents)
-              GROUP BY w)"""
-    ]
-    for r in range(1, rounds + 1):
-        parts.append(f"""
-            , m{r} AS MATERIALIZED (
-              SELECT sym[i] AS a, sym[i + 1] AS b,
-                     CAST(sum(cnt) AS BIGINT) AS n
-              FROM w{r - 1}, unnest(generate_series(1, len(sym) - 1)) AS t(i)
-              GROUP BY 1, 2
-              ORDER BY n DESC, a DESC, b DESC LIMIT 1)
-            , w{r} AS MATERIALIZED (
-              SELECT word, cnt,
-                     string_split(list_reduce(sym,
-                       (acc, x) -> CASE WHEN x = mb AND (acc = ma
-                                     OR ends_with(acc, ' ' || ma))
-                                   THEN acc || mb
-                                   ELSE acc || ' ' || x END), ' ') AS sym
-              FROM w{r - 1}, (SELECT a AS ma, b AS mb FROM m{r}) AS m)""")
-    return "".join(parts)
-
-
-def q_bpe_merges(spark, sf_dir):
-    """Distributed BPE training (operators/bpe.py, Sennrich et al.
-    2016): 8 merge rounds over the documents corpus — word-frequency
-    table built ONCE (the only corpus-scale stage), then per round a
-    map-side-combinable pair-count argmax and a zero-exchange
-    canonical greedy-leftmost fold merge. The oracle unrolls all 8
-    rounds as MATERIALIZED CTEs (pagerank precedent) with the SAME
-    fold lambda under list_reduce and the same (n, lhs, rhs) binary
-    tiebreak — every learned merge and its exact corpus pair count
-    must match."""
-    return _bpe_model(spark, sf_dir).merges
-
-
-def q_bpe_vocab(spark, sf_dir):
-    """Final subword vocabulary with exact corpus frequencies after
-    the 8 trained merges — gates the full merged WORD-TABLE STATE,
-    not just the merge list (a wrong fold that picked the right pairs
-    would still fail here)."""
-    from walker_spark.operators.bpe import bpe_vocab
-
-    return bpe_vocab(_bpe_model(spark, sf_dir))
-
-
-def q_bpe_encode(spark, sf_dir):
-    """BPE segmentation of the corpus under the trained merges:
-    distinct words run the rank-ordered fold stack once (zero
-    exchanges), the corpus token stream joins the broadcast
-    word→subwords map. The oracle segments via the TRAINING state
-    (w8) — encode-equals-train is the canonical rank-order encoding
-    equivalence, gated cross-engine per subword occurrence."""
-    from walker_spark.operators.bpe import bpe_encode
-
-    model = _bpe_model(spark, sf_dir)
-    return bpe_encode(
-        _t(spark, sf_dir, "documents"), model.merges
-    ).select(
-        "id", "pos", "spos", "token"
-    )
 
 
 BLOCKLIST_LEXICON = [
@@ -2912,9 +2845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": q_semantic_decontam,
         "cdx_captures": q_cdx_captures,
         "cdx_latest_captures": q_cdx_latest_captures,
-        "bpe_merges": q_bpe_merges,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_encode": q_bpe_encode,
         "blocklist_tags": q_blocklist_tags,
         "politeness_audit": q_politeness_audit,
         "corpus_report": q_corpus_report,
@@ -3911,15 +3841,21 @@ def oracle_sql() -> dict[str, str]:
         "cdx_captures": _CDX_FIELDS_SQL + """
             SELECT
               CASE WHEN _error = '' THEN surt END AS surt,
-              CASE WHEN _error = '' THEN ts_s END AS ts_s,
+              CAST(COALESCE(CASE WHEN _error = '' THEN ts_s END, -1)
+                   AS BIGINT) AS ts_s,
               CASE WHEN _error = '' THEN url END AS url,
               CASE WHEN _error = '' THEN mime END AS mime,
-              CASE WHEN _error = '' THEN status END AS status,
+              CAST(COALESCE(CASE WHEN _error = '' THEN status END, -1)
+                   AS BIGINT) AS status,
               CASE WHEN _error = '' THEN digest END AS digest,
-              CASE WHEN _error = '' THEN length_b END AS length_b,
-              CASE WHEN _error = '' THEN offset_b END AS offset_b,
+              CAST(COALESCE(CASE WHEN _error = '' THEN length_b END, -1)
+                   AS BIGINT) AS length_b,
+              CAST(COALESCE(CASE WHEN _error = '' THEN offset_b END, -1)
+                   AS BIGINT) AS offset_b,
               CASE WHEN _error = '' THEN filename END AS filename,
-              CASE WHEN _error = '' THEN surt_matches END AS surt_matches,
+              CAST(COALESCE(CASE WHEN _error = '' THEN
+                     CASE WHEN surt_matches THEN 1 ELSE 0 END
+                   END, -1) AS BIGINT) AS surt_matches,
               _error
             FROM f
         """,
@@ -3931,30 +3867,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, surt, ts_s, mime, status, digest,
                    length_b, offset_b, filename, surt_matches
             FROM r WHERE rn = 1
-        """,
-        "bpe_merges": _bpe_ctes(_BPE_ROUNDS) + "\n" + " UNION ALL ".join(
-            f"""SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs,
-                       b AS rhs, a || b AS merged, n AS pair_count
-                FROM m{r}"""
-            for r in range(1, _BPE_ROUNDS + 1)
-        ),
-        "bpe_vocab": _bpe_ctes(_BPE_ROUNDS) + f"""
-            SELECT token, CAST(sum(cnt) AS BIGINT) AS n
-            FROM (SELECT unnest(sym) AS token, cnt FROM w{_BPE_ROUNDS})
-            GROUP BY token
-        """,
-        "bpe_encode": _bpe_ctes(_BPE_ROUNDS) + f"""
-            , stream AS (
-              SELECT doc_id AS id, CAST(i - 1 AS INTEGER) AS pos,
-                     toks[i] AS word
-              FROM (SELECT doc_id, {_FILTERED_TOKS_SQL} AS toks
-                    FROM documents),
-                   unnest(generate_series(1, len(toks))) AS t(i))
-            SELECT s.id, s.pos, CAST(j - 1 AS INTEGER) AS spos,
-                   w.sym[j] AS token
-            FROM stream s
-            JOIN w{_BPE_ROUNDS} w USING (word),
-                 unnest(generate_series(1, len(w.sym))) AS u(j)
         """,
         "sitemap_entries": r"""
             WITH src AS (

@@ -150,8 +150,6 @@ HEADLINE = [
     "mime_audit",
     "cdx_captures",
     "cdx_latest_captures",
-    "bpe_merges",
-    "bpe_encode",
     "quality_sweep",
     "crawl_budget",
     "semantic_decontam",

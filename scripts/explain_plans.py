@@ -1850,38 +1850,51 @@ def main():
         ],
     )
 
-    from walker_spark.operators.bpe import (
-        _merge_expr,
-        bpe_encode,
-        word_table,
-    )
+    from walker_spark.operators.funnel import funnel_users
 
-    _bpe_docs = spark.createDataFrame(
-        [(i, "low lower lowest new newer " * 3) for i in range(40)],
-        "doc_id long, text string",
+    _fn_ev = spark.createDataFrame(
+        [(i % 9, 100 + i, i, ["view", "click", "buy"][i % 3])
+         for i in range(60)],
+        "user_id long, ms long, event_id long, event_type string",
+    ).select(
+        "user_id", F.timestamp_millis(F.col("ms")).alias("ts"),
+        "event_id", "event_type",
     )
-    _bpe_words = word_table(_bpe_docs).localCheckpoint()
     ok &= grab(
-        "bpe merge round: the greedy-leftmost fold merge over the "
-        "checkpointed word table is ONE zero-exchange projection "
-        "(aggregate() over the symbol array) — per round only the "
-        "pair-count argmax shuffles, and that is a map-side-combinable "
-        "aggregation over |vocab| rows, never corpus bytes",
-        _bpe_words.withColumn("sym", F.expr(_merge_expr("l", "o"))),
+        "funnel_users: events filter to step types at the scan, ONE "
+        "user-keyed exchange (collect_list + array_sort), the chain "
+        "evaluates as a zero-exchange fold — no self-joins, no window",
+        funnel_users(_fn_ev, ("view", "click", "buy"), span_ms=1000),
         [
-            ("zero exchanges in the merge step", r"Exchange", 0),
+            ("exactly one exchange (the user groupBy)",
+             r"Exchange hashpartitioning", 1),
+            ("no join anywhere", r"SortMergeJoin|BroadcastHashJoin", 0),
+            ("no window operator", r"\bWindow\b", 0),
             ("no Python stage anywhere",
              r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
         ],
     )
 
+    from walker_spark.operators.curation import semantic_decontaminate
+
+    _sd_corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)])
+         for i in range(100, 160)],
+        "vec_id long, embedding array<double>",
+    )
+    _sd_bench = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 5 - 2) for j in range(8)])
+         for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
     ok &= grab(
-        "bpe_encode: distinct words run the fold stack once (one "
-        "word-keyed exchange), the corpus token stream joins the "
-        "BROADCAST word->subwords map — corpus text never shuffles",
-        bpe_encode(_bpe_docs, [("l", "o"), ("lo", "w")]),
+        "semantic_decontaminate: the corpus path is ZERO-exchange — "
+        "cell assignment is a projection, the bench side groups per "
+        "cell and BROADCASTS as arrays, the max-cosine fold runs in "
+        "place (no corpus groupBy, no corpus-keyed exchange)",
+        semantic_decontaminate(_sd_corpus, _sd_bench, n_centroids=4),
         [
-            ("wordmap side: exactly one hash exchange (the distinct)",
+            ("the only hash exchange is the (tiny) bench cell groupBy",
              r"Exchange hashpartitioning", 1),
             ("the join is broadcast", r"BroadcastHashJoin", 1),
             ("no sort-merge join", r"SortMergeJoin", 0),
