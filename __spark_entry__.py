@@ -1212,6 +1212,50 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Global heavy hitters from merged per-shard SpaceSaving
+    summaries (sketches.space_saving_summaries/space_saving_estimates,
+    Metwally et al. 2005 / Agarwal et al. 2013): documents are sliced
+    by ``doc_id % 3``, each slice keeps only its per-bucket top-k
+    truncated counts + an error bound, and the global estimate is
+    computed ONLY from those sketch tables — the per-day-rollup shape
+    at 100 TB. Every quantity is an exact integer function of md5, so
+    the DuckDB oracle replays summaries, merge, and both certificates
+    (``exact <= est_cnt`` and ``est_cnt - err_slack <= exact``)
+    bit-for-bit; ``exact_cnt`` rides along to show the bounds held."""
+    from walker_spark.operators.dedup import tokens
+    from walker_spark.operators.sketches import (
+        space_saving_estimates,
+        space_saving_summaries,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 3).cast("int").alias("shard"),
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda s: F.length(s) > 0)
+        ).alias("item"),
+    )
+    summ = space_saving_summaries(toks, ["shard"], "item", k=6, buckets=4)
+    est = space_saving_estimates(summ, ["shard"], buckets=4)
+    exact = toks.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    return (
+        est.join(exact, "item", "left")
+        .select(
+            "item",
+            "est_cnt",
+            "err_slack",
+            F.coalesce(F.col("exact_cnt"), F.lit(0))
+            .cast("long")
+            .alias("exact_cnt"),
+        )
+        .orderBy(F.desc("est_cnt"), F.asc("item"))
+        .limit(20)
+    )
+
+
 def q_log_hist_quantiles(spark, sf_dir):
     """Per-source token-count quantiles from the mergeable log-bucket
     histogram (sketches.log_histogram — DDSketch family): bucket index
@@ -2866,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "log_hist_quantiles": q_log_hist_quantiles,
         "kmv_source_overlap": q_kmv_source_overlap,
+        "heavy_hitters": q_heavy_hitters,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4049,6 +4094,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": _zorder_events_sql(),
         "log_hist_quantiles": _log_hist_quantiles_sql(),
         "kmv_source_overlap": _kmv_source_overlap_sql(),
+        "heavy_hitters": _heavy_hitters_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),
@@ -4970,6 +5016,58 @@ def _compaction_plan_sql(target: int = 48 * 1024) -> str:
                (count(*) OVER w) > 1 AS needs_rewrite
         FROM keyed
         WINDOW w AS (PARTITION BY source, group_id)"""
+
+
+def _heavy_hitters_sql(k: int = 6, buckets: int = 4) -> str:
+    """SQL replica of q_heavy_hitters: identical md5-bucketed
+    per-shard truncated counts (row_number over cnt desc, item asc),
+    rank-(k+1) error bounds, and the Agarwal-merge point estimates —
+    pure BIGINT, bit-exact cross-engine."""
+    h = _md5_hex_int_sql("item", 8)
+    return f"""
+        WITH toks AS (
+          SELECT CAST(doc_id % 3 AS INT) AS shard,
+                 unnest({_FILTERED_TOKS_SQL}) AS item
+          FROM documents),
+        counts AS (
+          SELECT shard, ({h}) % {buckets} AS bucket, item,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY 1, 2, 3),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY shard, bucket ORDER BY cnt DESC, item) AS rn
+          FROM counts),
+        errs AS (
+          SELECT shard, bucket,
+                 CAST(coalesce(max(CASE WHEN rn = {k + 1} THEN cnt END), 0)
+                      AS BIGINT) AS berr
+          FROM ranked GROUP BY 1, 2),
+        summ AS (
+          SELECT shard, bucket, item, cnt FROM ranked WHERE rn <= {k}),
+        items AS (
+          SELECT DISTINCT item, ({h}) % {buckets} AS bucket FROM summ),
+        grid AS (
+          SELECT i.item, i.bucket, s.shard
+          FROM items i CROSS JOIN (SELECT DISTINCT shard FROM summ) s),
+        est AS (
+          SELECT g.item,
+                 CAST(sum(coalesce(m.cnt, e.berr, 0)) AS BIGINT) AS est_cnt,
+                 CAST(sum(CASE WHEN m.cnt IS NULL
+                               THEN coalesce(e.berr, 0) ELSE 0 END)
+                      AS BIGINT) AS err_slack
+          FROM grid g
+          LEFT JOIN summ m
+            ON m.shard = g.shard AND m.bucket = g.bucket AND m.item = g.item
+          LEFT JOIN errs e
+            ON e.shard = g.shard AND e.bucket = g.bucket
+          GROUP BY 1),
+        exact AS (
+          SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM toks GROUP BY 1)
+        SELECT est.item, est.est_cnt, est.err_slack,
+               CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
+        FROM est LEFT JOIN exact x ON x.item = est.item
+        ORDER BY est.est_cnt DESC, est.item LIMIT 20"""
 
 
 def _kmv_source_overlap_sql(k: int = 128) -> str:

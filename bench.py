@@ -111,6 +111,7 @@ HEADLINE = [
     "zorder_events",
     "log_hist_quantiles",
     "kmv_source_overlap",
+    "heavy_hitters",
     "compaction_plan",
     "table_diff",
     "edit_dup_pairs",

@@ -443,3 +443,97 @@ def test_bloom_bad_params_raise(spark):
         bloom_bits(df, "item", m_bits=1)
     with pytest.raises(ValueError):
         bloom_bits(df, "item", k=0)
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving heavy-hitter summaries
+# ---------------------------------------------------------------------------
+
+
+def _ss_py(rows, k, buckets):
+    """Pure-Python replay of space_saving_summaries over (slice, item)
+    rows: returns {(slice, bucket): (kept {item: cnt}, err)}."""
+    counts = {}
+    for sl, it in rows:
+        h = int(hashlib.md5(str(it).encode()).hexdigest()[:8], 16)
+        b = h % buckets
+        counts.setdefault((sl, b), {}).setdefault(it, 0)
+        counts[(sl, b)][it] += 1
+    out = {}
+    for key, d in counts.items():
+        ranked = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = dict(ranked[:k])
+        err = ranked[k][1] if len(ranked) > k else 0
+        out[key] = (kept, err)
+    return out
+
+
+def test_space_saving_summary_vs_python(spark):
+    from walker_spark.operators.sketches import space_saving_summaries
+
+    rng = random.Random(7)
+    rows = []
+    for sl in (0, 1, 2):
+        # skewed: item f"w{j}" appears ~ proportional to 40-j
+        for j in range(40):
+            for _ in range(1 + rng.randrange(40 - j)):
+                rows.append((sl, f"w{j}"))
+    df = spark.createDataFrame(rows, "shard int, item string")
+    k, buckets = 5, 3
+    summ = space_saving_summaries(df, ["shard"], "item", k=k, buckets=buckets)
+    ref = _ss_py(rows, k, buckets)
+    by_key = {}
+    for r in summ.collect():
+        by_key.setdefault((r["shard"], r["bucket"]), {})[r["item"]] = (
+            r["cnt"],
+            r["bucket_err"],
+        )
+        assert 1 <= r["rn"] <= k
+    assert set(by_key) == set(ref)
+    for key, (kept, err) in ref.items():
+        got_items = by_key[key]
+        assert {i: c for i, (c, _) in got_items.items()} == kept
+        assert all(e == err for _, e in got_items.values())
+
+
+def test_space_saving_estimate_bounds_and_merge(spark):
+    from walker_spark.operators.sketches import (
+        space_saving_estimates,
+        space_saving_summaries,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    exact = {}
+    for sl in range(4):
+        for j in range(60):
+            it = f"t{j}"
+            n = 1 + rng.randrange(8) + (200 if j < 3 else 0)
+            exact[it] = exact.get(it, 0) + n
+            rows.extend((sl, it) for _ in range(n))
+    df = spark.createDataFrame(rows, "shard int, item string")
+    k, buckets = 6, 4
+    summ = space_saving_summaries(df, ["shard"], "item", k=k, buckets=buckets)
+    est = {
+        r["item"]: (r["est_cnt"], r["err_slack"])
+        for r in space_saving_estimates(summ, ["shard"], buckets=buckets)
+        .collect()
+    }
+    # every kept item: exact <= est and est - err_slack <= exact
+    for it, (e, slack) in est.items():
+        assert exact[it] <= e, it
+        assert e - slack <= exact[it], it
+    # the planted mega-heavy items are kept in EVERY slice => exact
+    for j in range(3):
+        e, slack = est[f"t{j}"]
+        assert slack == 0 and e == exact[f"t{j}"]
+
+
+def test_space_saving_validates(spark):
+    from walker_spark.operators.sketches import space_saving_summaries
+
+    df = spark.createDataFrame([(0, "a")], "shard int, item string")
+    with pytest.raises(ValueError):
+        space_saving_summaries(df, ["shard"], "item", k=0)
+    with pytest.raises(ValueError):
+        space_saving_summaries(df, ["shard"], "item", buckets=0)

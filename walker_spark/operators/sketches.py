@@ -545,3 +545,136 @@ def bloom_probe(
             .alias("maybe")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving / mergeable heavy-hitter summaries
+# ---------------------------------------------------------------------------
+
+
+def space_saving_summaries(
+    df: DataFrame,
+    slice_cols: Sequence[str],
+    item_col: str,
+    k: int = 8,
+    buckets: int = 4,
+) -> DataFrame:
+    """Per-(slice, bucket) truncated-count heavy-hitter summaries
+    (Metwally et al. 2005 SpaceSaving, in the mergeable-summaries
+    formulation of Agarwal et al. 2013): ``bucket = md5_u32(item) %
+    buckets`` is a CONTENT-derived logical partition (never a Spark
+    physical partition — the summary is reproducible on any engine),
+    items rank within their bucket by exact count (``cnt desc, item
+    asc`` — deterministic tie-break), the top ``k`` per bucket are
+    kept, and ``bucket_err`` (the rank-``k+1`` count, 0 when the
+    bucket holds <= k items) rides every kept row as the bucket's
+    point-query error bound for ABSENT items: any dropped item's true
+    count is <= bucket_err by construction.
+
+    Output: ``(slice..., bucket, item, cnt, rn, bucket_err)`` — at
+    most ``k`` rows per (slice, bucket). This is the persistable
+    artifact of the tier: per-day / per-shard summaries merge by
+    :func:`space_saving_estimates` WITHOUT re-reading raw data, the
+    100 TB shape (same motivation as :func:`kmv_sketch`).
+
+    Scale shape: counts are a two-phase hash agg on (slice, bucket,
+    item) — map-side partials collapse each task before the ONE
+    exchange; the top-(k+1) selection is the kmv two-level salted
+    window (salt = a second slice of the same md5 u32), so no task
+    ever ranks more than one salt-shard of a bucket. The salted pass
+    keeps per-salt top-(k+1) — a superset of the bucket top-(k+1)
+    under the shared tie-break — so the final rank is exact and the
+    DuckDB oracle replays rows identically with a direct row_number.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1: {buckets}")
+    h = _md5_u32(F.col(item_col))
+    counts = (
+        df.select(
+            *slice_cols,
+            F.col(item_col).alias("item"),
+            (h % buckets).cast("int").alias("bucket"),
+            ((h / F.lit(buckets)).cast("long") % 64).alias("_salt"),
+        )
+        .groupBy(*slice_cols, "bucket", "item", "_salt")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("item").asc()]
+    w1 = Window.partitionBy(*slice_cols, "bucket", "_salt").orderBy(*order)
+    w2 = Window.partitionBy(*slice_cols, "bucket").orderBy(*order)
+    wb = Window.partitionBy(*slice_cols, "bucket")
+    return (
+        counts.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k + 1)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k + 1)
+        .withColumn(
+            "bucket_err",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("rn") == k + 1, F.col("cnt"))
+                ).over(wb),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .filter(F.col("rn") <= k)
+        .select(
+            *slice_cols,
+            "bucket",
+            "item",
+            "cnt",
+            F.col("rn").cast("int").alias("rn"),
+            "bucket_err",
+        )
+    )
+
+
+def space_saving_estimates(
+    summary: DataFrame,
+    slice_cols: Sequence[str],
+    buckets: int = 4,
+) -> DataFrame:
+    """Merge per-slice SpaceSaving summaries into global point
+    estimates (Agarwal et al. 2013 merge law): for every item kept by
+    ANY slice,
+
+        est_cnt   = sum over slices of (cnt if present
+                                        else bucket_err(slice, bucket))
+        err_slack = the part of est_cnt contributed by bucket_err
+
+    so ``exact <= est_cnt`` and ``est_cnt - err_slack <= exact`` —
+    both bounds are certificates, and an item whose summaries cover
+    every slice has ``err_slack = 0`` (exactly counted). Output:
+    ``(item, est_cnt, err_slack)``.
+
+    Scale shape: the merged item universe is bounded by ``slices x
+    buckets x k`` rows — the grid (items x slices) and the per-bucket
+    error table are sketch-sized, so the merge NEVER touches raw
+    data; everything here broadcasts under AQE."""
+    h = _md5_u32(F.col("item"))
+    items = summary.select(
+        "item", (h % buckets).cast("int").alias("bucket")
+    ).distinct()
+    slices = summary.select(*slice_cols).distinct()
+    errs = summary.groupBy(*slice_cols, "bucket").agg(
+        F.max("bucket_err").alias("_berr")
+    )
+    grid = items.join(slices, F.lit(True))
+    got = grid.join(
+        summary.select(*slice_cols, "bucket", "item", "cnt"),
+        [*slice_cols, "bucket", "item"],
+        "left",
+    ).join(errs, [*slice_cols, "bucket"], "left")
+    fallback = F.coalesce(F.col("_berr"), F.lit(0))
+    return got.groupBy("item").agg(
+        F.sum(F.coalesce(F.col("cnt"), fallback)).cast("long").alias(
+            "est_cnt"
+        ),
+        F.sum(F.when(F.col("cnt").isNull(), fallback).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("err_slack"),
+    )
