@@ -1212,6 +1212,30 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov next-action model over per-user event
+    streams (funnel.transition_model/top_transitions): consecutive
+    (ts, event_id)-ordered state pairs per user, ML probabilities in
+    integer ppm, top-3 next states per source state. The session-path
+    complement to the ordered funnel — same ONE user-keyed exchange,
+    then alphabet-bounded aggregation."""
+    from walker_spark.operators.funnel import (
+        top_transitions,
+        transition_model,
+    )
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    model = transition_model(events)
+    return top_transitions(model, k=3).select(
+        "src", "dst", "cnt", "src_total", "p_ppm", "rank"
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Global heavy hitters from merged per-shard SpaceSaving
     summaries (sketches.space_saving_summaries/space_saving_estimates,
@@ -2911,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_hist_quantiles": q_log_hist_quantiles,
         "kmv_source_overlap": q_kmv_source_overlap,
         "heavy_hitters": q_heavy_hitters,
+        "markov_transitions": q_markov_transitions,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4095,6 +4120,7 @@ def oracle_sql() -> dict[str, str]:
         "log_hist_quantiles": _log_hist_quantiles_sql(),
         "kmv_source_overlap": _kmv_source_overlap_sql(),
         "heavy_hitters": _heavy_hitters_sql(),
+        "markov_transitions": _markov_transitions_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),
@@ -5016,6 +5042,33 @@ def _compaction_plan_sql(target: int = 48 * 1024) -> str:
                (count(*) OVER w) > 1 AS needs_rewrite
         FROM keyed
         WINDOW w AS (PARTITION BY source, group_id)"""
+
+
+def _markov_transitions_sql(k: int = 3) -> str:
+    """SQL replica of q_markov_transitions: lead() over the identical
+    (user, ts, event_id) order, pair counts, integer-div ppm, top-k
+    per src with the same (cnt desc, dst asc) tie-break."""
+    return f"""
+        WITH pairs AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events),
+        cnt AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+          FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+        tot AS (
+          SELECT src, CAST(sum(cnt) AS BIGINT) AS src_total
+          FROM cnt GROUP BY 1),
+        ranked AS (
+          SELECT c.src, c.dst, c.cnt, t.src_total,
+                 CAST(c.cnt * 1000000 // t.src_total AS BIGINT) AS p_ppm,
+                 CAST(row_number() OVER (
+                   PARTITION BY c.src ORDER BY c.cnt DESC, c.dst) AS INT)
+                   AS rank
+          FROM cnt c JOIN tot t USING (src))
+        SELECT src, dst, cnt, src_total, p_ppm, rank
+        FROM ranked WHERE rank <= {k}"""
 
 
 def _heavy_hitters_sql(k: int = 6, buckets: int = 4) -> str:

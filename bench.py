@@ -146,6 +146,7 @@ HEADLINE = [
     "feed_entries",
     "funnel_user_levels",
     "funnel_steps",
+    "markov_transitions",
     "clustering_report",
     "clustering_stats",
     "mime_audit",

@@ -133,3 +133,91 @@ def test_funnel_counts_rollup(spark):
 def test_funnel_empty_steps_raise(spark):
     with pytest.raises(ValueError):
         funnel_users(_df(spark, []), ())
+
+
+# ---------------------------------------------------------------------------
+# Markov transition model
+# ---------------------------------------------------------------------------
+
+
+def _tm_rows(seqs):
+    """seqs: {user: [state, ...]} -> event rows (user, type, ts_ms, id)."""
+    rows, eid = [], 0
+    for u, states in seqs.items():
+        for i, s in enumerate(states):
+            rows.append((u, s, 1_700_000_000_000 + i * 1000, eid))
+            eid += 1
+    return rows
+
+
+def _tm_df(spark, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ms long, event_id long"
+    )
+    return df.select(
+        "user_id",
+        "event_type",
+        (F.col("ms") / 1000).cast("timestamp").alias("ts"),
+        "event_id",
+    )
+
+
+def test_transition_model_planted(spark):
+    from walker_spark.operators.funnel import transition_model
+
+    seqs = {1: ["a", "b", "a", "b"], 2: ["a", "a"], 3: ["b"]}
+    got = {
+        (r["src"], r["dst"]): (r["cnt"], r["src_total"], r["p_ppm"])
+        for r in transition_model(_tm_df(spark, _tm_rows(seqs))).collect()
+    }
+    # pairs: u1 a->b, b->a, a->b; u2 a->a; u3 none
+    assert got == {
+        ("a", "b"): (2, 3, 666666),
+        ("a", "a"): (1, 3, 333333),
+        ("b", "a"): (1, 1, 1000000),
+    }
+
+
+def test_transition_model_randomized_vs_reference(spark):
+    from walker_spark.operators.funnel import top_transitions, transition_model
+
+    rng = random.Random(23)
+    seqs = {
+        u: [rng.choice("pqrs") for _ in range(rng.randrange(0, 12))]
+        for u in range(40)
+    }
+    cnt = defaultdict(int)
+    for states in seqs.values():
+        for a, b in zip(states, states[1:]):
+            cnt[(a, b)] += 1
+    tot = defaultdict(int)
+    for (a, _), n in cnt.items():
+        tot[a] += n
+    model = transition_model(_tm_df(spark, _tm_rows(seqs)))
+    got = {(r["src"], r["dst"]): r for r in model.collect()}
+    assert set(got) == set(cnt)
+    for key, r in got.items():
+        assert r["cnt"] == cnt[key]
+        assert r["src_total"] == tot[key[0]]
+        assert r["p_ppm"] == cnt[key] * 1_000_000 // tot[key[0]]
+    # top-k: rank/tie-break parity with the reference ordering
+    top = top_transitions(model, k=2)
+    by_src = defaultdict(list)
+    for r in top.collect():
+        by_src[r["src"]].append((r["rank"], r["dst"], r["cnt"]))
+    for src, rows in by_src.items():
+        ref = sorted(
+            ((d, n) for (s, d), n in cnt.items() if s == src),
+            key=lambda x: (-x[1], x[0]),
+        )[:2]
+        assert sorted(rows) == [
+            (i + 1, d, n) for i, (d, n) in enumerate(ref)
+        ]
+
+
+def test_top_transitions_validates(spark):
+    from walker_spark.operators.funnel import top_transitions, transition_model
+
+    model = transition_model(_tm_df(spark, _tm_rows({1: ["a", "b"]})))
+    with pytest.raises(ValueError):
+        top_transitions(model, k=0)

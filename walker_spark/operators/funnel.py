@@ -135,3 +135,84 @@ def funnel_counts(
             "ELSE CAST(0 AS BIGINT) END"
         ).alias("conversion_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition model (next-action analytics)
+# ---------------------------------------------------------------------------
+
+
+def transition_model(
+    events: DataFrame,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition model over per-user event
+    sequences: for every observed (src → dst) pair of CONSECUTIVE
+    states in a user's (ts, id)-ordered stream,
+
+        (src, dst, cnt, src_total, p_ppm)
+
+    with ``p_ppm = cnt * 1e6 div src_total`` — the maximum-likelihood
+    next-state probability in integer parts-per-million (exact
+    cross-engine, the repo-wide no-float rule for driver-compared
+    columns). A user's last event emits no pair; single-event users
+    contribute nothing.
+
+    Scale shape: ONE user-keyed exchange for the lead() window — rows
+    carry only (user, state, ms, id), never payloads — then a
+    (src, dst)-keyed hash agg with map-side partials; ``src_total``
+    is a second-level rollup of the pair counts (sum over dst), NOT a
+    re-scan of events. A mega-user is a hot window partition ONLY for
+    the lead pass, which is O(1) state per row; the heavy reduce keys
+    (popular transitions) are hash-agg keys with partial aggregation,
+    the anchor_text_agg precedent."""
+    from pyspark.sql import Window
+
+    pairs = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.col(state_col).alias("src"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn(
+            "dst",
+            F.lead("src").over(
+                Window.partitionBy("_u").orderBy(
+                    F.col("_ts").asc(), F.col("_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    cnt = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = cnt.groupBy("src").agg(F.sum("cnt").cast("long").alias("src_total"))
+    return cnt.join(totals, "src").select(
+        "src",
+        "dst",
+        "cnt",
+        "src_total",
+        F.expr("CAST(cnt * 1000000 div src_total AS BIGINT)").alias("p_ppm"),
+    )
+
+
+def top_transitions(model: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` next states per source state from a
+    :func:`transition_model` frame, ranked ``cnt desc, dst asc``
+    (deterministic tie-break): adds ``rank``. Window partitions are
+    bounded by the state-alphabet size (distinct dst per src), never
+    by event volume."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("dst").asc())
+    return (
+        model.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
