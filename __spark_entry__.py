@@ -1212,6 +1212,24 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining (similarity.bitext_margin_pairs;
+    Artetxe & Schwenk 2019): the embeddings table split by vec_id
+    parity into source/target corpora, mutual best matches under the
+    hubness-normalizing ratio margin. Margins are exact BIGINT ppm
+    built from round-3 cosine milli-units, so the DuckDB oracle
+    replays codebook, candidate cells, neighborhoods, and every
+    margin bit-for-bit."""
+    from walker_spark.operators.similarity import bitext_margin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % 2).cast("int").alias("side"),
+    )
+    return bitext_margin_pairs(emb, side_col="side", k=4, n_cells=16)
+
+
 def q_markov_transitions(spark, sf_dir):
     """First-order Markov next-action model over per-user event
     streams (funnel.transition_model/top_transitions): consecutive
@@ -2936,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_source_overlap": q_kmv_source_overlap,
         "heavy_hitters": q_heavy_hitters,
         "markov_transitions": q_markov_transitions,
+        "bitext_margin": q_bitext_margin,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4121,6 +4140,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_source_overlap": _kmv_source_overlap_sql(),
         "heavy_hitters": _heavy_hitters_sql(),
         "markov_transitions": _markov_transitions_sql(),
+        "bitext_margin": _bitext_margin_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),
@@ -5527,6 +5547,79 @@ def _weighted_sample_sql(k: int = 10) -> str:
                 PARTITION BY source ORDER BY es_key DESC, id ASC
               ) AS rn FROM keyed)
         WHERE rn <= {k}"""
+
+
+def _bitext_margin_sql(
+    k: int = 4, n_centroids: int = 16, dim: int = 64,
+    threshold_ppm: int = 1_000_000,
+) -> str:
+    """SQL replica of q_bitext_margin: the shared ivf
+    codebook/assignment CTEs (_knn_graph_sql), cross-side within-cell
+    round-3 cosines scaled to BIGINT milli-units, positive-neighbor
+    top-k sums, the exact-integer ratio margin, and the
+    forward-backward rank-1 intersection."""
+    sq = (
+        "list_aggregate(list_transform(range(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), 'sum')"
+    )
+    d_expr = sq.format(n=dim + 1, a="e.embedding", b="c.cv")
+    return f"""
+        WITH c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+        ), d AS (
+          SELECT e.vec_id, c.cid, {d_expr} AS dist
+          FROM embeddings e CROSS JOIN c0 c
+        ), a AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d)
+          WHERE rn = 1
+        ), v AS (
+          SELECT e.vec_id, CAST(e.vec_id % 2 AS INT) AS side,
+                 e.embedding::DOUBLE[] AS vec, a.cid
+          FROM embeddings e JOIN a USING (vec_id)
+        ), pos AS MATERIALIZED (
+          SELECT src_id, tgt_id, score,
+                 CAST(round(score * 1000, 0) AS BIGINT) AS c_mil
+          FROM (
+            SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                   round(list_cosine_similarity(s.vec, t.vec), 3) AS score
+            FROM v s JOIN v t ON s.cid = t.cid
+            WHERE s.side = 0 AND t.side = 1)
+          WHERE CAST(round(score * 1000, 0) AS BIGINT) > 0
+        ), s_stats AS (
+          SELECT src_id, CAST(sum(c_mil) AS BIGINT) AS sum_s,
+                 CAST(count(*) AS BIGINT) AS n_s
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY src_id ORDER BY c_mil DESC, tgt_id) AS rk
+                FROM pos)
+          WHERE rk <= {k} GROUP BY 1
+        ), t_stats AS (
+          SELECT tgt_id, CAST(sum(c_mil) AS BIGINT) AS sum_t,
+                 CAST(count(*) AS BIGINT) AS n_t
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY tgt_id ORDER BY c_mil DESC, src_id) AS rk
+                FROM pos)
+          WHERE rk <= {k} GROUP BY 1
+        ), scored AS (
+          SELECT p.src_id, p.tgt_id, p.score,
+                 CAST(p.c_mil * 2 * s.n_s * t.n_t * 1000000
+                      // (s.sum_s * t.n_t + t.sum_t * s.n_s) AS BIGINT)
+                   AS margin_ppm
+          FROM pos p
+          JOIN s_stats s USING (src_id)
+          JOIN t_stats t USING (tgt_id)
+        ), r AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY src_id ORDER BY margin_ppm DESC, tgt_id) AS rf,
+                 row_number() OVER (
+                   PARTITION BY tgt_id ORDER BY margin_ppm DESC, src_id) AS rb
+          FROM scored)
+        SELECT src_id, tgt_id, score, margin_ppm
+        FROM r WHERE rf = 1 AND rb = 1 AND margin_ppm >= {threshold_ppm}"""
 
 
 def _knn_graph_sql(k: int = 4, n_centroids: int = 16, dim: int = 64) -> str:

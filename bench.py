@@ -127,6 +127,7 @@ HEADLINE = [
     "embedding_communities",
     "bloom_file_prune",
     "hard_negatives",
+    "bitext_margin",
     "url_templates",
     "corpus_report",
     "change_rates",

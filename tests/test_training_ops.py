@@ -3094,3 +3094,123 @@ def test_blocklist_tags_empty_lexicon(spark):
     assert out.columns == [
         "doc_id", "tag", "n_phrases", "n_hits", "hit_tokens", "hits_ppm"
     ]
+
+
+# ---------------------------------------------------------------------------
+# bitext margin mining
+# ---------------------------------------------------------------------------
+
+
+def _py_bitext(vecs, sides, k, n_cells, thr=1_000_000):
+    import math
+
+    ids = sorted(vecs)
+    cents = [vecs[i] for i in ids[:n_cells]]
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cell = {
+        i: min(range(len(cents)), key=lambda c: (sq(vecs[i], cents[c]), c))
+        for i in ids
+    }
+
+    def c_mil(a, b):
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return int(round(round(sum(x * y for x, y in zip(a, b)) / n, 3) * 1000))
+
+    pos = {
+        (s, t): c_mil(vecs[s], vecs[t])
+        for s in ids
+        if sides[s] == 0
+        for t in ids
+        if sides[t] == 1 and cell[s] == cell[t] and c_mil(vecs[s], vecs[t]) > 0
+    }
+    s_stats, t_stats = {}, {}
+    for s in {a for a, _ in pos}:
+        cands = sorted(
+            ((-c, t) for (a, t), c in pos.items() if a == s)
+        )[:k]
+        s_stats[s] = (sum(-c for c, _ in cands), len(cands))
+    for t in {b for _, b in pos}:
+        cands = sorted(
+            ((-c, s) for (s, b), c in pos.items() if b == t)
+        )[:k]
+        t_stats[t] = (sum(-c for c, _ in cands), len(cands))
+    margins = {
+        (s, t): c * 2 * s_stats[s][1] * t_stats[t][1] * 1_000_000
+        // (s_stats[s][0] * t_stats[t][1] + t_stats[t][0] * s_stats[s][1])
+        for (s, t), c in pos.items()
+    }
+    fwd = {}
+    for (s, t), m in margins.items():
+        if s not in fwd or (-m, t) < (-margins[(s, fwd[s])], fwd[s]):
+            fwd[s] = t
+    bwd = {}
+    for (s, t), m in margins.items():
+        if t not in bwd or (-m, s) < (-margins[(bwd[t], t)], bwd[t]):
+            bwd[t] = s
+    return {
+        (s, t, margins[(s, t)])
+        for s, t in margins
+        if fwd.get(s) == t and bwd.get(t) == s and margins[(s, t)] >= thr
+    }
+
+
+def test_bitext_margin_random_parity(spark):
+    import random
+
+    from walker_spark.operators.similarity import bitext_margin_pairs
+
+    rng = random.Random(31)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)
+    }
+    sides = {i: i % 2 for i in vecs}
+    df = spark.createDataFrame(
+        [(i, vecs[i], sides[i]) for i in vecs],
+        "vec_id long, embedding array<double>, side int",
+    )
+    got = {
+        (r["src_id"], r["tgt_id"], r["margin_ppm"])
+        for r in bitext_margin_pairs(
+            df, k=3, n_cells=2, margin_threshold_ppm=0
+        ).collect()
+    }
+    assert got == _py_bitext(vecs, sides, k=3, n_cells=2, thr=0)
+
+
+def test_bitext_margin_hub_normalized_out(spark):
+    from walker_spark.operators.similarity import bitext_margin_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 1),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0, 0.0], 1),
+        # hub: moderately close to EVERY source — raw cosine 0.577
+        (7, [0.5, 0.5, 0.5, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, side int"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin_ppm"]
+        for r in bitext_margin_pairs(df, k=4, n_cells=1).collect()
+    }
+    assert set(got) == {(0, 1), (2, 3), (4, 5)}
+    assert all(m > 1_000_000 for m in got.values())
+
+
+def test_bitext_margin_validates(spark):
+    import pytest as _pytest
+
+    from walker_spark.operators.similarity import bitext_margin_pairs
+
+    df = spark.createDataFrame(
+        [(0, [1.0], 0)], "vec_id long, embedding array<double>, side int"
+    )
+    with _pytest.raises(ValueError):
+        bitext_margin_pairs(df, k=0)

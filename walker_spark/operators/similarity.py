@@ -677,3 +677,143 @@ def embedding_communities(
             F.coalesce("_cid", F.col(id_col)).cast("long").alias("community_id"),
         )
     )
+
+
+def bitext_margin_pairs(
+    df: DataFrame,
+    side_col: str = "side",
+    k: int = 4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_threshold_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Margin-based bitext / parallel-pair mining (Artetxe & Schwenk
+    2019, the CCMatrix/LASER alignment criterion): candidate pairs are
+    CROSS-side (``side_col`` 0 = source corpus, 1 = target corpus),
+    and each pair is scored not by raw cosine but by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    which normalizes away hubness (a vector that is close to
+    everything has a high neighborhood average and therefore needs a
+    much higher raw cosine to qualify). Emitted pairs are MUTUAL best
+    matches (y is x's argmax margin and vice versa) at or above
+    ``margin_threshold_ppm`` — the standard forward-backward
+    intersection that makes mining precision-dominant.
+
+    Exact-integer contract: cosines are rounded to 3 decimals (the
+    cross-engine-stable precision) then scaled to BIGINT milli-units;
+    with ``n_x``/``n_y`` the actual positive-neighbor counts (<= k),
+
+        margin_ppm = c_mil * 2 * n_x * n_y * 1e6
+                     div (sum_x * n_y + sum_y * n_x)
+
+    is pure BIGINT, so the DuckDB oracle replays every margin
+    bit-for-bit. Neighborhoods count only POSITIVE rounded cosines
+    (keeps every denominator > 0; a negative-similarity "neighbor" is
+    noise in the margin normalizer anyway) — documented restriction.
+
+    Scale shape (the knn_graph precedent): ONE shared IVF codebook
+    assigns both sides, all candidate generation is within-cell
+    cross-side (never corpus-all-pairs); per-vector neighborhood
+    stats are windows over the bounded within-cell candidate set
+    ranked on (c_mil desc, id asc); the mutual filter is two
+    rank-1 windows over the margin-scored pair set. Cross-cell pairs
+    are missed by design (same recall contract as semantic_dup_pairs
+    — raise ``n_cells`` resolution offline for higher recall).
+    Returns ``(src_id, tgt_id, score, margin_ppm)``; sides with no
+    positive within-cell candidate emit nothing (sparse contract)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    cents = ivf_sample_centroids(df, n_cells, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    v = (
+        df.join(assigned.select(F.col("id").alias(id_col), "cid"), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(side_col).cast("int").alias("side"),
+            "cid",
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
+    src = v.filter(F.col("side") == 0).select(
+        F.col("id").alias("src_id"), "cid",
+        F.col("vec").alias("vs"), F.col("nrm").alias("ns"),
+    )
+    tgt = v.filter(F.col("side") == 1).select(
+        F.col("id").alias("tgt_id"), "cid",
+        F.col("vec").alias("vt"), F.col("nrm").alias("nt"),
+    )
+    pairs = (
+        src.join(tgt, "cid")
+        .withColumn(
+            "score",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("vs"), F.col("vt")),
+                    F.col("ns") * F.col("nt"),
+                ),
+                3,
+            ),
+        )
+        .withColumn(
+            "c_mil", F.round(F.col("score") * 1000, 0).cast("long")
+        )
+        .filter(F.col("c_mil") > 0)
+        .select("src_id", "tgt_id", "score", "c_mil")
+    )
+    w_s = Window.partitionBy("src_id").orderBy(
+        F.col("c_mil").desc(), F.col("tgt_id").asc()
+    )
+    s_stats = (
+        pairs.withColumn("_rk", F.row_number().over(w_s))
+        .filter(F.col("_rk") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.sum("c_mil").cast("long").alias("sum_s"),
+            F.count(F.lit(1)).cast("long").alias("n_s"),
+        )
+    )
+    w_t = Window.partitionBy("tgt_id").orderBy(
+        F.col("c_mil").desc(), F.col("src_id").asc()
+    )
+    t_stats = (
+        pairs.withColumn("_rk", F.row_number().over(w_t))
+        .filter(F.col("_rk") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("c_mil").cast("long").alias("sum_t"),
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+        )
+    )
+    scored = (
+        pairs.join(s_stats, "src_id")
+        .join(t_stats, "tgt_id")
+        .withColumn(
+            "margin_ppm",
+            F.expr(
+                "CAST(c_mil * 2 * n_s * n_t * 1000000"
+                " div (sum_s * n_t + sum_t * n_s) AS BIGINT)"
+            ),
+        )
+    )
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.col("margin_ppm").desc(), F.col("tgt_id").asc()
+    )
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin_ppm").desc(), F.col("src_id").asc()
+    )
+    return (
+        scored.withColumn("_rf", F.row_number().over(w_fwd))
+        .withColumn("_rb", F.row_number().over(w_bwd))
+        .filter(
+            (F.col("_rf") == 1)
+            & (F.col("_rb") == 1)
+            & (F.col("margin_ppm") >= margin_threshold_ppm)
+        )
+        .select("src_id", "tgt_id", "score", "margin_ppm")
+    )
