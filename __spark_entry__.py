@@ -1212,6 +1212,25 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_within_doc_dedup(spark, sf_dir):
+    """WITHIN-document repeated-line removal (dedup.within_doc_dedup)
+    — the intra-page complement to line_dedup's cross-document pass.
+    Multi-line structure is synthesized deterministically in-query
+    (every literal ``" table "`` becomes a line break — a different
+    split word than line_dedup's so the line shapes differ); the
+    word-soup corpus then repeats many short lines inside one doc,
+    which is exactly the planted signal."""
+    from walker_spark.operators.dedup import within_doc_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n")).alias(
+            "text"
+        ),
+    )
+    return within_doc_dedup(docs)
+
+
 def q_bitext_margin(spark, sf_dir):
     """Margin-based bitext mining (similarity.bitext_margin_pairs;
     Artetxe & Schwenk 2019): the embeddings table split by vec_id
@@ -2955,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "markov_transitions": q_markov_transitions,
         "bitext_margin": q_bitext_margin,
+        "within_doc_dedup": q_within_doc_dedup,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4141,6 +4161,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _heavy_hitters_sql(),
         "markov_transitions": _markov_transitions_sql(),
         "bitext_margin": _bitext_margin_sql(),
+        "within_doc_dedup": _within_doc_dedup_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),
@@ -5547,6 +5568,35 @@ def _weighted_sample_sql(k: int = 10) -> str:
                 PARTITION BY source ORDER BY es_key DESC, id ASC
               ) AS rn FROM keyed)
         WHERE rn <= {k}"""
+
+
+def _within_doc_dedup_sql() -> str:
+    """SQL replica of q_within_doc_dedup: identical split / key
+    transform / first-occurrence filter algebra (DuckDB lambda index
+    is 1-based where Spark's is 0-based; coalesce guards DuckDB's
+    NULL array_to_string-of-empty)."""
+    return """
+        WITH d AS (
+          SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+          FROM documents),
+        k AS (
+          SELECT doc_id, string_split(text, chr(10)) AS lines,
+                 list_transform(string_split(text, chr(10)),
+                                x -> trim(lower(x))) AS keys
+          FROM d),
+        f AS (
+          SELECT doc_id, lines,
+                 list_filter(lines, (x, i) ->
+                   len(trim(x)) = 0
+                   OR list_position(keys, trim(lower(x))) = i) AS kept
+          FROM k)
+        SELECT doc_id,
+               coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+               CAST(len(list_filter(lines, x -> len(trim(x)) > 0))
+                    AS BIGINT) AS n_lines,
+               CAST(len(list_filter(kept, x -> len(trim(x)) > 0))
+                    AS BIGINT) AS n_kept
+        FROM f"""
 
 
 def _bitext_margin_sql(

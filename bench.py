@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_components",
     "dup_ngram_spans",
     "line_dedup",
+    "within_doc_dedup",
     "embedding_topk",
     "embedding_dup_pairs",
     "semantic_dup_pairs",

@@ -3214,3 +3214,51 @@ def test_bitext_margin_validates(spark):
     )
     with _pytest.raises(ValueError):
         bitext_margin_pairs(df, k=0)
+
+
+def test_within_doc_dedup_planted(spark):
+    from walker_spark.operators.dedup import within_doc_dedup
+
+    rows = [
+        # repeated nav block, case/space-insensitive match, blanks kept
+        (1, "Home | About\nbody one\n\nhome | about \nbody two\nHome | About"),
+        (2, "only line"),
+        (3, "\n\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in within_doc_dedup(df).collect()}
+    assert got[1]["clean_text"] == "Home | About\nbody one\n\nbody two"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (5, 3)
+    assert got[2]["clean_text"] == "only line"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (1, 1)
+    # all-blank doc: structure preserved, zero non-blank lines
+    assert got[3]["clean_text"] == "\n\n"
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (0, 0)
+
+
+def test_within_doc_dedup_randomized_vs_reference(spark):
+    import random
+
+    from walker_spark.operators.dedup import within_doc_dedup
+
+    rng = random.Random(41)
+    docs = {}
+    for d in range(30):
+        lines = [
+            rng.choice(["alpha", "Beta", " beta ", "gamma", "", "delta x"])
+            for _ in range(rng.randrange(0, 10))
+        ]
+        docs[d] = "\n".join(lines)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in within_doc_dedup(df).collect()}
+    for d, text in docs.items():
+        lines = text.split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            key = ln.strip().lower()
+            if key == "" or key not in seen:
+                kept.append(ln)
+                seen.add(key)
+        assert got[d]["clean_text"] == "\n".join(kept), d
+        assert got[d]["n_lines"] == sum(1 for x in lines if x.strip())
+        assert got[d]["n_kept"] == sum(1 for x in kept if x.strip())

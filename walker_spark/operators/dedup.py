@@ -1462,3 +1462,47 @@ def quality_keeper(
         "cluster_id",
         (F.col("doc_id") == F.col("_keeper")).alias("is_keeper"),
     )
+
+
+def within_doc_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal — the intra-page
+    complement to the cross-document :func:`line_dedup` pass (real
+    extraction pipelines run both: a nav block repeated down one page
+    is noise even if no other document shares it; trafilatura and the
+    CCNet line filters both special-case it). A line is cut iff an
+    EARLIER line of the same document has the same
+    whitespace-normalized lower-cased form; the first occurrence and
+    all blank lines survive, original order preserved.
+
+    Returns one row per document: ``(id_col, clean_text, n_lines,
+    n_kept)`` with ``n_lines``/``n_kept`` counting non-blank lines
+    BIGINT.
+
+    Scale shape: ZERO exchange — the whole operator is one projection
+    of array expressions (split → key transform → first-occurrence
+    filter → re-join), so it composes into any scan without adding a
+    stage; the per-doc work is bounded by line count squared
+    (array_position scan), fine for page-sized documents and
+    embarrassingly parallel at 10^10 docs. Cross-engine exact: the
+    identical split/trim/lower/first-position algebra runs in DuckDB
+    (1-based lambda index there, 0-based here — the oracle shifts)."""
+    lines = F.split(F.col(text_col), "\n")
+    keys = F.transform(lines, lambda x: F.trim(F.lower(x)))
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(F.trim(x)) == 0)
+        | (F.array_position(keys, F.trim(F.lower(x))) == i + F.lit(1)),
+    )
+    nonblank = lambda arr: F.size(  # noqa: E731
+        F.filter(arr, lambda x: F.length(F.trim(x)) > 0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        nonblank(lines).cast("long").alias("n_lines"),
+        nonblank(kept).cast("long").alias("n_kept"),
+    )
