@@ -1212,6 +1212,18 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Per-cluster distance-tail outlier flags over the k-means
+    clustering (similarity.embedding_outliers): the post-clustering
+    quality filter. The tie-safe strictly-below histogram rule is
+    pure BIGINT on round-3 distances, so the oracle replays the
+    Lloyd step AND every flag bit-for-bit."""
+    from walker_spark.operators.similarity import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, keep_ppm=950_000, n_clusters=16)
+
+
 def q_within_doc_dedup(spark, sf_dir):
     """WITHIN-document repeated-line removal (dedup.within_doc_dedup)
     — the intra-page complement to line_dedup's cross-document pass.
@@ -2975,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "bitext_margin": q_bitext_margin,
         "within_doc_dedup": q_within_doc_dedup,
+        "embedding_outliers": q_embedding_outliers,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4162,6 +4175,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_transitions": _markov_transitions_sql(),
         "bitext_margin": _bitext_margin_sql(),
         "within_doc_dedup": _within_doc_dedup_sql(),
+        "embedding_outliers": _embedding_outliers_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),
@@ -5568,6 +5582,33 @@ def _weighted_sample_sql(k: int = 10) -> str:
                 PARTITION BY source ORDER BY es_key DESC, id ASC
               ) AS rn FROM keyed)
         WHERE rn <= {k}"""
+
+
+def _embedding_outliers_sql(keep_ppm: int = 950_000) -> str:
+    """SQL replica of q_embedding_outliers: the shared
+    _embedding_clusters_sql CTE, milli-unit distance histogram,
+    strictly-below cumulative counts, and the BIGINT tail rule."""
+    return f"""
+        WITH ec AS ({_embedding_clusters_sql()}),
+        m AS (
+          SELECT id, cid, sq_dist,
+                 CAST(round(sq_dist * 1000, 0) AS BIGINT) AS d_mil
+          FROM ec),
+        hist AS (
+          SELECT cid, d_mil, CAST(count(*) AS BIGINT) AS cnt
+          FROM m GROUP BY 1, 2),
+        bins AS (
+          SELECT cid, d_mil,
+                 CAST(coalesce(sum(cnt) OVER (
+                   PARTITION BY cid ORDER BY d_mil
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_below,
+                 CAST(sum(cnt) OVER (PARTITION BY cid) AS BIGINT)
+                   AS cluster_n
+          FROM hist)
+        SELECT m.id, m.cid, m.sq_dist, b.cluster_n, b.n_below,
+               b.n_below * 1000000 >= {keep_ppm} * b.cluster_n AS is_outlier
+        FROM m JOIN bins b ON b.cid = m.cid AND b.d_mil = m.d_mil"""
 
 
 def _within_doc_dedup_sql() -> str:

@@ -68,6 +68,7 @@ HEADLINE = [
     "ivf_topk",
     "embedding_clusters",
     "cluster_sample",
+    "embedding_outliers",
     "pq_topk",
     "sample_deterministic",
     "cap_per_source",

@@ -3262,3 +3262,54 @@ def test_within_doc_dedup_randomized_vs_reference(spark):
         assert got[d]["clean_text"] == "\n".join(kept), d
         assert got[d]["n_lines"] == sum(1 for x in lines if x.strip())
         assert got[d]["n_kept"] == sum(1 for x in kept if x.strip())
+
+
+# ---------------------------------------------------------------------------
+# embedding outliers
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_outliers_planted_tail(spark):
+    from walker_spark.operators.similarity import embedding_outliers
+
+    # one tight cluster around e0 + one planted far point; a second
+    # tight cluster around e1 with NO outlier. clusters= passed
+    # directly so the test pins the histogram rule, not k-means.
+    rows = (
+        [(i, 0, round(0.01 * i, 3)) for i in range(19)]
+        + [(99, 0, 9.0)]
+        + [(200 + i, 1, 0.05) for i in range(10)]
+    )
+    clusters = spark.createDataFrame(
+        rows, "id long, cid int, sq_dist double"
+    )
+    got = {
+        r["id"]: (r["is_outlier"], r["cluster_n"], r["n_below"])
+        for r in embedding_outliers(
+            clusters=clusters, keep_ppm=950_000
+        ).collect()
+    }
+    assert got[99] == (True, 20, 19)
+    assert all(not got[i][0] for i in range(19))
+    # all-tied cluster: n_below = 0 for everyone -> nobody flagged
+    assert all(not got[200 + i][0] for i in range(10))
+
+
+def test_embedding_outliers_fraction_and_validation(spark):
+    import pytest as _pytest
+
+    from walker_spark.operators.similarity import embedding_outliers
+
+    # 100 distinct distances, keep 90% -> exactly 10 flagged (ranks
+    # with n_below 90..99)
+    clusters = spark.createDataFrame(
+        [(i, 0, float(i)) for i in range(100)],
+        "id long, cid int, sq_dist double",
+    )
+    out = embedding_outliers(clusters=clusters, keep_ppm=900_000)
+    flagged = sorted(r["id"] for r in out.collect() if r["is_outlier"])
+    assert flagged == list(range(90, 100))
+    with _pytest.raises(ValueError):
+        embedding_outliers(clusters=clusters, keep_ppm=0)
+    with _pytest.raises(ValueError):
+        embedding_outliers()

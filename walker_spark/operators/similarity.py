@@ -817,3 +817,81 @@ def bitext_margin_pairs(
         )
         .select("src_id", "tgt_id", "score", "margin_ppm")
     )
+
+
+def embedding_outliers(
+    df: DataFrame | None = None,
+    keep_ppm: int = 950_000,
+    n_clusters: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space outlier flags — the distance-based quality
+    filter run after k-means organization (the CLIP-filtering /
+    SemDeDup-pipeline step that drops mislabeled or off-distribution
+    points before training): a vector is an outlier iff it sits in
+    the farthest ``1 - keep_ppm/1e6`` tail of its OWN cluster's
+    distance distribution (per-cluster, so dense and sparse regions
+    each keep their natural radius — a global threshold would gut
+    sparse clusters and keep junk in dense ones).
+
+    Exact tie-safe rule: with ``n_below`` = rows of the cluster whose
+    rounded distance is STRICTLY smaller,
+
+        is_outlier  <=>  n_below * 1e6 >= keep_ppm * cluster_n
+
+    — pure BIGINT, whole tie-groups flag together, cross-engine
+    bit-exact. Returns ``(id, cid, sq_dist, cluster_n, n_below,
+    is_outlier)`` for every vector.
+
+    Scale shape: distances come from the zero-shuffle
+    :func:`embedding_clusters` assignment (pass ``clusters=`` to
+    reuse a materialized clustering — the ``cluster_sample``
+    precedent); ranking is the grouped_percentiles HISTOGRAM trick —
+    per-(cid, milli-distance) bin counts, so the window partition is
+    bounded by DISTINCT rounded distances per cluster (value
+    resolution), never cluster population, and the flag joins back on
+    the bin key (a sketch-sized table AQE broadcasts). No per-row
+    rank, no hot window partition on a mega-cluster."""
+    from pyspark.sql import Window
+
+    if not 0 < keep_ppm < 1_000_000:
+        raise ValueError(f"keep_ppm must be in (0, 1e6): {keep_ppm}")
+    if clusters is None:
+        if df is None:
+            raise ValueError("need df or clusters")
+        clusters = embedding_clusters(
+            df, n_clusters, refine_iters, id_col, vec_col
+        )
+    m = clusters.withColumn(
+        "_d_mil", F.round(F.col("sq_dist") * 1000, 0).cast("long")
+    )
+    hist = m.groupBy("cid", "_d_mil").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    w_below = (
+        Window.partitionBy("cid")
+        .orderBy("_d_mil")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy("cid")
+    bins = hist.select(
+        "cid",
+        "_d_mil",
+        F.coalesce(F.sum("_cnt").over(w_below), F.lit(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum("_cnt").over(w_n).cast("long").alias("cluster_n"),
+    )
+    return m.join(bins, ["cid", "_d_mil"]).select(
+        "id",
+        "cid",
+        "sq_dist",
+        "cluster_n",
+        "n_below",
+        F.expr(f"n_below * 1000000 >= {keep_ppm} * cluster_n").alias(
+            "is_outlier"
+        ),
+    )
