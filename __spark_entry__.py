@@ -1212,6 +1212,18 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix over events
+    (funnel.retention_cohorts): first-activity week cohorts, distinct
+    active users per (cohort, offset) cell, retention in integer ppm
+    — the came-back complement to funnel/Markov on the same
+    event-sequence tier."""
+    from walker_spark.operators.funnel import retention_cohorts
+
+    events = _t(spark, sf_dir, "events")
+    return retention_cohorts(events, period_days=7)
+
+
 def q_embedding_outliers(spark, sf_dir):
     """Per-cluster distance-tail outlier flags over the k-means
     clustering (similarity.embedding_outliers): the post-clustering
@@ -2988,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_margin": q_bitext_margin,
         "within_doc_dedup": q_within_doc_dedup,
         "embedding_outliers": q_embedding_outliers,
+        "retention_cohorts": q_retention_cohorts,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4176,6 +4189,7 @@ def oracle_sql() -> dict[str, str]:
         "bitext_margin": _bitext_margin_sql(),
         "within_doc_dedup": _within_doc_dedup_sql(),
         "embedding_outliers": _embedding_outliers_sql(),
+        "retention_cohorts": _retention_cohorts_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),
@@ -5582,6 +5596,33 @@ def _weighted_sample_sql(k: int = 10) -> str:
                 PARTITION BY source ORDER BY es_key DESC, id ASC
               ) AS rn FROM keyed)
         WHERE rn <= {k}"""
+
+
+def _retention_cohorts_sql(period_days: int = 7) -> str:
+    """SQL replica of q_retention_cohorts: DuckDB epoch_ms truncates
+    like unix_millis (verified precedent), integer-div periods,
+    distinct (user, period) activity, first-touch cohorts."""
+    return f"""
+        WITH acts AS (
+          SELECT DISTINCT user_id,
+                 CAST((epoch_ms(ts) // 86400000) // {period_days}
+                      AS BIGINT) AS period
+          FROM events),
+        coh AS (
+          SELECT user_id, min(period) AS cohort FROM acts GROUP BY 1),
+        ret AS (
+          SELECT c.cohort, a.period - c.cohort AS period_offset,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM acts a JOIN coh c USING (user_id) GROUP BY 1, 2),
+        sz AS (
+          SELECT cohort, n_users AS cohort_size
+          FROM ret WHERE period_offset = 0)
+        SELECT CAST(r.cohort AS BIGINT) AS cohort_period,
+               CAST(r.period_offset AS BIGINT) AS period_offset,
+               r.n_users, s.cohort_size,
+               CAST(r.n_users * 1000000 // s.cohort_size AS BIGINT)
+                 AS retention_ppm
+        FROM ret r JOIN sz s USING (cohort)"""
 
 
 def _embedding_outliers_sql(keep_ppm: int = 950_000) -> str:

@@ -150,6 +150,7 @@ HEADLINE = [
     "funnel_user_levels",
     "funnel_steps",
     "markov_transitions",
+    "retention_cohorts",
     "clustering_report",
     "clustering_stats",
     "mime_audit",

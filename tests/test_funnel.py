@@ -221,3 +221,50 @@ def test_top_transitions_validates(spark):
     model = transition_model(_tm_df(spark, _tm_rows({1: ["a", "b"]})))
     with pytest.raises(ValueError):
         top_transitions(model, k=0)
+
+
+def test_retention_cohorts_planted(spark):
+    from walker_spark.operators.funnel import retention_cohorts
+
+    day = 86_400_000
+    rows = []
+    eid = 0
+    # users 1,2: first active period 0; user 1 returns periods 1,3;
+    # user 2 returns period 1. user 3: first active period 2 only.
+    for u, periods in {1: [0, 1, 3], 2: [0, 0, 1], 3: [2]}.items():
+        for p in periods:
+            rows.append((u, "view", p * 7 * day + u * 1000, eid))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ms long, event_id long"
+    ).select(
+        "user_id",
+        "event_type",
+        (F.col("ms") / 1000).cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    got = {
+        (r["cohort_period"], r["period_offset"]): (
+            r["n_users"],
+            r["cohort_size"],
+            r["retention_ppm"],
+        )
+        for r in retention_cohorts(df, period_days=7).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1_000_000),
+        (0, 1): (2, 2, 1_000_000),
+        (0, 3): (1, 2, 500_000),
+        (2, 0): (1, 1, 1_000_000),
+    }
+
+
+def test_retention_cohorts_validates(spark):
+    from walker_spark.operators.funnel import retention_cohorts
+
+    df = spark.createDataFrame(
+        [(1, "x", 0, 0)],
+        "user_id long, event_type string, ts long, event_id long",
+    )
+    with pytest.raises(ValueError):
+        retention_cohorts(df, period_days=0)

@@ -216,3 +216,61 @@ def top_transitions(model: DataFrame, k: int = 3) -> DataFrame:
         model.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix — the third classic of the
+    event-sequence tier (funnel = ordered steps, Markov = next
+    action, retention = do they come back): users cohort by the
+    period of their FIRST activity, and each (cohort, offset) cell
+    counts distinct users active ``offset`` periods later.
+
+        (cohort_period, period_offset, n_users, cohort_size,
+         retention_ppm)
+
+    with ``period = epoch_day div period_days`` and ``retention_ppm
+    = n_users * 1e6 div cohort_size`` — all BIGINT (epoch-integer
+    periods, integer div), cross-engine exact; offset 0 is the cohort
+    itself (retention_ppm = 1e6).
+
+    Scale shape: activity first collapses to DISTINCT (user, period)
+    — a two-phase hash agg whose map-side partials kill the per-event
+    volume before any wire — then the first-touch min and the
+    cohort join are user-keyed on that already-tiny frame, and the
+    matrix is a (cohort, offset)-keyed agg bounded by periods².
+    Nothing here ever re-reads raw events twice."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1: {period_days}")
+    period = F.expr(
+        f"CAST((unix_millis(CAST({ts_col} AS TIMESTAMP)) div 86400000)"
+        f" div {int(period_days)} AS BIGINT)"
+    )
+    acts = (
+        events.select(
+            F.col(user_col).alias("_u"), period.alias("period")
+        )
+        .distinct()
+    )
+    coh = acts.groupBy("_u").agg(F.min("period").alias("cohort"))
+    ret = (
+        acts.join(coh, "_u")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("period_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    sizes = ret.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_users").alias("cohort_size")
+    )
+    return ret.join(sizes, "cohort").select(
+        F.col("cohort").cast("long").alias("cohort_period"),
+        F.col("period_offset").cast("long").alias("period_offset"),
+        "n_users",
+        "cohort_size",
+        F.expr("CAST(n_users * 1000000 div cohort_size AS BIGINT)").alias(
+            "retention_ppm"
+        ),
+    )
