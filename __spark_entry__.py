@@ -1212,6 +1212,24 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_mirror_sources(spark, sf_dir):
+    """Mirror detection between sources (dedup.mirror_candidates):
+    exact-content containment on md5 content keys. A mirror is
+    PLANTED in-query (source ``src0_mirror`` carries every 5th src0
+    document), so the pair must surface with containment 1e6 while
+    ambient cross-source exact dups stay below the threshold."""
+    from walker_spark.operators.dedup import mirror_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    mirror = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") % 5 == 0)
+    ).select(F.lit("src0_mirror").alias("source"), "text")
+    planted = docs.select("source", "text").unionByName(mirror)
+    return mirror_candidates(
+        planted, min_shared=2, containment_threshold_ppm=300_000
+    )
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Weekly cohort retention matrix over events
     (funnel.retention_cohorts): first-activity week cohorts, distinct
@@ -3001,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_doc_dedup": q_within_doc_dedup,
         "embedding_outliers": q_embedding_outliers,
         "retention_cohorts": q_retention_cohorts,
+        "mirror_sources": q_mirror_sources,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4190,6 +4209,7 @@ def oracle_sql() -> dict[str, str]:
         "within_doc_dedup": _within_doc_dedup_sql(),
         "embedding_outliers": _embedding_outliers_sql(),
         "retention_cohorts": _retention_cohorts_sql(),
+        "mirror_sources": _mirror_sources_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),
@@ -5596,6 +5616,40 @@ def _weighted_sample_sql(k: int = 10) -> str:
                 PARTITION BY source ORDER BY es_key DESC, id ASC
               ) AS rn FROM keyed)
         WHERE rn <= {k}"""
+
+
+def _mirror_sources_sql(
+    min_shared: int = 2, threshold_ppm: int = 300_000
+) -> str:
+    """SQL replica of q_mirror_sources: identical planted mirror,
+    md5-of-normalized-text content keys, key-blocked pair counts,
+    integer containment/jaccard."""
+    return f"""
+        WITH planted AS (
+          SELECT source, text FROM documents
+          UNION ALL
+          SELECT 'src0_mirror' AS source, text FROM documents
+          WHERE source = 'src0' AND doc_id % 5 = 0),
+        keys AS (
+          SELECT DISTINCT source AS g, md5({_NORM_TEXT_SQL}) AS k
+          FROM planted),
+        sizes AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n FROM keys GROUP BY 1),
+        shared AS (
+          SELECT a.g AS group_a, b.g AS group_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM keys a JOIN keys b ON a.k = b.k AND a.g < b.g
+          GROUP BY 1, 2)
+        SELECT s.group_a, s.group_b, sa.n AS n_a, sb.n AS n_b, s.shared,
+               CAST(s.shared * 1000000 // least(sa.n, sb.n) AS BIGINT)
+                 AS containment_ppm,
+               CAST(s.shared * 1000000 // (sa.n + sb.n - s.shared)
+                    AS BIGINT) AS jaccard_ppm
+        FROM shared s
+        JOIN sizes sa ON sa.g = s.group_a
+        JOIN sizes sb ON sb.g = s.group_b
+        WHERE s.shared >= {min_shared}
+          AND s.shared * 1000000 // least(sa.n, sb.n) >= {threshold_ppm}"""
 
 
 def _retention_cohorts_sql(period_days: int = 7) -> str:

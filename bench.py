@@ -103,6 +103,7 @@ HEADLINE = [
     "unimax_mix",
     "novelty_scores",
     "source_overlap",
+    "mirror_sources",
     "quantile_filter",
     "training_pipeline",
     "personalized_pagerank",

@@ -3313,3 +3313,38 @@ def test_embedding_outliers_fraction_and_validation(spark):
         embedding_outliers(clusters=clusters, keep_ppm=0)
     with _pytest.raises(ValueError):
         embedding_outliers()
+
+
+def test_mirror_candidates_planted_and_thresholds(spark):
+    import pytest as _pytest
+
+    from walker_spark.operators.dedup import mirror_candidates
+
+    rows = (
+        # host A: 10 distinct docs
+        [("a", f"doc number {i} body") for i in range(10)]
+        # host B mirrors 8 of them (plus 2 of its own) -> containment
+        # 8/10 = 800000 vs A (min side is B with 10 docs too)
+        + [("b", f"doc number {i} body") for i in range(8)]
+        + [("b", f"b only {i}") for i in range(2)]
+        # host C shares exactly one doc with A -> below min_shared
+        + [("c", "doc number 0 body"), ("c", "c only")]
+        # normalization: case/whitespace variants still match
+        + [("d", f"  DOC   NUMBER {i} BODY " ) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in mirror_candidates(
+            df, min_shared=2, containment_threshold_ppm=300_000
+        ).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "d"), ("b", "d")}
+    ab = got[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["shared"]) == (10, 10, 8)
+    assert ab["containment_ppm"] == 800_000
+    assert ab["jaccard_ppm"] == 8 * 1_000_000 // 12
+    ad = got[("a", "d")]
+    assert ad["shared"] == 10 and ad["containment_ppm"] == 1_000_000
+    with _pytest.raises(ValueError):
+        mirror_candidates(df, min_shared=0)

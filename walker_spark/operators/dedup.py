@@ -1506,3 +1506,84 @@ def within_doc_dedup(
         nonblank(lines).cast("long").alias("n_lines"),
         nonblank(kept).cast("long").alias("n_kept"),
     )
+
+
+def mirror_candidates(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_shared: int = 2,
+    containment_threshold_ppm: int = 300_000,
+) -> DataFrame:
+    """Mirror detection between groups (hosts, dumps, sources): two
+    groups are mirror CANDIDATES when one contains a large fraction
+    of the other's EXACT content — the crawl-forensics pass that
+    catches a site mirrored under a second domain, or one dump
+    re-packaging another, where gram-level overlap
+    (``textstats.source_overlap``) is too soft a signal: mirrors
+    share whole documents, not vocabulary.
+
+    Containment, not Jaccard, is the headline metric (a small mirror
+    inside a huge host still scores ~1e6; Jaccard would dilute it):
+
+        containment_ppm = shared * 1e6 div least(n_a, n_b)
+
+    Returns ``(group_a, group_b, n_a, n_b, shared, containment_ppm,
+    jaccard_ppm)``, ``group_a < group_b``, all BIGINT; pairs below
+    ``min_shared`` shared documents or the containment threshold are
+    omitted (sparse contract).
+
+    Scale shape (the source_overlap precedent on content keys): the
+    corpus collapses to DISTINCT (group, 32-byte md5 content key)
+    rows in one key-keyed exchange — text never shuffles; the pair
+    stage is a key-blocked self-join whose per-key fan-out is bounded
+    by the number of GROUPS carrying that exact text (boilerplate
+    pages shared by all hosts are the worst case — at G groups a
+    universal page costs G² pair rows, which the aggregation
+    collapses; cut such pages with ``line_dedup`` upstream if G is
+    huge); group sizes broadcast onto the sparse pair matrix."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1: {min_shared}")
+    keys = (
+        df.select(
+            F.col(group_col).alias("g"),
+            _content_key(F.col(text_col)).alias("k"),
+        )
+        .distinct()
+    )
+    sizes = keys.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = keys.select(F.col("g").alias("group_a"), "k")
+    b = keys.select(F.col("g").alias("group_b"), "k")
+    shared = (
+        a.join(b, "k")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("g").alias("group_a"), F.col("n").alias("n_a"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("group_b"), F.col("n").alias("n_b"))),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "shared",
+            F.expr("CAST(shared * 1000000 div least(n_a, n_b) AS BIGINT)").alias(
+                "containment_ppm"
+            ),
+            F.expr(
+                "CAST(shared * 1000000 div (n_a + n_b - shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(
+            (F.col("shared") >= min_shared)
+            & (F.col("containment_ppm") >= containment_threshold_ppm)
+        )
+    )
