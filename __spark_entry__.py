@@ -1212,6 +1212,20 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_bm25_pruned(spark, sf_dir):
+    """Impact-ordered pruned BM25 (retrieval.bm25_pruned_topk, Fagin
+    TA certificate + exhaustive fallback): provably identical output
+    to bm25_topk — the oracle SQL is shared — while only candidate
+    docs from the per-term top-N impact lists are scored for queries
+    whose certificate holds."""
+    from walker_spark.operators.retrieval import bm25_pruned_topk
+
+    qdf = spark.createDataFrame(list(BM25_QUERIES), "query_id int, query string")
+    return bm25_pruned_topk(
+        _t(spark, sf_dir, "documents"), qdf, k=10, n_impact=32
+    )
+
+
 def q_mirror_sources(spark, sf_dir):
     """Mirror detection between sources (dedup.mirror_candidates):
     exact-content containment on md5 content keys. A mirror is
@@ -3020,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "retention_cohorts": q_retention_cohorts,
         "mirror_sources": q_mirror_sources,
+        "bm25_pruned": q_bm25_pruned,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4210,6 +4225,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": _embedding_outliers_sql(),
         "retention_cohorts": _retention_cohorts_sql(),
         "mirror_sources": _mirror_sources_sql(),
+        "bm25_pruned": _bm25_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),

@@ -84,6 +84,7 @@ HEADLINE = [
     "chunk_documents",
     "bm25_topk",
     "bm25_indexed",
+    "bm25_pruned",
     "hybrid_rrf",
     "winnow_fingerprints",
     "phrase_search",

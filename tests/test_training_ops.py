@@ -3348,3 +3348,62 @@ def test_mirror_candidates_planted_and_thresholds(spark):
     assert ad["shared"] == 10 and ad["containment_ppm"] == 1_000_000
     with _pytest.raises(ValueError):
         mirror_candidates(df, min_shared=0)
+
+
+# ---------------------------------------------------------------------------
+# impact-ordered pruned BM25
+# ---------------------------------------------------------------------------
+
+
+def _bm25_eq(a, b):
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    fa = sorted(
+        (
+            (r["query_id"], r["doc_id"], r["rank"], r["n_matched"], r["score"])
+            for r in a
+        )
+    )
+    fb = sorted(
+        (
+            (r["query_id"], r["doc_id"], r["rank"], r["n_matched"], r["score"])
+            for r in b
+        )
+    )
+    return fa == fb
+
+
+def test_bm25_pruned_equals_exact_all_regimes(spark):
+    import random
+
+    from walker_spark.operators.retrieval import bm25_pruned_topk, bm25_topk
+
+    rng = random.Random(53)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 40))))
+            for d in range(120)
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(q, " ".join(rng.sample(vocab, rng.randrange(1, 4)))) for q in range(6)],
+        "query_id int, query string",
+    )
+    exact = bm25_topk(docs, queries, k=5).collect()
+    # n_impact=1: nearly every certificate fails -> fallback path;
+    # n_impact=8: mixed; n_impact=1000: untruncated branch.
+    for n in (1, 8, 1000):
+        pruned = bm25_pruned_topk(docs, queries, k=5, n_impact=n).collect()
+        assert _bm25_eq(pruned, exact), f"n_impact={n}"
+
+
+def test_bm25_pruned_validates(spark):
+    import pytest as _pytest
+
+    from walker_spark.operators.retrieval import bm25_pruned_topk
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "a")], "query_id int, query string")
+    with _pytest.raises(ValueError):
+        bm25_pruned_topk(docs, qs, n_impact=0)

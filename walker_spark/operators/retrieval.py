@@ -553,3 +553,191 @@ def hybrid_topk(
     bm25 = bm25_topk(corpus, qtext, k=k_leg, k1=k1, b=b, id_col="id", text_col="text")
     dense = dense_topk(corpus, qvec, k=k_leg, id_col="id", vec_col="vec")
     return rrf_fuse({"bm25": bm25, "dense": dense}, k=k, rrf_k=rrf_k)
+
+
+def bm25_pruned_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_impact: int = 32,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """BM25 top-k via IMPACT-ORDERED list pruning with a Fagin-style
+    threshold certificate (Fagin et al. 2003 TA; impact-ordered
+    indexes are how production engines avoid scoring every matching
+    document). Output is PROVABLY identical to :func:`bm25_topk` —
+    same columns, same rows — because pruning only applies where the
+    certificate holds and every other query falls back to exhaustive
+    scoring:
+
+    1. per-(term, doc) integer micro impacts are static given corpus
+       stats; each term keeps its top ``n_impact`` postings by
+       (impact desc, id) — the impact lists;
+    2. candidates(q) = docs on ANY of q's lists; theta(q) = sum over
+       q's terms of the rank-``n_impact`` impact (0 when the term's
+       whole list fits — that term can hide nothing). Any doc outside
+       every list scores <= theta(q);
+    3. certificate: NO term of q was truncated (candidates are then
+       literally ALL matched docs), or the k-th candidate's ROUNDED
+       score is STRICTLY above rounded theta — strict + rounded
+       because ranking ties break on doc_id, so an outside doc merely
+       EQUAL at the boundary could still displace rank k (and a term
+       truncated at impact 0 makes theta 0 without covering its
+       tail, so theta == 0 alone certifies nothing);
+    4. queries failing the certificate are re-scored exhaustively
+       (anti-join on the passing set) and unioned back.
+
+    Scale shape: impacts derive from one postings pass and are
+    localCheckpointed (three consumers — lists, candidate rescoring,
+    fallback — must share one computation: the dsir explode-once
+    precedent); the per-term top-N window is the serving-index build
+    (a stopword's full posting list ranks in one partition — build
+    the lists offline per index segment, or two-level salt, for a
+    web-scale vocabulary); everything per-query afterwards is bounded
+    by |q terms| x n_impact candidates instead of every doc matching
+    any term — which is the entire point when one query term is 'the'.
+    """
+    from pyspark.sql import Window as W
+
+    if n_impact < 1:
+        raise ValueError(f"n_impact must be >= 1: {n_impact}")
+    base = _tokenized(docs, id_col, text_col)
+    postings = _postings(base)
+    stats = _corpus_stats(base)
+    qterms = _query_terms(queries, query_id_col, query_col)
+    terms_needed = qterms.select("term").distinct()
+    matched = postings.join(F.broadcast(terms_needed), "term")
+    dfreq = matched.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("dfreq")
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "id",
+            F.floor(
+                (
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("_N") - F.col("dfreq") + 0.5)
+                        / (F.col("dfreq") + 0.5)
+                    )
+                    * (F.col("tf") * (k1 + 1))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            1.0
+                            - b
+                            + b
+                            * F.col("dl").cast("double")
+                            / (F.col("_dl_sum").cast("double") / F.col("_N"))
+                        )
+                    )
+                )
+                * MICRO
+                + 0.5
+            )
+            .cast("long")
+            .alias("_micro"),
+        )
+        .localCheckpoint()
+    )
+    wt = W.partitionBy("term").orderBy(F.col("_micro").desc(), F.col("id").asc())
+    lists = scored.withColumn("_r", F.row_number().over(wt)).filter(
+        F.col("_r") <= n_impact
+    )
+    bounds = lists.groupBy("term").agg(
+        F.max(F.when(F.col("_r") == n_impact, F.col("_micro"))).alias("_cut")
+    )
+    thetas = (
+        qterms.join(bounds, "term", "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_cut"), F.lit(0))).alias("_theta"),
+            F.max(
+                F.when(F.col("_cut").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("_trunc"),
+        )
+    )
+    cands = (
+        qterms.join(lists.select("term", "id"), "term")
+        .select("query_id", "id")
+        .distinct()
+    )
+
+    def _score(per_qdoc):
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return per_qdoc.select(
+            "query_id",
+            F.col("id").alias("doc_id"),
+            "n_matched",
+            "_sum_micro",
+            (
+                F.floor((F.col("_sum_micro") + 50) / 100).cast("double")
+                / 10000.0
+            ).alias("score"),
+        ).withColumn("rank", F.row_number().over(w).cast("int"))
+
+    qdoc = (
+        scored.join(F.broadcast(qterms), "term")
+        .join(cands, ["query_id", "id"], "left_semi")
+        .groupBy("query_id", "id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matched"),
+            F.sum("_micro").alias("_sum_micro"),
+        )
+    )
+    ranked = _score(qdoc)
+    kth = ranked.filter(F.col("rank") == k).select(
+        "query_id", F.col("_sum_micro").alias("_kth")
+    )
+    ncand = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_nc")
+    )
+    flags = (
+        thetas.join(ncand, "query_id", "left")
+        .join(kth, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                (F.col("_trunc") == 0)
+                | (
+                    (F.coalesce(F.col("_nc"), F.lit(0)) >= k)
+                    & (
+                        F.floor((F.coalesce(F.col("_kth"), F.lit(0)) + 50) / 100)
+                        > F.floor((F.col("_theta") + 50) / 100)
+                    )
+                )
+            ).alias("_ok"),
+        )
+    )
+    ok_q = flags.filter(F.col("_ok")).select("query_id")
+    pruned_out = (
+        ranked.join(F.broadcast(ok_q), "query_id", "left_semi")
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "n_matched", "score")
+    )
+    fb_qterms = qterms.join(F.broadcast(ok_q), "query_id", "left_anti")
+    fb = (
+        scored.join(F.broadcast(fb_qterms), "term")
+        .groupBy("query_id", "id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matched"),
+            F.sum("_micro").alias("_sum_micro"),
+        )
+    )
+    fb_out = (
+        _score(fb)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "n_matched", "score")
+    )
+    return pruned_out.unionByName(fb_out)
