@@ -678,3 +678,88 @@ def space_saving_estimates(
         .cast("long")
         .alias("err_slack"),
     )
+
+
+def space_saving_compact(
+    summary: DataFrame,
+    slice_cols: Sequence[str],
+    k: int = 8,
+    buckets: int = 4,
+) -> DataFrame:
+    """Collapse per-slice SpaceSaving summaries into ONE summary —
+    the compaction half of the merge law (Agarwal et al. 2013): per
+    bucket, every item kept by any slice gets the merged count
+    ``c' = sum over slices of (cnt if present else bucket_err)``,
+    the top ``k`` by (c' desc, item asc) survive, and the new bucket
+    error is
+
+        bucket_err' = max(c' at rank k+1, sum of slice bucket_errs)
+
+    — the first term covers items dropped NOW, the second items that
+    were already absent from every slice summary. Two invariants ride
+    this (pytest-asserted): estimates of SURVIVING items are
+    preserved bit-for-bit (c' IS the pre-compaction estimate), and
+    every post-compaction point estimate stays a true upper bound.
+    Output has no slice columns — tag one on (e.g. a batch id) to
+    merge the compacted summary with newer slices.
+
+    Scale shape: input is already sketch-sized (slices x buckets x k
+    rows), so the grid/rank passes here are driver-trivial by
+    construction; this is the job that keeps a per-batch summary
+    store's read fan-in constant, the FrontierStore-compaction role
+    for the sketch tier."""
+    from pyspark.sql import Window
+
+    h = _md5_u32(F.col("item"))
+    items = summary.select(
+        "item", (h % buckets).cast("int").alias("bucket")
+    ).distinct()
+    slices = summary.select(*slice_cols).distinct()
+    errs = summary.groupBy(*slice_cols, "bucket").agg(
+        F.max("bucket_err").alias("_berr")
+    )
+    err_tot = errs.groupBy("bucket").agg(
+        F.sum("_berr").cast("long").alias("_err_sum")
+    )
+    grid = items.join(slices, F.lit(True))
+    merged = (
+        grid.join(
+            summary.select(*slice_cols, "bucket", "item", "cnt"),
+            [*slice_cols, "bucket", "item"],
+            "left",
+        )
+        .join(errs, [*slice_cols, "bucket"], "left")
+        .groupBy("bucket", "item")
+        .agg(
+            F.sum(F.coalesce(F.col("cnt"), F.col("_berr"), F.lit(0)))
+            .cast("long")
+            .alias("cnt")
+        )
+    )
+    order = [F.col("cnt").desc(), F.col("item").asc()]
+    w = Window.partitionBy("bucket").orderBy(*order)
+    wb = Window.partitionBy("bucket")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k + 1)
+        .withColumn(
+            "_cut",
+            F.coalesce(
+                F.max(F.when(F.col("rn") == k + 1, F.col("cnt"))).over(wb),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .join(err_tot, "bucket", "left")
+        .select(
+            "bucket",
+            "item",
+            "cnt",
+            F.col("rn").cast("int").alias("rn"),
+            F.greatest(
+                F.col("_cut"), F.coalesce(F.col("_err_sum"), F.lit(0))
+            )
+            .cast("long")
+            .alias("bucket_err"),
+        )
+    )
