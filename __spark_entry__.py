@@ -1212,6 +1212,17 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_farthest_points(spark, sf_dir):
+    """Gonzalez farthest-point sampling over the embeddings table
+    (similarity.farthest_points, k=8): diversity selection with each
+    greedy pick cross-engine deterministic on (round-3 distance, id);
+    the oracle unrolls all 8 rounds as MATERIALIZED CTEs (the
+    hop_distances precedent)."""
+    from walker_spark.operators.similarity import farthest_points
+
+    return farthest_points(_t(spark, sf_dir, "embeddings"), k=8)
+
+
 def q_bm25_pruned(spark, sf_dir):
     """Impact-ordered pruned BM25 (retrieval.bm25_pruned_topk, Fagin
     TA certificate + exhaustive fallback): provably identical output
@@ -3035,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "mirror_sources": q_mirror_sources,
         "bm25_pruned": q_bm25_pruned,
+        "farthest_points": q_farthest_points,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4226,6 +4238,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": _retention_cohorts_sql(),
         "mirror_sources": _mirror_sources_sql(),
         "bm25_pruned": _bm25_sql(),
+        "farthest_points": _farthest_points_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),
@@ -5749,6 +5762,42 @@ def _within_doc_dedup_sql() -> str:
                CAST(len(list_filter(kept, x -> len(trim(x)) > 0))
                     AS BIGINT) AS n_kept
         FROM f"""
+
+
+def _farthest_points_sql(k: int = 8, dim: int = 64) -> str:
+    """SQL replica of q_farthest_points: k greedy rounds unrolled as
+    MATERIALIZED CTEs (the hop_distances lesson — without
+    MATERIALIZED the CTE tree inlines exponentially), each round =
+    argmax on (round-3 min-distance desc, id) then a least() update.
+    The Spark side updates against collected driver literals; IEEE
+    round-trip makes the doubles identical."""
+    sq = (
+        "list_aggregate(list_transform(range(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), 'sum')"
+    )
+    d_expr = sq.format(n=dim + 1, a="e.vec", b="c.vec")
+    ctes = [
+        "emb AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT id, vec FROM emb ORDER BY id LIMIT 1)",
+        f"d1 AS MATERIALIZED (SELECT e.id, e.vec, round({d_expr}, 3) AS d"
+        " FROM emb e CROSS JOIN c1 c)",
+    ]
+    selects = ["SELECT 1 AS rank, id, 0.0 AS radius FROM c1"]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT id, vec, d FROM d{r - 1}"
+            " ORDER BY d DESC, id LIMIT 1)"
+        )
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT e.id, e.vec,"
+            f" least(e.d, round({d_expr}, 3)) AS d"
+            f" FROM d{r - 1} e CROSS JOIN c{r} c)"
+        )
+        selects.append(f"SELECT {r} AS rank, id, d AS radius FROM c{r}")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
 
 
 def _bitext_margin_sql(

@@ -69,6 +69,7 @@ HEADLINE = [
     "embedding_clusters",
     "cluster_sample",
     "embedding_outliers",
+    "farthest_points",
     "pq_topk",
     "sample_deterministic",
     "cap_per_source",

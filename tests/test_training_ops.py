@@ -3407,3 +3407,49 @@ def test_bm25_pruned_validates(spark):
     qs = spark.createDataFrame([(0, "a")], "query_id int, query string")
     with _pytest.raises(ValueError):
         bm25_pruned_topk(docs, qs, n_impact=0)
+
+
+def test_farthest_points_vs_reference(spark):
+    import random
+
+    from walker_spark.operators.similarity import farthest_points
+
+    rng = random.Random(61)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(50)}
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r["rank"], r["id"], r["radius"])
+        for r in farthest_points(df, k=6).orderBy("rank").collect()
+    ]
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    sel = [min(vecs)]
+    d = {i: round(sq(vecs[i], vecs[sel[0]]), 3) for i in vecs}
+    ref = [(1, sel[0], 0.0)]
+    for r in range(2, 7):
+        pick = max(vecs, key=lambda i: (d[i], -i))
+        ref.append((r, pick, d[pick]))
+        for i in vecs:
+            d[i] = min(d[i], round(sq(vecs[i], vecs[pick]), 3))
+    assert got == ref
+
+
+def test_farthest_points_small_and_validates(spark):
+    import pytest as _pytest
+
+    from walker_spark.operators.similarity import farthest_points
+
+    # k larger than the corpus: stops after exhausting distinct picks
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = [(r["rank"], r["id"], r["radius"]) for r in farthest_points(df, k=5).orderBy("rank").collect()]
+    assert got[0] == (1, 1, 0.0) and got[1] == (2, 2, 25.0)
+    assert len(got) == 5  # duplicate-coverage picks continue at d=0
+    with _pytest.raises(ValueError):
+        farthest_points(df, k=0)

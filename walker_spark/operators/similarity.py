@@ -895,3 +895,61 @@ def embedding_outliers(
             "is_outlier"
         ),
     )
+
+
+def farthest_points(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-point sampling (Gonzalez 1985 greedy k-center) — the
+    DIVERSITY selection complement to :func:`cluster_sample`'s
+    prototypicality: starting from the minimum-id vector, each round
+    adds the point farthest (max-min squared L2) from everything
+    selected so far. The classic coreset / eval-set / annotation-
+    budget picker: k points that 2-approximate the optimal k-center
+    cover of the corpus.
+
+    Returns ``(rank, id, radius)`` — ``radius`` is the chosen point's
+    rounded (3) distance to the previously selected set (0.0 for the
+    seed), which is also the corpus coverage radius achieved BEFORE
+    that round; ranking on the rounded distance with id tie-break
+    makes every pick cross-engine deterministic, and the DuckDB
+    oracle replays all k rounds via unrolled CTEs.
+
+    Scale shape: per-vector state is ONE double (min distance to the
+    selected set); each round is a sort-limit argmax (TakeOrdered —
+    never a full sort) plus a zero-exchange distance update against
+    the new center as a DRIVER LITERAL (KB-sized by design, the IVF
+    codebook precedent), localCheckpointed so lineage stays flat —
+    2 bounded jobs per round, 2k total. Selection is inherently
+    sequential in k (each pick depends on all previous), so k is the
+    job count, not a shuffle count."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    seed = v.orderBy(F.asc("id")).limit(1).collect()
+    if not seed:
+        return spark.createDataFrame([], "rank int, id long, radius double")
+    centers = [(1, seed[0]["id"], 0.0)]
+    cur = v.withColumn(
+        "d", F.round(_sq_l2(F.col("vec"), list(seed[0]["vec"])), 3)
+    ).localCheckpoint()
+    for r in range(2, k + 1):
+        top = cur.orderBy(F.desc("d"), F.asc("id")).limit(1).collect()
+        if not top or top[0]["d"] is None:
+            break
+        centers.append((r, top[0]["id"], float(top[0]["d"])))
+        cur = cur.withColumn(
+            "d",
+            F.least(
+                F.col("d"),
+                F.round(_sq_l2(F.col("vec"), list(top[0]["vec"])), 3),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(centers, "rank int, id long, radius double")
