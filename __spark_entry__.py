@@ -1212,6 +1212,19 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition on the planted doc
+    graph (graph.modularity over graph.lpa_communities) — the
+    community tier auditing itself. Exact DECIMAL(38,0) integer math;
+    the oracle reuses the unrolled LPA rounds and replays Q
+    bit-for-bit."""
+    from walker_spark.operators.graph import lpa_communities, modularity
+
+    edges = _planted_doc_edges(spark, sf_dir)
+    labels = lpa_communities(edges, iterations=LPA_ITERS)
+    return modularity(edges, labels)
+
+
 def q_farthest_points(spark, sf_dir):
     """Gonzalez farthest-point sampling over the embeddings table
     (similarity.farthest_points, k=8): diversity selection with each
@@ -3047,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_sources": q_mirror_sources,
         "bm25_pruned": q_bm25_pruned,
         "farthest_points": q_farthest_points,
+        "modularity": q_modularity,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4239,6 +4253,7 @@ def oracle_sql() -> dict[str, str]:
         "mirror_sources": _mirror_sources_sql(),
         "bm25_pruned": _bm25_sql(),
         "farthest_points": _farthest_points_sql(),
+        "modularity": _modularity_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),
@@ -5491,6 +5506,62 @@ def _lpa_sql(iterations: int = LPA_ITERS) -> str:
         {", ".join(its)}
         SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
         FROM l{iterations}"""
+
+
+def _modularity_sql(iterations: int = LPA_ITERS) -> str:
+    """SQL replica of q_modularity: the _lpa_sql round CTEs, then the
+    exact HUGEINT Q formula (sum of 4*m*e_c - d_c^2 over the total
+    partition, truncation-div by 4m^2 — DuckDB // matches Spark
+    DECIMAL div for either sign)."""
+    its = []
+    for i in range(iterations):
+        its.append(f"""
+        l{i + 1} AS (
+          SELECT node, label FROM (
+            SELECT d.dst AS node, p.label,
+                   row_number() OVER (PARTITION BY d.dst
+                       ORDER BY count(*) DESC, p.label) AS rn
+            FROM l{i} p JOIN dir d ON d.src = p.node
+            GROUP BY d.dst, p.label) t
+          WHERE rn = 1
+        )""")
+    return f"""
+        WITH {_PLANTED_GRAPH_CTES},
+        ce AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM edges WHERE src <> dst),
+        dir AS (SELECT u AS src, v AS dst FROM ce
+                UNION ALL SELECT v AS src, u AS dst FROM ce),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM dir),
+        {", ".join(its)},
+        labs AS (SELECT node, label FROM l{iterations}),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT u AS node FROM ce UNION ALL SELECT v FROM ce)
+          GROUP BY 1),
+        fullp AS (
+          SELECT d.node, d.deg, coalesce(l.label, d.node) AS label
+          FROM deg d LEFT JOIN labs l USING (node)),
+        dc AS (
+          SELECT label, CAST(sum(deg) AS BIGINT) AS d_c
+          FROM fullp GROUP BY 1),
+        intra AS (
+          SELECT a.label, CAST(count(*) AS BIGINT) AS e_c
+          FROM ce JOIN fullp a ON a.node = ce.u
+                  JOIN fullp b ON b.node = ce.v
+          WHERE a.label = b.label GROUP BY 1),
+        per AS (
+          SELECT dc.label, dc.d_c, coalesce(i.e_c, 0) AS e_c, mm.m
+          FROM dc LEFT JOIN intra i USING (label) CROSS JOIN mm)
+        SELECT max(m) AS m,
+               CAST(count(DISTINCT label) AS BIGINT) AS n_communities,
+               CAST(sum(e_c) AS BIGINT) AS intra_edges,
+               CAST(CASE WHEN max(m) = 0 THEN 0 ELSE
+                 (sum(CAST(4 AS HUGEINT) * m * e_c
+                      - CAST(d_c AS HUGEINT) * d_c) * 1000000)
+                 // (CAST(4 AS HUGEINT) * max(m) * max(m)) END AS BIGINT)
+                 AS q_ppm
+        FROM per"""
 
 
 def _embedding_communities_sql(k: int = 4, n_centroids: int = 16, dim: int = 64) -> str:

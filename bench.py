@@ -109,6 +109,7 @@ HEADLINE = [
     "quantile_filter",
     "training_pipeline",
     "personalized_pagerank",
+    "modularity",
     "hll_token_distinct",
     "cms_token_freq",
     "triangle_counts",

@@ -3453,3 +3453,35 @@ def test_farthest_points_small_and_validates(spark):
     assert len(got) == 5  # duplicate-coverage picks continue at d=0
     with _pytest.raises(ValueError):
         farthest_points(df, k=0)
+
+
+def test_modularity_known_partitions(spark):
+    from walker_spark.operators.graph import modularity
+
+    # two 3-cliques joined by one bridge edge: m = 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels_good = spark.createDataFrame(
+        [(n, 0 if n <= 3 else 1) for n in range(1, 7)], "node long, label long"
+    )
+    row = modularity(edges, labels_good).collect()[0]
+    assert (row["m"], row["n_communities"], row["intra_edges"]) == (7, 2, 6)
+    # exact: Q*4m^2 = sum(4*7*3 - 7^2) * 2 = (84-49)*2 = 70; 4m^2=196
+    assert row["q_ppm"] == 70 * 1_000_000 // 196
+    # all-singletons partition: e_c = 0 everywhere, Q negative
+    labels_single = spark.createDataFrame(
+        [(n, n) for n in range(1, 7)], "node long, label long"
+    )
+    row2 = modularity(edges, labels_single).collect()[0]
+    assert row2["intra_edges"] == 0 and row2["q_ppm"] < 0
+    # missing labels default to singleton: same result
+    empty = spark.createDataFrame([], "node long, label long")
+    row3 = modularity(edges, empty).collect()[0]
+    assert row3["q_ppm"] == row2["q_ppm"]
+    # one-community partition: Q == 0 exactly
+    labels_one = spark.createDataFrame(
+        [(n, 1) for n in range(1, 7)], "node long, label long"
+    )
+    assert modularity(edges, labels_one).collect()[0]["q_ppm"] == 0
