@@ -1212,6 +1212,20 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (curation.k_anonymity_classes, k=5) over
+    quasi-identifiers (lang, source, 50-char length bucket) — the
+    structured-privacy release gate; pure integer class counts."""
+    from walker_spark.operators.curation import k_anonymity_classes
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr("CAST(n_chars div 50 AS BIGINT)").alias("chars_bucket"),
+    )
+    return k_anonymity_classes(docs, ["lang", "source", "chars_bucket"], k=5)
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity of the LPA partition on the planted doc
     graph (graph.modularity over graph.lpa_communities) — the
@@ -3061,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pruned": q_bm25_pruned,
         "farthest_points": q_farthest_points,
         "modularity": q_modularity,
+        "k_anonymity": q_k_anonymity,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4254,6 +4269,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_pruned": _bm25_sql(),
         "farthest_points": _farthest_points_sql(),
         "modularity": _modularity_sql(),
+        "k_anonymity": """
+        SELECT lang, source,
+               CAST(n_chars // 50 AS BIGINT) AS chars_bucket,
+               CAST(count(*) AS BIGINT) AS class_n,
+               count(*) < 5 AS at_risk
+        FROM documents GROUP BY 1, 2, 3""",
         "compaction_plan": _compaction_plan_sql(),
         "table_diff": _table_diff_sql(),
         "edit_dup_pairs": _edit_dup_pairs_sql(),

@@ -136,6 +136,7 @@ HEADLINE = [
     "bitext_margin",
     "url_templates",
     "corpus_report",
+    "k_anonymity",
     "change_rates",
     "cdc_chunks",
     "bm25_extended",

@@ -456,3 +456,40 @@ def test_semantic_decontaminate_vs_brute(spark):
     # the planted leak is flagged iff it shares the bench item's cell
     # (same vector -> same cell by construction)
     assert got[199][0] == 3 and got[199][2] == 1
+
+
+def test_k_anonymity_classes_and_report(spark):
+    import pytest as _pytest
+
+    from walker_spark.operators.curation import (
+        k_anonymity_classes,
+        k_anonymity_report,
+    )
+
+    rows = (
+        [("en", "a") for _ in range(5)]
+        + [("en", "b") for _ in range(2)]
+        + [("fr", "a")]
+    )
+    df = spark.createDataFrame(rows, "lang string, src string")
+    cls = {
+        (r["lang"], r["src"]): (r["class_n"], r["at_risk"])
+        for r in k_anonymity_classes(df, ["lang", "src"], k=3).collect()
+    }
+    assert cls == {
+        ("en", "a"): (5, False),
+        ("en", "b"): (2, True),
+        ("fr", "a"): (1, True),
+    }
+    rep = k_anonymity_report(df, ["lang", "src"], k=3).collect()[0]
+    assert (
+        rep["n_rows"],
+        rep["n_classes"],
+        rep["risky_classes"],
+        rep["risky_rows"],
+        rep["risky_ppm"],
+    ) == (8, 3, 2, 3, 3 * 1_000_000 // 8)
+    with _pytest.raises(ValueError):
+        k_anonymity_classes(df, ["lang"], k=1)
+    with _pytest.raises(ValueError):
+        k_anonymity_classes(df, [], k=3)

@@ -1090,3 +1090,62 @@ def semantic_decontaminate(
         .cast("long")
         .alias("contaminated"),
     )
+
+
+def k_anonymity_classes(
+    df: DataFrame, qi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over quasi-identifier
+    columns — the structured-privacy complement to
+    ``textstats.redact_pii``'s free-text pass: rows whose
+    quasi-identifier combination (the equivalence class) is shared by
+    fewer than ``k`` rows are re-identifiable by linkage. Returns one
+    row per equivalence class: ``(qi..., class_n, at_risk)`` with
+    ``at_risk = class_n < k`` — release gates drop or generalize the
+    risky classes before data leaves the pipeline.
+
+    Scale shape: ONE two-phase hash agg on the QI key (map-side
+    partials collapse each task's classes before the exchange);
+    output is bounded by the QI domain product, not row count."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    if not qi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_n")
+    ).select(*qi_cols, "class_n", (F.col("class_n") < k).alias("at_risk"))
+
+
+def k_anonymity_report(
+    df: DataFrame, qi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """One-row rollup of :func:`k_anonymity_classes`: ``(n_rows,
+    n_classes, risky_classes, risky_rows, risky_ppm)`` — the release
+    scorecard (``risky_ppm = risky_rows * 1e6 div n_rows``, exact
+    integer; 0-row input reports zeros)."""
+    classes = k_anonymity_classes(df, qi_cols, k)
+    return classes.agg(
+        F.coalesce(F.sum("class_n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.coalesce(
+            F.sum(F.when(F.col("at_risk"), F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("risky_classes"),
+        F.coalesce(
+            F.sum(F.when(F.col("at_risk"), F.col("class_n")).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("risky_rows"),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "risky_classes",
+        "risky_rows",
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN CAST(risky_rows * 1000000 div n_rows"
+            " AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ).alias("risky_ppm"),
+    )
