@@ -1903,6 +1903,98 @@ def main():
         ],
     )
 
+    from walker_spark.operators.funnel import retention_cohorts, transition_model
+
+    _tm_ev = spark.createDataFrame(
+        [(i % 5, f"t{i % 3}", i, i) for i in range(50)],
+        "user_id long, event_type string, ms long, event_id long",
+    ).select(
+        "user_id", "event_type",
+        F.timestamp_millis(F.col("ms")).alias("ts"), "event_id",
+    )
+    ok &= grab(
+        "transition_model: ONE user-keyed exchange for the lead() pass, "
+        "one (src,dst) hash agg, src totals as a window over the "
+        "alphabet-bounded pair table — no join-back, no recompute of "
+        "the lead pipeline",
+        transition_model(_tm_ev),
+        [
+            ("exactly three exchanges (lead window, pair agg, src window)",
+             r"Exchange hashpartitioning", 3),
+            ("no join anywhere", r"SortMergeJoin|BroadcastHashJoin", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+    ok &= grab(
+        "retention_cohorts: distinct (user, period) activity, first-touch "
+        "cohort + cohort_size both as WINDOWS (single lineage — the "
+        "groupBy+join-back forms would recompute the activity distinct per "
+        "branch); matrix bounded by periods^2",
+        retention_cohorts(_tm_ev, period_days=7),
+        [
+            ("four exchanges (distinct, user window, matrix agg, cohort window)",
+             r"Exchange hashpartitioning", 4),
+            ("no join anywhere", r"SortMergeJoin|BroadcastHashJoin", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.dedup import mirror_candidates, within_doc_dedup
+
+    _wd_docs = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, "c")], "doc_id long, text string"
+    )
+    ok &= grab(
+        "within_doc_dedup: the whole operator is ONE zero-exchange array "
+        "projection (split -> key transform -> first-occurrence filter -> "
+        "re-join) — composes into any scan without adding a stage",
+        within_doc_dedup(_wd_docs),
+        [
+            ("zero exchanges", r"Exchange ", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+    _mr_docs = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("b", "y")], "source string, text string"
+    )
+    ok &= grab(
+        "mirror_candidates: pair generation is a key-keyed collect_set + "
+        "in-place pair explode — NO self-join (a self-join would re-derive "
+        "the distinct key table and shuffle it twice); group sizes join as "
+        "broadcasts; text never reaches an exchange (content keys only)",
+        mirror_candidates(_mr_docs),
+        [
+            ("no sort-merge join (the only joins are the broadcast sizes)",
+             r"SortMergeJoin", 0),
+            ("both size joins broadcast", r"BroadcastHashJoin", 2),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
+    from walker_spark.operators.sketches import space_saving_summaries
+
+    _ss_toks = spark.createDataFrame(
+        [(i % 3, f"w{i % 7}") for i in range(60)], "shard int, item string"
+    )
+    ok &= grab(
+        "space_saving_summaries: two-phase hash agg on (slice, bucket, "
+        "item, salt) then the kmv two-level salted top-(k+1) — three "
+        "exchanges total, no joins, the bucket_err rides the final "
+        "bounded window; the sketch build never touches Python",
+        space_saving_summaries(_ss_toks, ["shard"], "item", k=3, buckets=2),
+        [
+            ("exactly three exchanges (agg + two window levels)",
+             r"Exchange hashpartitioning", 3),
+            ("no join anywhere", r"SortMergeJoin|BroadcastHashJoin", 0),
+            ("no Python stage anywhere",
+             r"FlatMapGroupsInPandas|ArrowEvalPython|MapInPandas|BatchEvalPython", 0),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan evidence for scale-critical operators\n\n"

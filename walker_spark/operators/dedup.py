@@ -1535,13 +1535,13 @@ def mirror_candidates(
 
     Scale shape (the source_overlap precedent on content keys): the
     corpus collapses to DISTINCT (group, 32-byte md5 content key)
-    rows in one key-keyed exchange — text never shuffles; the pair
-    stage is a key-blocked self-join whose per-key fan-out is bounded
-    by the number of GROUPS carrying that exact text (boilerplate
-    pages shared by all hosts are the worst case — at G groups a
-    universal page costs G² pair rows, which the aggregation
-    collapses; cut such pages with ``line_dedup`` upstream if G is
-    huge); group sizes broadcast onto the sparse pair matrix."""
+    rows — text never shuffles; the pair stage is ONE key-keyed
+    exchange that collects each key's (<= G) group set and explodes
+    the pairs in place (no self-join, no second shuffle of the key
+    table). A page shared by all G groups still costs G²/2 pair rows
+    (the inherent worst case — cut universal boilerplate with
+    ``line_dedup`` upstream if G is huge); group sizes broadcast onto
+    the sparse pair matrix."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1: {min_shared}")
     keys = (
@@ -1552,11 +1552,28 @@ def mirror_candidates(
         .distinct()
     )
     sizes = keys.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = keys.select(F.col("g").alias("group_a"), "k")
-    b = keys.select(F.col("g").alias("group_b"), "k")
+    # pair generation WITHOUT a self-join: one key-keyed exchange
+    # collects the (<= G) groups sharing each exact text, pairs
+    # explode from the sorted array in place. A self-join here would
+    # both re-derive the distinct key table for its second side and
+    # shuffle it twice. (The size rollup above is the one remaining
+    # second derivation — at index scale, persist `keys` first.)
+    sets = (
+        keys.groupBy("k")
+        .agg(F.array_sort(F.collect_set("g")).alias("gs"))
+        .filter(F.size("gs") > 1)
+    )
     shared = (
-        a.join(b, "k")
-        .filter(F.col("group_a") < F.col("group_b"))
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(gs, (x, i) ->"
+                    " transform(slice(gs, i + 2, size(gs)),"
+                    " y -> struct(x AS group_a, y AS group_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.group_a", "p.group_b")
         .groupBy("group_a", "group_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )

@@ -191,8 +191,15 @@ def transition_model(
     cnt = pairs.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    totals = cnt.groupBy("src").agg(F.sum("cnt").cast("long").alias("src_total"))
-    return cnt.join(totals, "src").select(
+    # src_total as a window over the aggregated pair table (partitions
+    # bounded by the state alphabet) — a groupBy+join-back here would
+    # recompute the whole lead() pipeline for the totals branch
+    w_src = Window.partitionBy("src").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cnt.withColumn(
+        "src_total", F.sum("cnt").over(w_src).cast("long")
+    ).select(
         "src",
         "dst",
         "cnt",
@@ -250,22 +257,38 @@ def retention_cohorts(
         f"CAST((unix_millis(CAST({ts_col} AS TIMESTAMP)) div 86400000)"
         f" div {int(period_days)} AS BIGINT)"
     )
+    from pyspark.sql import Window
+
     acts = (
         events.select(
             F.col(user_col).alias("_u"), period.alias("period")
         )
         .distinct()
     )
-    coh = acts.groupBy("_u").agg(F.min("period").alias("cohort"))
+    # first-touch cohort as a window over the distinct activity table
+    # and cohort_size as a window over the (periods^2-bounded) matrix —
+    # the groupBy+join-back forms would recompute the activity distinct
+    # once per branch (single-lineage rule; no joins anywhere)
+    w_u = Window.partitionBy("_u").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ret = (
-        acts.join(coh, "_u")
-        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("period_offset"))
+        acts.withColumn("cohort", F.min("period").over(w_u))
+        .groupBy(
+            "cohort",
+            (F.col("period") - F.col("cohort")).alias("period_offset"),
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
-    sizes = ret.filter(F.col("period_offset") == 0).select(
-        "cohort", F.col("n_users").alias("cohort_size")
+    w_c = Window.partitionBy("cohort").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return ret.join(sizes, "cohort").select(
+    return ret.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("period_offset") == 0, F.col("n_users"))
+        ).over(w_c).cast("long"),
+    ).select(
         F.col("cohort").cast("long").alias("cohort_period"),
         F.col("period_offset").cast("long").alias("period_offset"),
         "n_users",

@@ -654,7 +654,12 @@ def space_saving_estimates(
     Scale shape: the merged item universe is bounded by ``slices x
     buckets x k`` rows — the grid (items x slices) and the per-bucket
     error table are sketch-sized, so the merge NEVER touches raw
-    data; everything here broadcasts under AQE."""
+    data; everything here broadcasts under AQE. The input summary is
+    localCheckpointed first (sketch-sized by contract): the merge
+    reads it through four branches, and if the summary arrives as a
+    live build pipeline each branch would otherwise re-run the
+    corpus aggregation."""
+    summary = summary.localCheckpoint()
     h = _md5_u32(F.col("item"))
     items = summary.select(
         "item", (h % buckets).cast("int").alias("bucket")
@@ -707,9 +712,11 @@ def space_saving_compact(
     rows), so the grid/rank passes here are driver-trivial by
     construction; this is the job that keeps a per-batch summary
     store's read fan-in constant, the FrontierStore-compaction role
-    for the sketch tier."""
+    for the sketch tier. The input is localCheckpointed (sketch-sized
+    by contract) — see :func:`space_saving_estimates`."""
     from pyspark.sql import Window
 
+    summary = summary.localCheckpoint()
     h = _md5_u32(F.col("item"))
     items = summary.select(
         "item", (h % buckets).cast("int").alias("bucket")
