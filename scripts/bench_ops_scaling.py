@@ -82,7 +82,8 @@ from walker_spark.operators.graph import hop_distances, kcore, pagerank, triangl
 from walker_spark.operators.sketches import hll_distinct
 from walker_spark.operators.multimodal import hamming_near_dups
 from walker_spark.operators.textstats import novelty_scores
-from walker_spark.operators.retrieval import bm25_topk
+from walker_spark.operators.retrieval import bm25_pruned_topk, bm25_topk
+from walker_spark.operators.sketches import space_saving_estimates, space_saving_summaries
 spark = bench.build_spark({cpus}); spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet({corpus!r})
 # round-5 op inputs derived deterministically from the same corpus:
@@ -200,6 +201,13 @@ pr_s = time.time() - t0
 t0 = time.time()
 n_bm = bm25_topk(docs, spark.createDataFrame(BMQ, 'query_id int, query string'), k=10).count()
 bm_s = time.time() - t0
+t0 = time.time()
+n_bmp = bm25_pruned_topk(docs, spark.createDataFrame(BMQ, 'query_id int, query string'), k=10, n_impact=64).count()
+bmp_s = time.time() - t0
+t0 = time.time()
+_hh_summ = space_saving_summaries(stoks.withColumn('shard', F.col('source')), ['shard'], 'item', k=16, buckets=8)
+n_hh = space_saving_estimates(_hh_summ, ['shard'], buckets=8).count()
+hh_s = time.time() - t0
 t0 = time.time(); n_ham = hamming_near_dups(ph_all, max_hamming=2).count()
 ham_s = time.time() - t0
 t0 = time.time()
@@ -234,6 +242,8 @@ print("RESULT " + json.dumps({{
     "shard_sec": round(shard_s, 2), "n_shard": n_shard,
     "pr_sec": round(pr_s, 2), "n_pr": n_pr,
     "bm_sec": round(bm_s, 2), "n_bm": n_bm,
+    "bmp_sec": round(bmp_s, 2), "n_bmp": n_bmp,
+    "hh_sec": round(hh_s, 2), "n_hh": n_hh,
     "ham_sec": round(ham_s, 2), "n_ham": n_ham,
     "nov_sec": round(nov_s, 2), "n_nov": n_nov,
     "hll_sec": round(hll_s, 2), "n_hll": n_hll,
@@ -276,7 +286,7 @@ def main():
                 for k in ("spans_sec", "index_sec", "incremental_sec",
                           "line_sec", "gopher_sec", "mix_sec", "pq_sec",
                           "dsir_sec", "ppl_sec", "clu_sec", "shard_sec",
-                          "pr_sec", "bm_sec", "ham_sec", "nov_sec",
+                          "pr_sec", "bm_sec", "bmp_sec", "hh_sec", "ham_sec", "nov_sec",
                           "hll_sec", "tri_sec", "hop_sec", "kc_sec",
                           "knn_sec", "cdc_sec"):
                     best[cpus][k] = min(best[cpus][k], res[k])
@@ -320,6 +330,10 @@ def main():
          f"{best[1]['n_pr']} nodes"),
         ("bm25_topk (3 queries over 60k docs)", "bm_sec",
          f"{best[1]['n_bm']} rows"),
+        ("bm25_pruned_topk (same queries, n_impact=64)", "bmp_sec",
+         f"{best[1]['n_bmp']} rows"),
+        ("space_saving heavy hitters (per-source, k=16 x 8 buckets)", "hh_sec",
+         f"{best[1]['n_hh']} items"),
         ("hamming_near_dups (radius 2, planted 1-bit twins)", "ham_sec",
          f"{best[1]['n_ham']} pairs"),
         ("novelty_scores (trigram types, odd vs even half)", "nov_sec",
