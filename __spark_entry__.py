@@ -1212,6 +1212,21 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_matched_sample(spark, sf_dir):
+    """Distribution-matched sampling (curation.matched_sample): draw
+    English documents whose 40-char length-bucket histogram matches
+    the FRENCH documents' distribution — exact integer quotas, md5
+    hash-order keeps, the controlled-comparison sampler. Oracle
+    replays quota arithmetic and the (md5, id) order per bucket."""
+    from walker_spark.operators.curation import matched_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr("CAST(n_chars div 40 AS BIGINT)").alias("bucket")
+    corpus = docs.filter(F.col("lang") == "en").select("doc_id", bucket)
+    target = docs.filter(F.col("lang") == "fr").select(bucket)
+    return matched_sample(corpus, target, n_total=120)
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity audit (curation.k_anonymity_classes, k=5) over
     quasi-identifiers (lang, source, 50-char length bucket) — the
@@ -3076,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "farthest_points": q_farthest_points,
         "modularity": q_modularity,
         "k_anonymity": q_k_anonymity,
+        "matched_sample": q_matched_sample,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4269,6 +4285,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_pruned": _bm25_sql(),
         "farthest_points": _farthest_points_sql(),
         "modularity": _modularity_sql(),
+        "matched_sample": _matched_sample_sql(),
         "k_anonymity": """
         SELECT lang, source,
                CAST(n_chars // 50 AS BIGINT) AS chars_bucket,
@@ -5527,6 +5544,37 @@ def _lpa_sql(iterations: int = LPA_ITERS) -> str:
         {", ".join(its)}
         SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
         FROM l{iterations}"""
+
+
+def _matched_sample_sql(n_total: int = 120) -> str:
+    """SQL replica of q_matched_sample: identical bucket law, integer
+    quota = floor(n_total * t_b / T), per-bucket (md5('match'||id),
+    id) rank, keep rank <= quota."""
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, CAST(n_chars // 40 AS BIGINT) AS bucket
+          FROM documents WHERE lang = 'en'),
+        tgt AS (
+          SELECT CAST(n_chars // 40 AS BIGINT) AS bucket
+          FROM documents WHERE lang = 'fr'),
+        tc AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS t
+          FROM tgt GROUP BY 1),
+        q AS (
+          SELECT bucket,
+                 CAST({n_total} * t // (SELECT sum(t) FROM tc) AS BIGINT)
+                   AS quota
+          FROM tc),
+        r AS (
+          SELECT doc_id, bucket,
+                 CAST(row_number() OVER (
+                   PARTITION BY bucket
+                   ORDER BY md5('match' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS BIGINT) AS rank,
+                 CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS avail
+          FROM corpus)
+        SELECT r.doc_id, r.bucket, r.rank, q.quota, r.avail
+        FROM r JOIN q USING (bucket) WHERE r.rank <= q.quota"""
 
 
 def _modularity_sql(iterations: int = LPA_ITERS) -> str:

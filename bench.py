@@ -101,6 +101,7 @@ HEADLINE = [
     "text_normalize",
     "grouped_percentiles",
     "stratified_split",
+    "matched_sample",
     "phash_near_dups",
     "unimax_mix",
     "novelty_scores",

@@ -493,3 +493,51 @@ def test_k_anonymity_classes_and_report(spark):
         k_anonymity_classes(df, ["lang"], k=1)
     with _pytest.raises(ValueError):
         k_anonymity_classes(df, [], k=3)
+
+
+def test_matched_sample_quotas_and_determinism(spark):
+    import hashlib
+
+    import pytest as _pytest
+
+    from walker_spark.operators.curation import matched_sample
+
+    # corpus skewed toward bucket 0; target skewed toward bucket 1
+    corpus = spark.createDataFrame(
+        [(i, 0) for i in range(80)] + [(100 + i, 1) for i in range(20)]
+        + [(200 + i, 2) for i in range(10)],
+        "doc_id long, bucket long",
+    )
+    target = spark.createDataFrame(
+        [(0,)] * 10 + [(1,)] * 30 + [(3,)] * 10, "bucket long"
+    )
+    out = matched_sample(corpus, target, n_total=50, id_col="doc_id")
+    rows = out.collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # quotas: floor(50 * t/T): b0 -> 10, b1 -> 30, b3 -> 10 (absent in
+    # corpus -> nothing); corpus b2 absent from target -> nothing
+    assert set(by_bucket) == {0, 1}
+    assert len(by_bucket[0]) == 10 and all(r["quota"] == 10 for r in by_bucket[0])
+    # bucket 1: quota 30 capped by availability 20
+    assert len(by_bucket[1]) == 20 and all(r["quota"] == 30 for r in by_bucket[1])
+    assert all(r["avail"] == 20 for r in by_bucket[1])
+    # kept = md5-order smallest: replay in python
+    keep0 = sorted(
+        range(80),
+        key=lambda i: (hashlib.md5(f"match{i}".encode()).hexdigest(), i),
+    )[:10]
+    assert sorted(r["doc_id"] for r in by_bucket[0]) == sorted(keep0)
+    # determinism across a different shuffle partitioning
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = {
+            (r["doc_id"], r["rank"])
+            for r in matched_sample(corpus, target, n_total=50).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert again == {(r["doc_id"], r["rank"]) for r in rows}
+    with _pytest.raises(ValueError):
+        matched_sample(corpus, target, n_total=0)

@@ -473,6 +473,131 @@ def dsir_select(
     )
 
 
+def _grouped_hash_rank(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    salt: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The GROUPED distributed exact rank (perplexity_buckets'
+    checkpoint-once machinery, shared by :func:`stratified_split` and
+    :func:`matched_sample`): rows rank 1..n within their group by
+    ``(md5(salt || id), id)`` — deterministic across runs,
+    partitionings and engines. Returns ``(_g, _id, _rank, _n)``.
+
+    Shape: ``repartitionByRange`` on (group, hash, id)
+    localCheckpointed ONCE (the offsets branch and the rank branch
+    must share the sampled partition assignment — lazy re-eval of
+    repartitionByRange is not replay-safe), per-partition row_number
+    keyed on (partition id, group), broadcast P×G offset table whose
+    per-group prefix sums run in pid order. Two exchanges total, no
+    per-group global sort, no hot window partition."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(id_col).alias("_id"),
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("_h"),
+        )
+        .repartitionByRange(p, "_g", "_h", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_all = Window.partitionBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = (
+        Window.partitionBy("_g")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("_pid", "_g")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            "_g",
+            F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off"),
+            F.sum("_cnt").over(w_all).alias("_n"),
+        )
+    )
+    w_pid = Window.partitionBy("_pid", "_g").orderBy("_h", "_id")
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w_pid))
+        .join(F.broadcast(offsets), ["_pid", "_g"])
+        .withColumn("_rank", (F.col("_off") + F.col("_rn")).cast("long"))
+    )
+
+
+def matched_sample(
+    df: DataFrame,
+    target: DataFrame,
+    bucket_col: str = "bucket",
+    n_total: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "match",
+) -> DataFrame:
+    """Distribution-matched sampling: draw ~``n_total`` rows from
+    ``df`` whose ``bucket_col`` histogram MATCHES the ``target``
+    frame's bucket distribution — the controlled-comparison sampler
+    (ablations, eval-set construction, DSIR-style raw-vs-target
+    studies) where a plain uniform sample would inherit the corpus's
+    own skew. Per-bucket quota is the exact integer
+
+        quota_b = floor(n_total * t_b div T)   (t_b target counts)
+
+    capped by availability; within a bucket the kept rows are the
+    ``(md5(salt || id), id)``-smallest — deterministic across runs,
+    partitionings and engines. Returns ``(id_col, bucket_col, rank,
+    quota, avail)`` for kept rows only; buckets absent from the
+    target draw nothing (quota 0), buckets absent from the corpus
+    contribute nothing (documented shortfall — no reallocation, so
+    the output histogram is exactly min(quota, avail) per bucket).
+
+    Scale shape: the target side collapses to a bucket-count table
+    (broadcast); ranking is the shared :func:`_grouped_hash_rank`
+    checkpoint-once machinery — two corpus exchanges, no hot window
+    partition for a mega-bucket."""
+    if n_total < 1:
+        raise ValueError(f"n_total must be >= 1: {n_total}")
+    tcounts = target.groupBy(F.col(bucket_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("_tcnt")
+    )
+    # window total instead of a crossJoin back onto the (shared-
+    # lineage) aggregate — one tiny bucket-count table, single pass
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quotas = tcounts.select(
+        "_g",
+        "_tcnt",
+        F.sum("_tcnt").over(w_all).alias("_ttot"),
+    ).select(
+        "_g",
+        F.expr(f"CAST({int(n_total)} * _tcnt div _ttot AS BIGINT)").alias(
+            "_quota"
+        ),
+    )
+    ranked = _grouped_hash_rank(df, bucket_col, id_col, salt)
+    return (
+        ranked.join(F.broadcast(quotas), "_g")
+        .filter(F.col("_rank") <= F.col("_quota"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias(bucket_col),
+            F.col("_rank").alias("rank"),
+            F.col("_quota").alias("quota"),
+            F.col("_n").cast("long").alias("avail"),
+        )
+    )
+
+
 def stratified_split(
     df: DataFrame,
     strata_col: str,
@@ -508,44 +633,7 @@ def stratified_split(
     float-product-of-driver-literals pattern as exact_percentiles, so
     the cut is cross-engine exact.
     """
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
-    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = (
-        df.select(
-            F.col(strata_col).alias("_g"),
-            F.col(id_col).alias("_id"),
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("_h"),
-        )
-        .repartitionByRange(p, "_g", "_h", "_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w_all = Window.partitionBy("_g").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    w_prev = (
-        Window.partitionBy("_g")
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        ranged.groupBy("_pid", "_g")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .select(
-            "_pid",
-            "_g",
-            F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off"),
-            F.sum("_cnt").over(w_all).alias("_n"),
-        )
-    )
-    w_pid = Window.partitionBy("_pid", "_g").orderBy("_h", "_id")
-    ranked = (
-        ranged.withColumn("_rn", F.row_number().over(w_pid))
-        .join(F.broadcast(offsets), ["_pid", "_g"])
-        .withColumn("_rank", (F.col("_off") + F.col("_rn")).cast("long"))
-    )
+    ranked = _grouped_hash_rank(df, strata_col, id_col, salt, partitions)
     cum = F.lit(0).cast("long")
     chain = None
     for name, frac in fractions:
