@@ -1212,6 +1212,32 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_key_fairness(spark, sf_dir):
+    """Jain's fairness index of per-user load per event type
+    (skew.fairness_index) — the one-number skew companion to
+    key_skew_report; exact DECIMAL integer ppm."""
+    from walker_spark.operators.skew import fairness_index
+
+    return fairness_index(
+        _t(spark, sf_dir, "events"), ["user_id"], ["event_type"]
+    )
+
+
+def q_top_paths(spark, sf_dir):
+    """Top-10 three-step user journeys (funnel.top_paths): one
+    user-keyed window pass computes both leads, path-keyed agg,
+    sort-limit top-k with deterministic (cnt desc, path) ranks."""
+    from walker_spark.operators.funnel import top_paths
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    return top_paths(events, length=3, k=10)
+
+
 def q_matched_sample(spark, sf_dir):
     """Distribution-matched sampling (curation.matched_sample): draw
     English documents whose 40-char length-bucket histogram matches
@@ -3092,6 +3118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "k_anonymity": q_k_anonymity,
         "matched_sample": q_matched_sample,
+        "key_fairness": q_key_fairness,
+        "top_paths": q_top_paths,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
         "edit_dup_pairs": q_edit_dup_pairs,
@@ -4286,6 +4314,32 @@ def oracle_sql() -> dict[str, str]:
         "farthest_points": _farthest_points_sql(),
         "modularity": _modularity_sql(),
         "matched_sample": _matched_sample_sql(),
+        "key_fairness": """
+        WITH c AS (
+          SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(x) AS BIGINT) AS total,
+               CAST(max(x) AS BIGINT) AS max_key,
+               CAST((CAST(sum(x) AS HUGEINT) * sum(x) * 1000000)
+                    // (count(*) * CAST(sum(x * x) AS HUGEINT)) AS BIGINT)
+                 AS jain_ppm
+        FROM c GROUP BY 1""",
+        "top_paths": """
+        WITH s AS (
+          SELECT event_type AS s0,
+                 lead(event_type, 1) OVER w AS s1,
+                 lead(event_type, 2) OVER w AS s2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        c AS (
+          SELECT s0 || '>' || s1 || '>' || s2 AS path,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM s WHERE s2 IS NOT NULL GROUP BY 1)
+        SELECT path, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, path) AS INT)
+                 AS rank
+        FROM c ORDER BY cnt DESC, path LIMIT 10""",
         "k_anonymity": """
         SELECT lang, source,
                CAST(n_chars // 50 AS BIGINT) AS chars_bucket,

@@ -142,6 +142,7 @@ HEADLINE = [
     "cdc_chunks",
     "bm25_extended",
     "key_skew",
+    "key_fairness",
     "salted_join",
     "resolve_redirects",
     "quality_keeper",
@@ -157,6 +158,7 @@ HEADLINE = [
     "funnel_steps",
     "markov_transitions",
     "retention_cohorts",
+    "top_paths",
     "clustering_report",
     "clustering_stats",
     "mime_audit",

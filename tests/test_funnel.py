@@ -268,3 +268,20 @@ def test_retention_cohorts_validates(spark):
     )
     with pytest.raises(ValueError):
         retention_cohorts(df, period_days=0)
+
+
+def test_top_paths_planted(spark):
+    from walker_spark.operators.funnel import top_paths
+
+    seqs = {
+        1: ["a", "b", "c", "b", "c"],   # a>b>c, b>c>b, c>b>c
+        2: ["a", "b", "c"],             # a>b>c
+        3: ["x", "y"],                  # too short
+    }
+    df = _tm_df(spark, _tm_rows(seqs))
+    got = [(r["rank"], r["path"], r["cnt"]) for r in top_paths(df, 3, k=3).collect()]
+    assert sorted(got) == [(1, "a>b>c", 2), (2, "b>c>b", 1), (3, "c>b>c", 1)]
+    with pytest.raises(ValueError):
+        top_paths(df, length=1)
+    with pytest.raises(ValueError):
+        top_paths(df, k=0)

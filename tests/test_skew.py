@@ -57,3 +57,21 @@ def test_salted_join_identical_to_plain_and_spreads(spark):
         .count()
     )
     assert n_salts > 1
+
+
+def test_fairness_index_known_values(spark):
+    from walker_spark.operators.skew import fairness_index
+
+    # group g0: keys with loads 1,1,1,1 -> J = 1.0; g1: 9,1 -> J =
+    # 100 / (2 * 82) = 0.6097.. -> 609756 ppm
+    rows = [("g0", k) for k in range(4)] + [("g1", 0)] * 9 + [("g1", 1)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {
+        r["g"]: (r["n_keys"], r["total"], r["max_key"], r["jain_ppm"])
+        for r in fairness_index(df, ["k"], ["g"]).collect()
+    }
+    assert got["g0"] == (4, 4, 1, 1_000_000)
+    assert got["g1"] == (2, 10, 9, 100 * 1_000_000 // (2 * 82))
+    # ungrouped: one global row
+    row = fairness_index(df, ["g", "k"]).collect()[0]
+    assert row["n_keys"] == 6 and row["total"] == 14

@@ -297,3 +297,58 @@ def retention_cohorts(
             "retention_ppm"
         ),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    length: int = 3,
+    k: int = 10,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` most common user journeys of ``length`` consecutive
+    states (the sankey / path-analysis classic; the higher-order
+    companion to :func:`transition_model`): every sliding window of
+    ``length`` states in a user's (ts, id)-ordered stream counts
+    once. Returns ``(path, cnt, rank)`` — ``path`` is the
+    '>'-joined state sequence, ranked (cnt desc, path asc).
+
+    Scale shape: ONE user-keyed exchange evaluates all ``length-1``
+    lead() columns in a single window pass (rows carry only states
+    and order keys), then a path-keyed hash agg with map-side
+    partials and a sort-limit top-k (TakeOrdered — never a full
+    sort)."""
+    from pyspark.sql import Window
+
+    if length < 2:
+        raise ValueError(f"length must be >= 2: {length}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = Window.partitionBy("_u").orderBy(F.col("_ts").asc(), F.col("_id").asc())
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(state_col).alias("_s0"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    for i in range(1, length):
+        base = base.withColumn(f"_s{i}", F.lead("_s0", i).over(w))
+    path = F.concat_ws(">", *[F.col(f"_s{i}") for i in range(length)])
+    return (
+        base.filter(F.col(f"_s{length - 1}").isNotNull())
+        .select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(k)
+        .select(
+            "path",
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("path")))
+            .cast("int")
+            .alias("rank"),
+        )
+    )

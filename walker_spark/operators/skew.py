@@ -98,3 +98,41 @@ def salted_join(
         F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)])),
     )
     return f_salted.join(d_salted, keys + ["_salt"], how).drop("_salt")
+
+
+def fairness_index(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    group_cols: "Sequence[str]" = (),
+) -> DataFrame:
+    """Jain's fairness index over per-key load (Jain et al. 1984) —
+    the one-number companion to :func:`key_skew_report`'s top-k
+    diagnosis: with x_k the per-key row counts,
+
+        J = (sum x)^2 / (n * sum x^2)     in (0, 1]
+
+    J = 1 means perfectly even keys, J -> 1/n means one key carries
+    everything — the number a crawl operator watches per domain (is
+    the frontier wave spread across hosts?) and a shuffle doctor
+    watches per reduce key. Emitted as exact-integer
+    ``jain_ppm = (sum)^2 * 1e6 div (n * sumsq)`` in DECIMAL(38,0)
+    (squares overflow BIGINT at web scale), one row per group:
+    ``(group..., n_keys, total, max_key, jain_ppm)``.
+
+    Scale shape: one two-phase agg on (group, key) — map-side
+    partials collapse the raw volume — then a group-level rollup of
+    the count table; both exchanges move counts, never payloads."""
+    counts = df.groupBy(*group_cols, *key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_x")
+    )
+    gb = counts.groupBy(*group_cols) if group_cols else counts.groupBy()
+    return gb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_x").cast("long").alias("total"),
+        F.max("_x").cast("long").alias("max_key"),
+        F.expr(
+            "CAST((CAST(sum(_x) AS DECIMAL(38,0)) * sum(_x) * 1000000)"
+            " div (count(*) * CAST(sum(_x * _x) AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("jain_ppm"),
+    )
