@@ -1212,6 +1212,25 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+def q_term_dispersion(spark, sf_dir):
+    """Gries DP term dispersion (textstats.term_dispersion) across
+    sources, exact DECIMAL ppm; a bursty marker term is planted into
+    src0 in-query so the top of the ranking is a genuine signal, not
+    a tie plateau."""
+    from walker_spark.operators.textstats import term_dispersion
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(
+            F.col("source") == "src0",
+            F.concat(F.col("text"), F.lit(" zburst zburst")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return term_dispersion(docs, min_count=5, top_k=50)
+
+
 def q_key_fairness(spark, sf_dir):
     """Jain's fairness index of per-user load per event type
     (skew.fairness_index) — the one-number skew companion to
@@ -3119,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "matched_sample": q_matched_sample,
         "key_fairness": q_key_fairness,
+        "term_dispersion": q_term_dispersion,
         "top_paths": q_top_paths,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
@@ -4314,6 +4334,7 @@ def oracle_sql() -> dict[str, str]:
         "farthest_points": _farthest_points_sql(),
         "modularity": _modularity_sql(),
         "matched_sample": _matched_sample_sql(),
+        "term_dispersion": _term_dispersion_sql(),
         "key_fairness": """
         WITH c AS (
           SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
@@ -5598,6 +5619,45 @@ def _lpa_sql(iterations: int = LPA_ITERS) -> str:
         {", ".join(its)}
         SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
         FROM l{iterations}"""
+
+
+def _term_dispersion_sql(min_count: int = 5, top_k: int = 50) -> str:
+    """SQL replica of q_term_dispersion: identical planted burst,
+    token law, and the exact-integer DP formula in HUGEINT (DuckDB
+    HUGEINT // == Spark DECIMAL(38,0) div, positive operands)."""
+    return f"""
+        WITH docs2 AS (
+          SELECT source,
+                 text || CASE WHEN source = 'src0'
+                              THEN ' zburst zburst' ELSE '' END AS text
+          FROM documents),
+        toks AS (
+          SELECT source AS part, unnest({_FILTERED_TOKS_SQL}) AS term
+          FROM docs2),
+        f AS (
+          SELECT part, term, CAST(count(*) AS BIGINT) AS f_i
+          FROM toks GROUP BY 1, 2),
+        p AS (
+          SELECT part, CAST(sum(f_i) AS BIGINT) AS p_i FROM f GROUP BY 1),
+        pt AS (SELECT CAST(sum(p_i) AS BIGINT) AS p_all FROM p),
+        tt AS (
+          SELECT term, CAST(sum(f_i) AS BIGINT) AS term_total
+          FROM f GROUP BY 1),
+        ag AS (
+          SELECT f.term, tt.term_total, pt.p_all,
+                 sum(abs(CAST(f.f_i AS HUGEINT) * pt.p_all
+                         - CAST(p.p_i AS HUGEINT) * tt.term_total))
+                   AS present,
+                 CAST(sum(p.p_i) AS BIGINT) AS present_p
+          FROM f JOIN p USING (part) JOIN tt USING (term) CROSS JOIN pt
+          GROUP BY 1, 2, 3)
+        SELECT term, term_total,
+               CAST(((present + CAST(term_total AS HUGEINT)
+                      * (p_all - present_p)) * 1000000)
+                    // (CAST(2 AS HUGEINT) * term_total * p_all)
+                 AS BIGINT) AS dp_ppm
+        FROM ag WHERE term_total >= {min_count}
+        ORDER BY dp_ppm DESC, term LIMIT {top_k}"""
 
 
 def _matched_sample_sql(n_total: int = 120) -> str:

@@ -105,6 +105,7 @@ HEADLINE = [
     "phash_near_dups",
     "unimax_mix",
     "novelty_scores",
+    "term_dispersion",
     "source_overlap",
     "mirror_sources",
     "quantile_filter",

@@ -3485,3 +3485,41 @@ def test_modularity_known_partitions(spark):
         [(n, 1) for n in range(1, 7)], "node long, label long"
     )
     assert modularity(edges, labels_one).collect()[0]["q_ppm"] == 0
+
+
+def test_term_dispersion_planted_and_reference(spark):
+    import pytest as _pytest
+
+    from walker_spark.operators.textstats import term_dispersion
+
+    # 3 parts of equal token mass; 'even' spread evenly, 'burst' only
+    # in part a, 'semi' in two of three parts.
+    rows = [
+        ("a", "even even burst burst burst semi"),
+        ("b", "even even semi filler filler filler"),
+        ("c", "even even filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["term"]: (r["term_total"], r["dp_ppm"])
+        for r in term_dispersion(df, min_count=2, top_k=10).collect()
+    }
+
+    def dp(counts):  # pure-python reference, same integer law
+        parts = {"a": 6, "b": 6, "c": 6}
+        P = 18
+        Fc = sum(counts.values())
+        present = sum(
+            abs(counts[i] * P - parts[i] * Fc) for i in counts
+        )
+        present_p = sum(parts[i] for i in counts)
+        return (present + Fc * (P - present_p)) * 1_000_000 // (2 * Fc * P)
+
+    assert got["burst"] == (3, dp({"a": 3}))
+    assert got["even"] == (6, dp({"a": 2, "b": 2, "c": 2}))
+    assert got["semi"] == (2, dp({"a": 1, "b": 1}))
+    # burstier terms rank higher
+    assert got["burst"][1] > got["semi"][1] > got["even"][1]
+    assert got["even"][1] == 0  # perfectly proportional spread
+    with _pytest.raises(ValueError):
+        term_dispersion(df, min_count=0)

@@ -2033,3 +2033,93 @@ def blocklist_tags(
             ),
         )
     )
+
+
+def term_dispersion(
+    df: DataFrame,
+    part_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Term dispersion DP (Gries 2008, "Dispersions and adjusted
+    frequencies in corpus linguistics"): how UNEVENLY a term spreads
+    across corpus parts —
+
+        DP(t) = 0.5 * sum over parts i of |f_i/F - p_i/P|
+
+    (f_i term count in part i, F its corpus count, p_i the part's
+    token total, P the corpus total). DP ~ 0 = spread like a function
+    word; DP -> 1 = bursty/topical (concentrated in few parts) — the
+    signal keyword extractors and topicality filters use that raw
+    frequency can't give. Exact integer form (multiply through by
+    2*F*P):
+
+        dp_ppm = (sum_present |f_i*P - p_i*F|
+                  + F * (P - sum_present p_i)) * 1e6 div (2*F*P)
+
+    — the absent-part terms fold into the closed second summand, so
+    NO (term x part) grid is materialized. DECIMAL(38,0) products
+    (they overflow BIGINT at web scale). Returns the ``top_k`` most
+    dispersed terms with corpus count >= ``min_count``:
+    ``(term, term_total, dp_ppm)``, ordered (dp_ppm desc, term).
+
+    Scale shape: ONE token explode into the per-(part, term) count
+    table, localCheckpointed (the dsir explode-once rule — part
+    totals, term totals and the corpus scalar all branch off it);
+    part totals broadcast (parts are few), term totals ride a window
+    over the term key (partition bounded by the part count), the
+    final rollup is a term-keyed agg plus a sort-limit."""
+    from pyspark.sql import Window
+
+    from walker_spark.operators.dedup import tokens
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1: {top_k}")
+    toks = df.select(
+        F.col(part_col).alias("part"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+        ).alias("term"),
+    )
+    f = (
+        toks.groupBy("part", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f_i"))
+        .localCheckpoint()
+    )
+    p = f.groupBy("part").agg(F.sum("f_i").cast("long").alias("p_i"))
+    ptot = p.agg(F.sum("p_i").cast("long").alias("p_all"))
+    w_t = Window.partitionBy("term")
+    joined = (
+        f.join(F.broadcast(p), "part")
+        .crossJoin(F.broadcast(ptot))
+        .withColumn("term_total", F.sum("f_i").over(w_t).cast("long"))
+    )
+    agg = (
+        joined.groupBy("term", "term_total", "p_all")
+        .agg(
+            F.expr(
+                "CAST(sum(abs(CAST(f_i AS DECIMAL(38,0)) * p_all"
+                " - CAST(p_i AS DECIMAL(38,0)) * term_total))"
+                " AS DECIMAL(38,0))"
+            ).alias("_present"),
+            F.sum("p_i").cast("long").alias("_present_p"),
+        )
+    )
+    return (
+        agg.filter(F.col("term_total") >= min_count)
+        .select(
+            "term",
+            "term_total",
+            F.expr(
+                "CAST(((_present + CAST(term_total AS DECIMAL(38,0))"
+                " * (p_all - _present_p)) * 1000000)"
+                " div (CAST(2 AS DECIMAL(38,0)) * term_total * p_all)"
+                " AS BIGINT)"
+            ).alias("dp_ppm"),
+        )
+        .orderBy(F.desc("dp_ppm"), F.asc("term"))
+        .limit(top_k)
+    )
