@@ -1212,6 +1212,29 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_overlap(sk, ["source"], k=128)
 
 
+_RECALL_QVECS = [
+    [((i * 37 + 11 + j * 5) % 13 - 6) / 6.0 for i in range(64)]
+    for j in range(4)
+]
+
+
+def q_ivf_recall(spark, sf_dir):
+    """ANN recall@10 of the IVF serving path vs exact brute force
+    (similarity.ivf_recall_report) over 4 deterministic query vectors
+    — the evaluation harness an index deployment runs first. Both
+    retrieval paths use the round-3/id ranking contract, so the
+    oracle replays exact AND approximate sides bit-for-bit."""
+    from walker_spark.operators.similarity import ivf_recall_report
+
+    qdf = spark.createDataFrame(
+        [(j, v) for j, v in enumerate(_RECALL_QVECS)],
+        "query_id int, qvec array<double>",
+    )
+    return ivf_recall_report(
+        _t(spark, sf_dir, "embeddings"), qdf, k=10, n_centroids=16, nprobe=4
+    )
+
+
 def q_term_dispersion(spark, sf_dir):
     """Gries DP term dispersion (textstats.term_dispersion) across
     sources, exact DECIMAL ppm; a bursty marker term is planted into
@@ -3139,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matched_sample": q_matched_sample,
         "key_fairness": q_key_fairness,
         "term_dispersion": q_term_dispersion,
+        "ivf_recall": q_ivf_recall,
         "top_paths": q_top_paths,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
@@ -4335,6 +4359,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity": _modularity_sql(),
         "matched_sample": _matched_sample_sql(),
         "term_dispersion": _term_dispersion_sql(),
+        "ivf_recall": _ivf_recall_sql(),
         "key_fairness": """
         WITH c AS (
           SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
@@ -5619,6 +5644,82 @@ def _lpa_sql(iterations: int = LPA_ITERS) -> str:
         {", ".join(its)}
         SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
         FROM l{iterations}"""
+
+
+def _ivf_recall_sql(
+    k: int = 10, n_centroids: int = 16, nprobe: int = 4, dim: int = 64
+) -> str:
+    """SQL replica of q_ivf_recall: the shared ivf codebook/assignment
+    CTEs, per-query probe cells (same sq-L2 fold + cid tie-break the
+    Spark driver computes), exact and probed-candidate top-k under the
+    identical round-3/id contract, overlap counts."""
+    sq = (
+        "list_aggregate(list_transform(range(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])), 'sum')"
+    )
+    d_corpus = sq.format(n=dim + 1, a="e.embedding", b="c.cv")
+    d_query = sq.format(n=dim + 1, a="q.qv", b="c.cv")
+    qvals = ", ".join(
+        f"({j}, [" + ", ".join(f"{x!r}" for x in v) + "]::DOUBLE[])"
+        for j, v in enumerate(_RECALL_QVECS)
+    )
+    return f"""
+        WITH c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                 embedding::DOUBLE[] AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {n_centroids})
+        ), d AS (
+          SELECT e.vec_id, c.cid, {d_corpus} AS dist
+          FROM embeddings e CROSS JOIN c0 c
+        ), a AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist, cid) AS rn
+            FROM d)
+          WHERE rn = 1
+        ), q AS (SELECT * FROM (VALUES {qvals}) t(query_id, qv)),
+        qd AS (
+          SELECT q.query_id, c.cid, {d_query} AS dist
+          FROM q CROSS JOIN c0 c
+        ), probes AS (
+          SELECT query_id, cid FROM (
+            SELECT query_id, cid,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dist, cid) AS rn
+            FROM qd)
+          WHERE rn <= {nprobe}
+        ), corpus AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, a.cid
+          FROM embeddings e JOIN a USING (vec_id)
+        ), exact AS MATERIALIZED (
+          SELECT query_id, vec_id FROM (
+            SELECT qq.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY qq.query_id
+                     ORDER BY round(list_cosine_similarity(c.vec, qq.qv), 3)
+                       DESC, c.vec_id) AS rn
+            FROM corpus c CROSS JOIN q qq)
+          WHERE rn <= {k}
+        ), appr AS MATERIALIZED (
+          SELECT query_id, vec_id FROM (
+            SELECT p.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY round(list_cosine_similarity(c.vec, qq.qv), 3)
+                       DESC, c.vec_id) AS rn
+            FROM corpus c
+            JOIN probes p ON p.cid = c.cid
+            JOIN q qq ON qq.query_id = p.query_id)
+          WHERE rn <= {k}
+        )
+        SELECT e.query_id,
+               CAST(count(ap.vec_id) AS BIGINT) AS hits,
+               CAST({k} AS BIGINT) AS k,
+               CAST(count(ap.vec_id) * 1000000 // {k} AS BIGINT)
+                 AS recall_ppm
+        FROM exact e LEFT JOIN appr ap
+          ON ap.query_id = e.query_id AND ap.vec_id = e.vec_id
+        GROUP BY 1"""
 
 
 def _term_dispersion_sql(min_count: int = 5, top_k: int = 50) -> str:

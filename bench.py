@@ -66,6 +66,7 @@ HEADLINE = [
     "redact_pii",
     "multimodal_features",
     "ivf_topk",
+    "ivf_recall",
     "embedding_clusters",
     "cluster_sample",
     "embedding_outliers",

@@ -3523,3 +3523,51 @@ def test_term_dispersion_planted_and_reference(spark):
     assert got["even"][1] == 0  # perfectly proportional spread
     with _pytest.raises(ValueError):
         term_dispersion(df, min_count=0)
+
+
+def test_ivf_recall_report_bounds_and_exact_regime(spark):
+    import math
+    import random
+
+    from walker_spark.operators.similarity import (
+        dense_topk,
+        ivf_recall_report,
+        ivf_topk_multi,
+    )
+
+    rng = random.Random(71)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(j, [rng.uniform(-1, 1) for _ in range(8)]) for j in range(3)],
+        "query_id int, qvec array<double>",
+    )
+    # nprobe == n_centroids: every cell probed -> approx == exact, so
+    # recall is exactly 1e6 for every query
+    full = ivf_recall_report(df, queries, k=5, n_centroids=4, nprobe=4)
+    assert all(
+        r["recall_ppm"] == 1_000_000 and r["hits"] == 5
+        for r in full.collect()
+    )
+    # tight probing: recall = |approx ∩ exact| / k replayed manually
+    approx = {
+        (r["query_id"], r["doc_id"])
+        for r in ivf_topk_multi(
+            df, queries, k=5, n_centroids=4, nprobe=1
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["doc_id"])
+        for r in dense_topk(df, queries, k=5).collect()
+    }
+    got = {
+        r["query_id"]: r["recall_ppm"]
+        for r in ivf_recall_report(
+            df, queries, k=5, n_centroids=4, nprobe=1
+        ).collect()
+    }
+    for qid in (0, 1, 2):
+        hits = sum(1 for (q, d) in exact if q == qid and (q, d) in approx)
+        assert got[qid] == hits * 1_000_000 // 5

@@ -953,3 +953,138 @@ def farthest_points(
             ),
         ).localCheckpoint()
     return spark.createDataFrame(centers, "rank int, id long, radius double")
+
+
+def ivf_topk_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Multi-query IVF approximate top-k — :func:`ivf_topk` for a
+    SERVING BATCH of queries: the corpus is cell-assigned once, each
+    query probes its ``nprobe`` nearest cells, and only probed-cell
+    candidates are scored. Returns ``(query_id, doc_id, rank,
+    score)`` with the round-3/id ranking contract of
+    :func:`dense_topk`.
+
+    Scale shape: the query batch is driver-collected (bounded serving
+    batch — the codebook precedent) to compute the per-query probe
+    list, which joins the cell-assigned corpus as a BROADCAST
+    (queries x nprobe rows); per-(query, cell) candidates are scored
+    in the scan task and top-k'd with the dense_topk two-stage window
+    (no task ever ranks a whole query's candidate set)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cents = ivf_sample_centroids(df, n_centroids, id_col, vec_col)
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("_qv"),
+    ).collect()
+    probe_pairs = []
+    for r in qrows:
+        qd = sorted(
+            (
+                sum((x - y) * (x - y) for x, y in zip(c, r["_qv"])),
+                cid,
+            )
+            for cid, c in enumerate(cents)
+        )
+        probe_pairs.extend(
+            (r["query_id"], cid) for _, cid in qd[:nprobe]
+        )
+    probes = spark.createDataFrame(probe_pairs, "query_id int, cid int")
+    q = F.broadcast(
+        spark.createDataFrame(
+            [(r["query_id"], list(r["_qv"])) for r in qrows],
+            f"query_id int, _qv array<double>",
+        )
+    )
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
+        df.join(assigned.select(F.col("id").alias(id_col), "cid"), id_col)
+        .join(F.broadcast(probes), "cid")
+        .join(q, "query_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            "_pid",
+            F.round(
+                F.try_divide(
+                    _dot(v, F.col("_qv")), _norm(v) * _norm(F.col("_qv"))
+                ),
+                3,
+            ).alias("score"),
+        )
+    )
+    w_part = Window.partitionBy("query_id", "_pid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_glob = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_pr", F.row_number().over(w_part))
+        .filter(F.col("_pr") <= k)
+        .withColumn("rank", F.row_number().over(w_glob).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def ivf_recall_report(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """ANN quality evaluation — recall@k of the IVF serving path
+    against exact brute force, per query: the harness every ANN
+    deployment runs before trusting an index (faiss benchmark shape).
+    Returns ``(query_id, hits, k, recall_ppm)`` with ``recall_ppm =
+    hits * 1e6 div k`` — both sides use the identical round-3/id
+    ranking contract, so the overlap (and therefore the recall
+    number) is cross-engine exact, and the oracle replays BOTH
+    retrieval paths.
+
+    Scale shape: one exact :func:`dense_topk` pass + one
+    :func:`ivf_topk_multi` pass, then a (query, doc)-keyed join of
+    two k-bounded result sets — evaluation cost is two serving runs,
+    never more."""
+    exact = dense_topk(
+        df, queries, k, id_col, vec_col, query_id_col, qvec_col
+    ).select("query_id", "doc_id")
+    approx = ivf_topk_multi(
+        df, queries, k, n_centroids, nprobe,
+        id_col, vec_col, query_id_col, qvec_col,
+    ).select("query_id", "doc_id", F.lit(1).alias("_hit"))
+    return (
+        exact.join(approx, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits")
+        )
+        .select(
+            "query_id",
+            "hits",
+            F.lit(int(k)).cast("long").alias("k"),
+            F.expr(f"CAST(hits * 1000000 div {int(k)} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
