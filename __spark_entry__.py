@@ -1218,6 +1218,24 @@ _RECALL_QVECS = [
 ]
 
 
+def q_clustering_coeffs(spark, sf_dir):
+    """Per-node local clustering coefficients on the planted doc
+    graph (graph.clustering_coefficients over triangle_counts —
+    zero-exchange projection past the counts); pure BIGINT ppm."""
+    from walker_spark.operators.graph import clustering_coefficients
+
+    return clustering_coefficients(_planted_doc_edges(spark, sf_dir))
+
+
+def q_transitivity(spark, sf_dir):
+    """Global transitivity + mean local clustering in one row
+    (graph.graph_transitivity) — the graph-density scorecard; wedge
+    products in DECIMAL(38,0), everything else BIGINT."""
+    from walker_spark.operators.graph import graph_transitivity
+
+    return graph_transitivity(_planted_doc_edges(spark, sf_dir))
+
+
 def q_ivf_recall(spark, sf_dir):
     """ANN recall@10 of the IVF serving path vs exact brute force
     (similarity.ivf_recall_report) over 4 deterministic query vectors
@@ -3163,6 +3181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_fairness": q_key_fairness,
         "term_dispersion": q_term_dispersion,
         "ivf_recall": q_ivf_recall,
+        "clustering_coeffs": q_clustering_coeffs,
+        "transitivity": q_transitivity,
         "top_paths": q_top_paths,
         "compaction_plan": q_compaction_plan,
         "table_diff": q_table_diff,
@@ -4360,6 +4380,36 @@ def oracle_sql() -> dict[str, str]:
         "matched_sample": _matched_sample_sql(),
         "term_dispersion": _term_dispersion_sql(),
         "ivf_recall": _ivf_recall_sql(),
+        "clustering_coeffs": f"""
+        WITH tc AS ({_triangle_counts_sql()})
+        SELECT node, degree, triangles,
+               CASE WHEN degree < 2 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(2 * triangles * 1000000
+                              // (degree * (degree - 1)) AS BIGINT) END
+                 AS cc_ppm
+        FROM tc""",
+        "transitivity": f"""
+        WITH tc AS ({_triangle_counts_sql()}),
+        cc AS (
+          SELECT degree, triangles,
+                 CASE WHEN degree < 2 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(2 * triangles * 1000000
+                                // (degree * (degree - 1)) AS BIGINT) END
+                   AS cc_ppm
+          FROM tc)
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(triangles) AS BIGINT) AS sum_triangles,
+               CAST(sum(CAST(degree AS HUGEINT) * (degree - 1) // 2)
+                    AS BIGINT) AS wedges,
+               CASE WHEN sum(CAST(degree AS HUGEINT) * (degree - 1) // 2) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(CAST(sum(triangles) AS HUGEINT) * 1000000
+                              // sum(CAST(degree AS HUGEINT) * (degree - 1) // 2)
+                              AS BIGINT) END AS transitivity_ppm,
+               CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(sum(cc_ppm) // count(*) AS BIGINT) END
+                 AS avg_cc_ppm
+        FROM cc""",
         "key_fairness": """
         WITH c AS (
           SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x

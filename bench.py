@@ -116,6 +116,8 @@ HEADLINE = [
     "hll_token_distinct",
     "cms_token_freq",
     "triangle_counts",
+    "clustering_coeffs",
+    "transitivity",
     "pmi_collocations",
     "zorder_events",
     "log_hist_quantiles",

@@ -3571,3 +3571,36 @@ def test_ivf_recall_report_bounds_and_exact_regime(spark):
     for qid in (0, 1, 2):
         hits = sum(1 for (q, d) in exact if q == qid and (q, d) in approx)
         assert got[qid] == hits * 1_000_000 // 5
+
+
+def test_clustering_coefficients_known_graph(spark):
+    import pytest as _pytest
+
+    from walker_spark.operators.graph import (
+        clustering_coefficients,
+        graph_transitivity,
+    )
+
+    # K4 minus one edge (1-2,1-3,1-4,2-3,2-4): triangles 123, 124;
+    # node 1: d=3 T=2 cc=2*2/6; node 2: d=3 T=2; 3: d=2 T=1 cc=1;
+    # 4: d=2 T=1 cc=1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["cc_ppm"])
+        for r in clustering_coefficients(edges).collect()
+    }
+    assert got == {
+        1: (3, 2, 2 * 2 * 1_000_000 // 6),
+        2: (3, 2, 2 * 2 * 1_000_000 // 6),
+        3: (2, 1, 1_000_000),
+        4: (2, 1, 1_000_000),
+    }
+    row = graph_transitivity(edges).collect()[0]
+    # wedges = 3+3+1+1 = 8; sum_triangles = 6 (= 3 * 2 triangles)
+    assert (row["n_nodes"], row["sum_triangles"], row["wedges"]) == (4, 6, 8)
+    assert row["transitivity_ppm"] == 6 * 1_000_000 // 8
+    assert row["avg_cc_ppm"] == (666666 + 666666 + 1_000_000 + 1_000_000) // 4
+    with _pytest.raises(ValueError):
+        clustering_coefficients()

@@ -984,3 +984,86 @@ def modularity(
         )
         .alias("q_ppm"),
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998)
+    — how tightly a node's neighborhood interlinks, the standard
+    link-spam / community-density signal on a web graph:
+
+        cc_ppm = 2 * triangles * 1e6 div (degree * (degree - 1))
+
+    for degree >= 2, else 0 (pure BIGINT — degree^2 stays in range
+    because triangles <= d(d-1)/2 bounds the numerator by 1e6 * d^2).
+    Returns ``(node, degree, triangles, cc_ppm)``. Pass ``counts=``
+    (a :func:`triangle_counts` output) to project a precomputed count
+    table instead of re-counting — the pipeline reuse precedent.
+
+    Scale shape: everything beyond :func:`triangle_counts` is a
+    zero-exchange projection."""
+    if counts is None:
+        if edges is None:
+            raise ValueError("need edges or counts")
+        counts = triangle_counts(edges, src_col, dst_col)
+    return counts.select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(F.col("degree") < 2, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(2 * triangles * 1000000"
+                " div (degree * (degree - 1)) AS BIGINT)"
+            )
+        )
+        .alias("cc_ppm"),
+    )
+
+
+def graph_transitivity(
+    edges: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Global transitivity + mean local clustering in one row:
+
+        transitivity_ppm = 3 * total_triangles * 1e6 div wedges
+        avg_cc_ppm       = sum(cc_ppm) div n_nodes
+
+    with ``wedges = sum of d*(d-1)/2`` (every triangle closes 3
+    wedges; per-node triangle counts sum each triangle 3 times, so
+    total = sum(triangles) div 3 — kept as the sum form to stay pure
+    integer). DECIMAL(38,0) for the wedge products (d^2 overflows
+    BIGINT on a web-scale hub). Returns ``(n_nodes, sum_triangles,
+    wedges, transitivity_ppm, avg_cc_ppm)``."""
+    cc = clustering_coefficients(edges, src_col, dst_col, counts=counts)
+    return cc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("triangles").cast("long").alias("sum_triangles"),
+        F.expr(
+            "CAST(sum(CAST(degree AS DECIMAL(38,0)) * (degree - 1) div 2)"
+            " AS DECIMAL(38,0))"
+        ).alias("_wedges"),
+        F.sum("cc_ppm").cast("long").alias("_cc_sum"),
+    ).select(
+        "n_nodes",
+        "sum_triangles",
+        F.col("_wedges").cast("long").alias("wedges"),
+        F.when(F.col("_wedges") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(CAST(sum_triangles AS DECIMAL(38,0)) * 1000000"
+                " div _wedges AS BIGINT)"
+            )
+        )
+        .alias("transitivity_ppm"),
+        F.when(F.col("n_nodes") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("CAST(_cc_sum div n_nodes AS BIGINT)"))
+        .alias("avg_cc_ppm"),
+    )
