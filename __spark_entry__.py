@@ -1218,6 +1218,26 @@ _RECALL_QVECS = [
 ]
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-curve vocabulary growth over documents in doc_id order
+    (textstats.vocab_growth, 10 buckets): first-occurrence min-agg,
+    exact integer bucketing, running cumulative — the
+    is-the-crawl-still-learning curve. The word-soup corpus has a
+    closed 30-word vocabulary (everything "new" lands in bucket 0),
+    so positional novel terms are planted in-query — one fresh
+    ``uq<doc_id div 50>`` token per 50 docs — giving the curve a
+    genuine tail to measure."""
+    from walker_spark.operators.textstats import vocab_growth
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' uq', CAST(doc_id div 50 AS STRING))"
+        ).alias("text"),
+    )
+    return vocab_growth(docs, n_buckets=10)
+
+
 def q_clustering_coeffs(spark, sf_dir):
     """Per-node local clustering coefficients on the planted doc
     graph (graph.clustering_coefficients over triangle_counts —
@@ -3182,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dispersion": q_term_dispersion,
         "ivf_recall": q_ivf_recall,
         "clustering_coeffs": q_clustering_coeffs,
+        "vocab_growth": q_vocab_growth,
         "transitivity": q_transitivity,
         "top_paths": q_top_paths,
         "compaction_plan": q_compaction_plan,
@@ -4380,6 +4401,27 @@ def oracle_sql() -> dict[str, str]:
         "matched_sample": _matched_sample_sql(),
         "term_dispersion": _term_dispersion_sql(),
         "ivf_recall": _ivf_recall_sql(),
+        "vocab_growth": f"""
+        WITH docs2 AS (
+          SELECT doc_id,
+                 text || ' uq' || CAST(doc_id // 50 AS VARCHAR) AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id, unnest({_FILTERED_TOKS_SQL}) AS term
+          FROM docs2),
+        firsts AS (
+          SELECT term, min(doc_id) AS first_id FROM toks GROUP BY 1),
+        counts AS (
+          SELECT CAST(first_id * 10
+                      // ((SELECT max(doc_id) FROM docs2) + 1)
+                   AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS new_terms
+          FROM firsts GROUP BY 1)
+        SELECT bucket, new_terms,
+               CAST(sum(new_terms) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_terms
+        FROM counts""",
         "clustering_coeffs": f"""
         WITH tc AS ({_triangle_counts_sql()})
         SELECT node, degree, triangles,

@@ -91,6 +91,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "phrase_search",
     "vocab_coverage",
+    "vocab_growth",
     "tokenize_ids",
     "bpe_merges",
     "bpe_encode",

@@ -3604,3 +3604,23 @@ def test_clustering_coefficients_known_graph(spark):
     assert row["avg_cc_ppm"] == (666666 + 666666 + 1_000_000 + 1_000_000) // 4
     with _pytest.raises(ValueError):
         clustering_coefficients()
+
+
+def test_vocab_growth_planted_curve(spark):
+    import pytest as _pytest
+
+    from walker_spark.operators.textstats import vocab_growth
+
+    # ids 0..9, 2 buckets; 'base' everywhere, one novel term per doc
+    # in the second half only
+    rows = [
+        (i, "base" + ("" if i < 5 else f" novel{i}")) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: (r["new_terms"], r["cum_terms"])
+        for r in vocab_growth(df, n_buckets=2).collect()
+    }
+    assert got == {0: (1, 1), 1: (5, 6)}
+    with _pytest.raises(ValueError):
+        vocab_growth(df, n_buckets=0)

@@ -2123,3 +2123,60 @@ def term_dispersion(
         .orderBy(F.desc("dp_ppm"), F.asc("term"))
         .limit(top_k)
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps) curve: how many DISTINCT token types
+    the corpus has accumulated after each ``1/n_buckets`` slice of
+    documents in ``id_col`` order — the corpus-stats curve that says
+    whether a crawl is still discovering new language or re-reading
+    the same pages (a flattening curve is the diminishing-returns
+    signal collection planners act on).
+
+    Exact one-pass form: a term's FIRST document is ``min(id)`` over
+    its occurrences; bucket it by ``floor(first_id * n_buckets div
+    (max_id + 1))`` (max as a broadcast one-row scalar) and the curve
+    is ``new_terms`` per bucket plus a running ``cum_terms`` window
+    over the n_buckets-row result. Returns ``(bucket, new_terms,
+    cum_terms)``, all BIGINT; empty buckets are absent (their
+    cumulative value is readable off the next present row).
+
+    Scale shape: one explode into a (term)-keyed min-agg (map-side
+    partials; the shuffle moves one row per distinct term), a tiny
+    bucket agg, and a window over <= n_buckets rows. Requires
+    non-negative ids (crawl tables use BIGINT ids)."""
+    from pyspark.sql import Window
+
+    from walker_spark.operators.dedup import tokens
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda s: F.length(s) > 0)
+        ).alias("term"),
+    )
+    firsts = toks.groupBy("term").agg(F.min("_id").alias("first_id"))
+    mx = df.agg(F.max(F.col(id_col)).alias("_mx"))
+    counts = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(
+                f"CAST(first_id * {int(n_buckets)} div (_mx + 1) AS BIGINT)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return counts.select(
+        "bucket",
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("cum_terms"),
+    )
